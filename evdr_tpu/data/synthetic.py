@@ -1,0 +1,145 @@
+"""Synthetic corpus generator — tiny random teacher indexes with learnable qrels.
+
+The reference repo consumes externally produced ColQwen features; for testing,
+benchmarking, and the 1M-page scale config we synthesize compatible payloads:
+
+- documents: per-page ragged ``(Li, D)`` unit-norm patch embeddings;
+- queries: per-query ragged token sets built from noisy copies of tokens of the
+  query's relevant page (so MaxSim retrieval is solvable, not random);
+- relevant_docs / docidx_2_docid / qsidx_2_query with reference key conventions;
+- a pooled init index (mean-pool every ``mf`` consecutive tokens) emulating the
+  reference's S3E init (token count reduced ~mf×).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from evdr_tpu.data.npz_io import save_compressed_npz
+
+
+def make_synthetic_corpus(
+    n_docs: int = 24,
+    n_queries: int = 16,
+    dim: int = 128,
+    doc_len_range=(40, 90),
+    query_len_range=(6, 14),
+    noise: float = 0.25,
+    seed: int = 0,
+    queries_per_doc: Optional[int] = None,
+) -> Dict:
+    """Build an in-memory payload dict with the reference npz schema."""
+    rng = np.random.default_rng(seed)
+
+    def unit(x):
+        return x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+
+    docs = np.empty(n_docs, dtype=object)
+    attn = np.empty(n_docs, dtype=object)
+    img = np.empty(n_docs, dtype=object)
+    docid = np.empty(n_docs, dtype=object)
+    for i in range(n_docs):
+        li = int(rng.integers(doc_len_range[0], doc_len_range[1] + 1))
+        docs[i] = unit(rng.normal(size=(li, dim))).astype(np.float32)
+        a = np.ones(li, dtype=bool)
+        # sprinkle some invalid tokens to exercise masking
+        a[rng.random(li) < 0.08] = False
+        attn[i] = a
+        m = np.ones(li, dtype=bool)
+        m[rng.random(li) < 0.05] = False
+        img[i] = m
+        docid[i] = f"page_{i:05d}.jpg"
+
+    queries = np.empty(n_queries, dtype=object)
+    q_attn = np.empty(n_queries, dtype=object)
+    qsidx_2_query = np.empty(n_queries, dtype=object)
+    qid = np.empty(n_queries, dtype=object)
+    relevant: Dict[str, Dict[str, int]] = {}
+    for q in range(n_queries):
+        tgt = q % n_docs if queries_per_doc is None else q // queries_per_doc
+        tgt = int(tgt) % n_docs
+        lq = int(rng.integers(query_len_range[0], query_len_range[1] + 1))
+        src = docs[tgt]
+        take = rng.integers(0, src.shape[0], size=lq)
+        qtok = src[take] + noise * rng.normal(size=(lq, dim))
+        queries[q] = unit(qtok).astype(np.float32)
+        a = np.ones(lq, dtype=bool)
+        a[rng.random(lq) < 0.1] = False
+        a[0] = True
+        q_attn[q] = a
+        qkey = f"what is on {docid[tgt]} (v{q})"
+        qsidx_2_query[q] = qkey
+        qid[q] = f"q{q:05d}"
+        relevant[qkey] = {docid[tgt]: 1}
+
+    docidx_2_docid = {str(i): docid[i] for i in range(n_docs)}
+    return {
+        "docid": docid,
+        "documents": docs,
+        "doc_attnmask": attn,
+        "doc_imgmask": img,
+        "query": queries,
+        "qid": qid,
+        "query_attnmask": q_attn,
+        "relevant_docs": relevant,
+        "docidx_2_docid": docidx_2_docid,
+        "qsidx_2_query": qsidx_2_query,
+    }
+
+
+def pooled_init_index(payload: Dict, mf: int, seed: int = 0) -> Dict:
+    """Mean-pool every ``mf`` consecutive valid tokens -> student init payload.
+
+    Emulates the reference's externally produced "S3E_init" pooled index
+    (token count reduced ~mf×), docids shuffled to exercise align_by_docid.
+    """
+    rng = np.random.default_rng(seed + 1)
+    docs = payload["documents"]
+    attn = payload["doc_attnmask"]
+    img = payload["doc_imgmask"]
+    n = len(docs)
+    out_docs = np.empty(n, dtype=object)
+    out_attn = np.empty(n, dtype=object)
+    out_img = np.empty(n, dtype=object)
+    for i in range(n):
+        valid = np.asarray(attn[i], dtype=bool) & np.asarray(img[i], dtype=bool)
+        toks = np.asarray(docs[i])[valid]
+        li = max(1, toks.shape[0] // mf)
+        pooled = np.stack(
+            [np.mean(chunk, axis=0) for chunk in np.array_split(toks, li)]
+        ).astype(np.float32)
+        out_docs[i] = pooled
+        out_attn[i] = np.ones(pooled.shape[0], dtype=bool)
+        out_img[i] = np.ones(pooled.shape[0], dtype=bool)
+    perm = rng.permutation(n)
+    init = {
+        "docid": payload["docid"][perm].copy(),
+        "documents": out_docs[perm].copy(),
+        "doc_attnmask": out_attn[perm].copy(),
+        "doc_imgmask": out_img[perm].copy(),
+    }
+    return init
+
+
+def save_synthetic_npz(path, payload: Dict) -> None:
+    """Write a payload dict as a reference-schema pickled-object npz."""
+    arrs = {}
+    for k, v in payload.items():
+        if isinstance(v, dict):
+            arrs[k] = np.array(v, dtype=object)
+        else:
+            arrs[k] = np.asarray(v, dtype=object)
+    np.savez_compressed(str(path), **arrs)
+
+
+def save_init_npz(path, init: Dict) -> None:
+    save_compressed_npz(
+        path,
+        docid=init["docid"],
+        documents_obj=init["documents"],
+        doc_attnmask_obj=init["doc_attnmask"],
+        doc_imgmask_obj=init["doc_imgmask"],
+        meta={"kind": "synthetic pooled init"},
+    )

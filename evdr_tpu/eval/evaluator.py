@@ -1,0 +1,97 @@
+"""Retrieval evaluator: score -> results dict -> metrics (+latency).
+
+API parity with the reference's ``CustomRetrievalEvaluator``
+(``evaluator/retrieval.py:220-255``) and the shared ``eval_retrieval`` path
+(``mainv2_iter_listwise.py:299-322``): qrels keyed by query string from
+``qsidx_2_query``, results keyed by docid via ``docidx_2_docid``, latency
+measured as scoring wall-ms / n_queries.
+
+TPU notes: the reference's per-element ``.item()`` loop is replaced by ONE
+device->host transfer of the full score matrix; per-query latency is measured
+around the blocked device computation (``block_until_ready``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Mapping, Optional
+
+import jax
+import numpy as np
+
+from evdr_tpu.data.packing import l2_normalize
+from evdr_tpu.eval.metrics import compute_retrieval_metrics
+from evdr_tpu.ops.maxsim import maxsim
+
+
+class CustomRetrievalEvaluator:
+    """nDCG/mAP/Recall/Precision/MRR @ k_values over qrels/results dicts."""
+
+    def __init__(self, k_values: List[int] = (1, 3, 5, 10, 50, 70, 100),
+                 score_function: str = "cos_sim"):
+        self.k_values = list(k_values)
+        self.score_function = score_function
+
+    def compute_mteb_metrics(
+        self,
+        relevant_docs: Mapping[str, Mapping[str, int]],
+        results: Mapping[str, Mapping[str, float]],
+        **kwargs,
+    ) -> Dict[str, Any]:
+        return compute_retrieval_metrics(
+            relevant_docs,
+            results,
+            self.k_values,
+            ignore_identical_ids=kwargs.get("ignore_identical_ids", False),
+        )
+
+
+def scores_to_results(
+    scores: np.ndarray,
+    qsidx_2_query: Optional[np.ndarray],
+    docidx_2_docid: Mapping[str, str],
+) -> Dict[str, Dict[str, float]]:
+    """(Q, P) score matrix -> {query_key: {docid: score}} nested dict."""
+    scores = np.asarray(scores, dtype=np.float64)
+    nq, nd = scores.shape
+    docids = [docidx_2_docid[str(di)] for di in range(nd)]
+    results: Dict[str, Dict[str, float]] = {}
+    for qi in range(nq):
+        qkey = str(qsidx_2_query[qi]) if qsidx_2_query is not None else str(qi)
+        results[qkey] = dict(zip(docids, scores[qi].tolist()))
+    return results
+
+
+def eval_retrieval(
+    evaluator: CustomRetrievalEvaluator,
+    Q_test_norm,
+    qmask_test,
+    student_param,
+    pmask_student,
+    relevant_docs_test: Mapping[str, Mapping[str, int]],
+    docidx_2_docid_test: Mapping[str, str],
+    qsidx_2_query_test=None,
+    chunk_p: int = 128,
+    impl: str = "auto",
+) -> Dict[str, Any]:
+    """Retrieval metrics of the (masked+normalized) student index.
+
+    Mirrors reference ``eval_retrieval`` (mainv2_iter_listwise.py:299-322):
+    student is re-masked and re-normalized before scoring; ``latency`` is the
+    per-query scoring wall time in ms.
+    """
+    import jax.numpy as jnp
+
+    P_now = l2_normalize(jnp.asarray(student_param) * jnp.asarray(pmask_student)[..., None])
+
+    t0 = time.perf_counter()
+    scores = maxsim(Q_test_norm, P_now, qmask_test, pmask_student,
+                    chunk_p=chunk_p, impl=impl)
+    scores = jax.block_until_ready(scores)
+    latency_ms = (time.perf_counter() - t0) * 1000.0 / max(int(scores.shape[0]), 1)
+
+    results = scores_to_results(np.asarray(scores), qsidx_2_query_test,
+                                docidx_2_docid_test)
+    metrics = evaluator.compute_mteb_metrics(relevant_docs_test, results)
+    metrics["latency"] = float(latency_ms)
+    return metrics

@@ -1,0 +1,228 @@
+"""Fused Pallas TPU kernel for masked MaxSim late-interaction scoring.
+
+score[q, d] = sum_n qmask[q,n] * max_m(valid) <Q[q,n], P[d,m]>, with docs that
+have no valid token scoring 0 (semantics of reference
+``evaluator/retrieval.py:166-213``; see ``evdr_tpu.ops.maxsim`` for the oracle).
+
+Kernel design (TPU-first, not a translation):
+
+- Q is flattened to (nq*Lq, D): query tokens are contiguous per query, so a
+  row-block of QB*Lq rows holds QB whole queries.
+- grid = (q_blocks, doc_blocks, lp_tiles); for each program we compute ONE
+  MXU matmul  sim = Qblk (QBL, D) @ Pblk^T (D, DB*TLP)  in fp32 accumulation
+  (bf16 inputs by default), then a per-doc segmented running max into a VMEM
+  scratch accumulator acc (QBL, DB) that persists across the innermost
+  lp_tiles grid dimension. The (Q, C, Lq, Lp) similarity tensor never touches
+  HBM — this is the whole point vs. the chunked einsum.
+- doc-token validity masks are pre-tiled host-side into the kernel's
+  (doc_block, lp_tile) layout so the kernel applies them with a plain 2D
+  ``where`` (no in-kernel gather/reshape of masks).
+- after the last lp tile: docs whose accumulator never saw a valid token are
+  zeroed (doc_has_token rule), the query mask is applied as a (QBL, 1)
+  columnwise weight, and the sum over each query's Lq tokens is computed as a
+  selector matmul S (QB, QBL) @ weighted (QBL, DB) on the MXU.
+
+The kernel is wrapped in ``jax.custom_vjp``: backward recomputes gradients via
+the XLA oracle (max-grad scatters to the argmax token), keeping training
+differentiable while eval/serving uses the fused forward.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from evdr_tpu.ops.maxsim import maxsim_xla as _maxsim_xla
+
+NEG_INIT = -1e30  # running-max init; any real (even unnormalized) sim beats it
+NEG_THRESH = -1e29  # acc below this => doc had no valid token => score 0
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pick_tiles(lq: int, lp: int, target_rows: int = 512, target_cols: int = 256
+                ) -> Tuple[int, int, int, int]:
+    """Choose (QB queries/block, Lq_pad, DB docs/block, TLP lp-tile).
+
+    QB is a multiple of 8 so the (QB, DB) output block satisfies the TPU
+    sublane constraint.
+    """
+    lq_pad = _round_up(lq, 8)
+    qb = max(8, (target_rows // lq_pad) // 8 * 8)
+    tlp = min(target_cols, _round_up(lp, 16))
+    db = max(1, target_cols // tlp)
+    return qb, lq_pad, db, tlp
+
+
+def _kernel(qf_ref, qmf_ref, p_ref, pm_ref, out_ref, acc_ref, *, db, tlp, lq_pad, qb,
+            out_dtype, precision):
+    l = pl.program_id(2)
+    n_l = pl.num_programs(2)
+
+    @pl.when(l == 0)
+    def _init():
+        acc_ref[:] = jnp.full_like(acc_ref, NEG_INIT)
+
+    # (DB, TLP, D) -> (DB*TLP, D): leading-dim merge, layout-preserving
+    pblk = p_ref[:].reshape(db * tlp, p_ref.shape[-1])
+    sim = jax.lax.dot_general(
+        qf_ref[:], pblk,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # (QBL, DB*TLP)
+    sim = jnp.where(pm_ref[0] > 0.5, sim, NEG_INIT)  # (1, DB*TLP) broadcast
+
+    # segmented running max over the DB doc segments of TLP tokens each
+    segs = [
+        jnp.max(sim[:, c * tlp:(c + 1) * tlp], axis=1, keepdims=True)
+        for c in range(db)
+    ]
+    blockmax = segs[0] if db == 1 else jnp.concatenate(segs, axis=1)  # (QBL, DB)
+    acc_ref[:] = jnp.maximum(acc_ref[:], blockmax)
+
+    @pl.when(l == n_l - 1)
+    def _finish():
+        acc = acc_ref[:]
+        # doc_has_token rule: all-invalid doc -> 0
+        mx = jnp.where(acc > NEG_THRESH, acc, 0.0)
+        weighted = mx * qmf_ref[:]  # (QBL, DB) * (QBL, 1)
+        # selector S[r, c] = 1 iff flat token c belongs to query r of this block
+        qbl = qb * lq_pad
+        rows = jax.lax.broadcasted_iota(jnp.int32, (qb, qbl), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (qb, qbl), 1)
+        sel = (cols // lq_pad == rows).astype(jnp.float32)
+        # always full precision: this matmul is tiny and rounding the weighted
+        # maxes to bf16 here would dominate the kernel's overall error
+        out = jax.lax.dot_general(
+            sel, weighted,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (QB, DB)
+        out_ref[0, 0] = out.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("compute_dtype", "interpret", "target_rows", "target_cols")
+)
+def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
+                       interpret: bool = False, target_rows: int = 1024,
+                       target_cols: int = 512):
+    nq, lq, d = Q.shape
+    nd, lp, _ = P.shape
+    qb, lq_pad, db, tlp = _pick_tiles(lq, lp, target_rows, target_cols)
+
+    nq_pad = _round_up(max(nq, qb), qb)
+    nd_pad = _round_up(max(nd, db), db)
+    lp_pad = _round_up(lp, tlp)
+    d_pad = _round_up(d, 128)
+
+    Qp = jnp.zeros((nq_pad, lq_pad, d_pad), compute_dtype).at[:nq, :lq, :d].set(
+        Q.astype(compute_dtype))
+    Pp = jnp.zeros((nd_pad, lp_pad, d_pad), compute_dtype).at[:nd, :lp, :d].set(
+        P.astype(compute_dtype))
+    qm = jnp.zeros((nq_pad, lq_pad), jnp.float32).at[:nq, :lq].set(
+        qmask.astype(jnp.float32))
+    pm = jnp.zeros((nd_pad, lp_pad), jnp.float32).at[:nd, :lp].set(
+        pmask.astype(jnp.float32))
+
+    qbl = qb * lq_pad
+    qf = Qp.reshape(nq_pad * lq_pad, d_pad)
+    qmf = qm.reshape(nq_pad * lq_pad, 1)
+
+    n_qb = nq_pad // qb
+    n_db = nd_pad // db
+    n_lp = lp_pad // tlp
+
+    # pre-tile the doc mask into the kernel's (doc_block, lp_tile) layout:
+    # slot j*n_lp + l = docs [j*db, (j+1)*db) x tokens [l*tlp, (l+1)*tlp), doc-major.
+    # kept 3D with a unit sublane dim to satisfy TPU block-shape constraints.
+    pm_t = (
+        pm.reshape(n_db, db, n_lp, tlp)
+        .transpose(0, 2, 1, 3)
+        .reshape(n_db * n_lp, 1, db * tlp)
+    )
+
+    # fp32 compute asks the MXU for full-precision passes; bf16 runs one pass
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    kernel = functools.partial(
+        _kernel, db=db, tlp=tlp, lq_pad=lq_pad, qb=qb, out_dtype=jnp.float32,
+        precision=precision,
+    )
+
+    flops = 2 * (nq_pad * lq_pad) * (nd_pad * lp_pad) * d_pad
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_qb, n_db, n_lp),
+        in_specs=[
+            pl.BlockSpec((qbl, d_pad), lambda i, j, l: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qbl, 1), lambda i, j, l: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((db, tlp, d_pad), lambda i, j, l: (j, l, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, db * tlp),
+                         lambda i, j, l: (j * pl.num_programs(2) + l, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        # (q_block, doc_block)-major output layout so the (QB, DB) block fills
+        # its last two array dims exactly (TPU block-shape constraint)
+        out_specs=pl.BlockSpec((1, 1, qb, db), lambda i, j, l: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_qb, n_db, qb, db), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((qbl, db), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=qf.size * qf.dtype.itemsize
+            + Pp.size * Pp.dtype.itemsize * n_qb
+            + nq_pad * nd_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qf, qmf, Pp, pm_t)
+    scores = out.transpose(0, 2, 1, 3).reshape(nq_pad, nd_pad)
+    return scores[:nq, :nd]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def maxsim_pallas(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
+                  interpret: bool = False):
+    """Fused MaxSim on TPU. Returns (nq, nd) float32 scores.
+
+    Differentiable w.r.t. Q and P (backward via the XLA oracle's VJP — the
+    max-gradient scatters to argmax tokens, matching torch ``max(dim)`` grads).
+    """
+    return _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=compute_dtype,
+                              interpret=interpret)
+
+
+def _fwd(Q, P, qmask, pmask, compute_dtype, interpret):
+    out = _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=compute_dtype,
+                             interpret=interpret)
+    return out, (Q, P, qmask, pmask)
+
+
+def _bwd(compute_dtype, interpret, res, g):
+    Q, P, qmask, pmask = res
+    _, vjp = jax.vjp(lambda q, p: _maxsim_xla(q, p, qmask, pmask), Q, P)
+    dq, dp = vjp(g.astype(jnp.float32))
+    return dq, dp, None, None
+
+
+maxsim_pallas.defvjp(_fwd, _bwd)
+
+
+def maxsim_pallas_interpret(Q, P, qmask, pmask):
+    """Interpreter-mode wrapper (CPU tests)."""
+    return maxsim_pallas(Q, P, qmask, pmask, jnp.float32, True)
