@@ -23,14 +23,23 @@ import numpy as np
 
 
 def l2_normalize(x, eps: float = 1e-12):
-    """Row-normalize the last dim: ``x / (||x|| + eps)`` (reference preprocess_data.py:8-9)."""
+    """Row-normalize the last dim: ``x / (||x|| + eps)`` (reference preprocess_data.py:8-9).
+
+    The JAX path uses a branch-safe norm: ``jnp.linalg.norm`` has a NaN
+    gradient at all-zero rows (every masked-out token row is all-zero), whereas
+    torch's norm defines a zero subgradient there. The ``where`` double-branch
+    keeps forward values identical and gradients finite (upstream mask
+    multiplication then zeroes them, matching torch).
+    """
     import jax.numpy as jnp
 
     if isinstance(x, np.ndarray):
         n = np.linalg.norm(x, axis=-1, keepdims=True)
         return x / (n + eps)
-    n = jnp.linalg.norm(x, axis=-1, keepdims=True)
-    return x / (n + eps)
+    sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    is_zero = sq == 0
+    norm = jnp.sqrt(jnp.where(is_zero, 1.0, sq))
+    return x / (jnp.where(is_zero, 0.0, norm) + eps)
 
 
 def _as_object_array(x) -> np.ndarray:

@@ -41,3 +41,10 @@ def _entry(stem: str, has_split: bool) -> Dict[str, str]:
 DATASETMAP: Dict[str, Dict[str, str]] = {
     key: _entry(stem, has_split) for key, (stem, has_split) in _DATASETS.items()
 }
+
+
+def register_dataset(key: str, stem: str, has_split: bool = False) -> Dict[str, str]:
+    """Register an additional dataset (synthetic fixtures, new corpora)."""
+    entry = _entry(stem, has_split)
+    DATASETMAP[key] = entry
+    return entry

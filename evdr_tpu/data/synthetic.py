@@ -29,8 +29,16 @@ def make_synthetic_corpus(
     noise: float = 0.25,
     seed: int = 0,
     queries_per_doc: Optional[int] = None,
+    tokens_per_center: int = 6,
+    intra_noise: float = 0.15,
 ) -> Dict:
-    """Build an in-memory payload dict with the reference npz schema."""
+    """Build an in-memory payload dict with the reference npz schema.
+
+    Doc tokens are drawn from per-page cluster centers (+``intra_noise``
+    jitter), mimicking the low-rank/cluster structure of real patch embeddings
+    — this is what makes mf-× index compression learnable. Set
+    ``tokens_per_center=1`` for fully incompressible i.i.d. tokens.
+    """
     rng = np.random.default_rng(seed)
 
     def unit(x):
@@ -42,7 +50,11 @@ def make_synthetic_corpus(
     docid = np.empty(n_docs, dtype=object)
     for i in range(n_docs):
         li = int(rng.integers(doc_len_range[0], doc_len_range[1] + 1))
-        docs[i] = unit(rng.normal(size=(li, dim))).astype(np.float32)
+        n_centers = max(1, li // max(1, tokens_per_center))
+        centers = unit(rng.normal(size=(n_centers, dim)))
+        assign = rng.integers(0, n_centers, size=li)
+        toks = centers[assign] + intra_noise * rng.normal(size=(li, dim))
+        docs[i] = unit(toks).astype(np.float32)
         a = np.ones(li, dtype=bool)
         # sprinkle some invalid tokens to exercise masking
         a[rng.random(li) < 0.08] = False
@@ -89,11 +101,55 @@ def make_synthetic_corpus(
     }
 
 
-def pooled_init_index(payload: Dict, mf: int, seed: int = 0) -> Dict:
+def make_queries_for_corpus(payload: Dict, n_queries: int, seed: int = 0,
+                            noise: float = 0.25, query_len_range=(6, 14)) -> Dict:
+    """Build a pseudo-query payload grounded in an existing corpus's pages
+    (the ProxyQ analogue: queries answerable from specific pages)."""
+    rng = np.random.default_rng(seed)
+    docs = payload["documents"]
+    docid = payload["docid"]
+    n_docs = len(docs)
+
+    def unit(x):
+        return x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+
+    queries = np.empty(n_queries, dtype=object)
+    q_attn = np.empty(n_queries, dtype=object)
+    qsidx_2_query = np.empty(n_queries, dtype=object)
+    qid = np.empty(n_queries, dtype=object)
+    relevant: Dict[str, Dict[str, int]] = {}
+    for q in range(n_queries):
+        tgt = q % n_docs
+        src = np.asarray(docs[tgt])
+        lq = int(rng.integers(query_len_range[0], query_len_range[1] + 1))
+        take = rng.integers(0, src.shape[0], size=lq)
+        qtok = src[take] + noise * rng.normal(size=(lq, src.shape[1]))
+        queries[q] = unit(qtok).astype(np.float32)
+        a = np.ones(lq, dtype=bool)
+        a[rng.random(lq) < 0.1] = False
+        a[0] = True
+        q_attn[q] = a
+        qkey = f"pseudo question {q} about {docid[tgt]}"
+        qsidx_2_query[q] = qkey
+        qid[q] = f"pq{q:06d}"
+        relevant[qkey] = {str(docid[tgt]): 1}
+    return {
+        "query": queries,
+        "qid": qid,
+        "query_attnmask": q_attn,
+        "qsidx_2_query": qsidx_2_query,
+        "relevant_docs": relevant,
+    }
+
+
+def pooled_init_index(payload: Dict, mf: int, seed: int = 0,
+                      init_noise: float = 0.0) -> Dict:
     """Mean-pool every ``mf`` consecutive valid tokens -> student init payload.
 
     Emulates the reference's externally produced "S3E_init" pooled index
     (token count reduced ~mf×), docids shuffled to exercise align_by_docid.
+    ``init_noise`` degrades the init (useful to give distillation headroom in
+    fixtures).
     """
     rng = np.random.default_rng(seed + 1)
     docs = payload["documents"]
@@ -110,6 +166,9 @@ def pooled_init_index(payload: Dict, mf: int, seed: int = 0) -> Dict:
         pooled = np.stack(
             [np.mean(chunk, axis=0) for chunk in np.array_split(toks, li)]
         ).astype(np.float32)
+        if init_noise > 0:
+            pooled = pooled + init_noise * rng.normal(size=pooled.shape).astype(
+                np.float32)
         out_docs[i] = pooled
         out_attn[i] = np.ones(pooled.shape[0], dtype=bool)
         out_img[i] = np.ones(pooled.shape[0], dtype=bool)
@@ -143,3 +202,46 @@ def save_init_npz(path, init: Dict) -> None:
         doc_imgmask_obj=init["doc_imgmask"],
         meta={"kind": "synthetic pooled init"},
     )
+
+
+def write_dataset_fixture(
+    root,
+    key: str = "synth",
+    n_docs: int = 16,
+    n_test_queries: int = 12,
+    n_train_queries: int = 64,
+    dim: int = 64,
+    mfs=(5, 10),
+    seed: int = 0,
+    init_noise: float = 0.0,
+    **corpus_kw,
+) -> str:
+    """Write a full synthetic dataset in the registry's on-disk convention.
+
+    Creates under ``root``: ``<stem>_dump_all.npz`` (teacher + test queries +
+    qrels), ``<stem>_query.npz`` (pseudo-query pool), and
+    ``S3E_init/mf{mf}/<stem>.npz`` pooled init indexes, and registers ``key``
+    in ``DATASETMAP``. Returns the stem.
+    """
+    from pathlib import Path
+
+    from evdr_tpu.data.registry import register_dataset
+
+    root = Path(root)
+    stem = f"{key}_test"
+    register_dataset(key, stem)
+
+    teacher = make_synthetic_corpus(
+        n_docs=n_docs, n_queries=n_test_queries, dim=dim, seed=seed, **corpus_kw)
+    save_synthetic_npz(root / f"{stem}_dump_all.npz", teacher)
+
+    # pseudo-query pool grounded in the SAME teacher pages (fresh noise draws)
+    qp = make_queries_for_corpus(
+        teacher, n_queries=n_train_queries, seed=seed + 123,
+        noise=corpus_kw.get("noise", 0.25))
+    save_synthetic_npz(root / f"{stem}_query.npz", qp)
+
+    for mf in mfs:
+        init = pooled_init_index(teacher, mf=mf, seed=seed, init_noise=init_noise)
+        save_init_npz(root / "S3E_init" / f"mf{mf}" / f"{stem}.npz", init)
+    return stem

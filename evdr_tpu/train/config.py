@@ -1,0 +1,115 @@
+"""Unified training configuration.
+
+One config + two selectors (``loss``, ``aug``) replace the reference's 24
+near-identical ``main*.py`` scripts (SURVEY.md §2.2). Defaults follow the
+reference flagship ``mainv2_iter_liscore.py:29-53`` argparser.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+from evdr_tpu.losses.distill import COMBINED_RECIPES, LOSS_REGISTRY
+
+VALID_LOSSES = tuple(LOSS_REGISTRY) + tuple(COMBINED_RECIPES)
+VALID_AUGS = ("none", "qnoise", "mixup", "hardtoken")
+VALID_TRAINERS = ("iter", "epoch")
+
+
+@dataclass
+class TrainConfig:
+    # data
+    datasets: List[str] = field(default_factory=lambda: ["tabfquad"])
+    query_root: str = "data/proxyq"        # pseudo-query feature npz root
+    teacher_root: str = "data/features"    # teacher (split_before / train / test) root
+    init_root: str = "data/features/S3E_init"
+    mfs: List[int] = field(default_factory=lambda: [5, 10, 25, 50])
+    use_labeled_split: bool = False        # mainv1-style: train/test npz instead of ProxyQ
+
+    # run
+    out_root: str = "results"
+    name: str = "run"
+    seed: int = 42
+
+    # trainer
+    trainer: str = "iter"                  # 'iter' (step-based) | 'epoch'
+    loss: str = "liscore"
+    aug: str = "none"
+    max_steps: int = 23460                 # mainv2_iter_* default
+    epochs: int = 30                       # mainv2 epoch family default
+    eval_every: int = 200
+    print_every: int = 20
+    q_batch: int = 32
+    full_batch: bool = False               # mainv1 SPL: one full-batch step per epoch
+
+    # optimization (reference: AdamW lr 1e-3 wd 1e-2)
+    opt: str = "adamw"
+    lr: float = 1e-3
+    weight_decay: float = 1e-2
+
+    # loss hyperparameters
+    temp: float = 0.1
+    k: int = 40
+    lambda_list: float = 1.0
+    lambda_score: float = 1.0
+    lambda_pair: float = 1.0
+    lambda_info: float = 1.0
+    list_temp: float = 1.0
+    info_temp: float = 0.1
+    alpha: float = 1.0                     # lambda_loss
+    eps: float = 1e-6
+    lambda_weight: float = 1.0             # ranknce regularizer weight
+
+    # augmentation hyperparameters (mainv3 family defaults)
+    q_noise_std: float = 0.01
+    mixup_alpha: float = 0.2
+    lambda_mix: float = 1.0
+    virt_noise_std: float = 0.1
+    lambda_aux: float = 0.3
+    aux_docs: int = 4
+    gap_log_every: int = 500
+    gap_topk: int = 10
+
+    # engine
+    chunk_p: int = 128
+    score_impl: str = "xla"                # 'xla' | 'pallas' | 'auto'
+    eval_impl: str = "auto"
+    precompute_teacher: bool = True        # teacher is frozen: score the pool once
+    checkpoint_every: int = 0              # 0 = only best-npz artifacts
+    resume: bool = False
+
+    def loss_hp(self) -> dict:
+        return {
+            "temperature": self.temp,
+            "k": self.k,
+            "lambda_list": self.lambda_list,
+            "lambda_score": self.lambda_score,
+            "lambda_pair": self.lambda_pair,
+            "lambda_info": self.lambda_info,
+            "list_temp": self.list_temp,
+            "info_temp": self.info_temp,
+            "alpha": self.alpha,
+            "eps": self.eps,
+            "lambda_weight": self.lambda_weight,
+        }
+
+    def validate(self) -> "TrainConfig":
+        if self.loss not in VALID_LOSSES:
+            raise ValueError(f"unknown loss {self.loss!r}; valid: {VALID_LOSSES}")
+        if self.aug not in VALID_AUGS:
+            raise ValueError(f"unknown aug {self.aug!r}; valid: {VALID_AUGS}")
+        if self.trainer not in VALID_TRAINERS:
+            raise ValueError(f"unknown trainer {self.trainer!r}")
+        if self.opt != "adamw":
+            raise ValueError("only adamw is supported (reference utils/utils.py:78-80)")
+        return self
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), ensure_ascii=False, indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "TrainConfig":
+        return cls(**json.loads(text))

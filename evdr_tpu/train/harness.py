@@ -1,0 +1,677 @@
+"""Unified training harness: index-compression distillation on TPU.
+
+Replaces the reference's 24 ``main*.py`` scripts (families A-D, SURVEY.md §2.2)
+with one loop driven by ``TrainConfig``. Semantics parity with the shared
+skeleton (``mainv2_iter_liscore.py:56-311``, ``mainv1.py:160-260``):
+
+  per dataset: load queries + teacher -> per mf: init student (align by docid,
+  mask, param) -> step-0 eval -> train loop { student renorm -> MaxSim scores ->
+  distillation loss -> AdamW } -> periodic eval + best tracking + best-npz save
+  -> final ``summary/best_ndcg5`` JSON line (reporter-compatible).
+
+TPU-first design choices (not in the reference):
+- the whole dataset lives on device; batches are device-side gathers driven by
+  a host index stream (no DataLoader, no per-step host->device tensor copies);
+- teacher scores over the frozen teacher index are precomputed ONCE per
+  dataset (the reference recomputes the expensive teacher MaxSim every step —
+  teacher Lp is ~10-50x student Lp, so this removes most of the train-step
+  FLOPs with bitwise-identical loss inputs);
+- the train step is a single donated-buffer jit; optimizer is optax.adamw
+  (same update rule as torch AdamW);
+- full checkpoint/resume of (param, opt state, step, best trackers) — the
+  reference can only export best-npz artifacts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from evdr_tpu.data.align import align_by_docid
+from evdr_tpu.data.npz_io import (
+    load_init_payload,
+    load_payload,
+    load_query_payload,
+    save_compressed_npz,
+    tokens_to_object,
+)
+from evdr_tpu.data.packing import (
+    _as_object_array,
+    l2_normalize,
+    preprocess_docs,
+    preprocess_queries,
+)
+from evdr_tpu.data.registry import DATASETMAP
+from evdr_tpu.eval.evaluator import CustomRetrievalEvaluator, eval_retrieval
+from evdr_tpu.losses.distill import (
+    COMBINED_RECIPES,
+    LOSS_REGISTRY,
+    combined_loss,
+)
+from evdr_tpu.ops.maxsim import maxsim, maxsim_xla
+from evdr_tpu.train.config import TrainConfig
+from evdr_tpu.utils.logging_utils import get_logger, log_json
+from evdr_tpu.utils.prng import PRNGSequence, set_seed
+
+
+# =============================================================================
+# data bundles
+# =============================================================================
+
+@dataclass
+class DatasetBundle:
+    dataset: str
+    Q_train: jnp.ndarray          # (Mq, Lq, D) normalized
+    qmask_train: jnp.ndarray      # (Mq, Lq) bool
+    pos_idx: Optional[np.ndarray]  # (Mq,) int gt-doc indices (supervised InfoNCE)
+    Q_test: jnp.ndarray
+    qmask_test: jnp.ndarray
+    P_teacher_norm: jnp.ndarray   # (N, Lp, D) masked + normalized
+    pmask_teacher: jnp.ndarray    # (N, Lp) bool
+    docid_teacher: np.ndarray
+    relevant_docs_test: Dict[str, Dict[str, int]]
+    docidx_2_docid_test: Dict[str, str]
+    qsidx_2_query_test: Optional[np.ndarray]
+    sc_t_train: Optional[jnp.ndarray] = None  # (Mq, N) precomputed teacher scores
+    sc_t_test: Optional[jnp.ndarray] = None   # (Qtest, N)
+
+    @property
+    def n_docs(self) -> int:
+        return int(self.P_teacher_norm.shape[0])
+
+
+def _derive_pos_idx(qid, relevant_docs, docidx_2_docid) -> Tuple[np.ndarray, np.ndarray]:
+    """qid -> index of the rel-max gt doc; mask of resolvable queries.
+
+    Parity with QueryTensorDataset_gtdocs (Qdatasets/query_tensor_dataset.py:19-67).
+    """
+    docid2idx = {str(docid): int(di) for di, docid in docidx_2_docid.items()}
+    pos = np.full(len(qid), -1, dtype=np.int64)
+    for i, q in enumerate(qid):
+        gt = (relevant_docs or {}).get(str(q))
+        if not gt:
+            continue
+        gt_docid = max(gt.items(), key=lambda kv: kv[1])[0]
+        pos[i] = docid2idx.get(str(gt_docid), -1)
+    return pos, pos >= 0
+
+
+def _precompute_teacher_scores(Q, qmask, P, pmask, chunk_q: int, chunk_p: int,
+                               impl: str) -> jnp.ndarray:
+    """Score every query against the frozen teacher index, chunking queries."""
+    outs = []
+    mq = Q.shape[0]
+    for qs in range(0, mq, chunk_q):
+        sc = maxsim(Q[qs:qs + chunk_q], P, qmask[qs:qs + chunk_q], pmask,
+                    chunk_p=chunk_p, impl=impl)
+        outs.append(sc)
+    return jnp.concatenate(outs, axis=0)
+
+
+def load_dataset_bundle(cfg: TrainConfig, dataset: str,
+                        need_pos_idx: bool = False) -> DatasetBundle:
+    """Load + pack one dataset (ProxyQ mode or labeled-split mode)."""
+    paths = DATASETMAP[dataset]
+
+    if cfg.use_labeled_split:
+        # mainv1 family: teacher + train queries from the train npz, test
+        # queries + eval maps from the test npz (mainv1.py:172-196)
+        train_payload = load_payload(f"{cfg.teacher_root}/{paths['train']}")
+        test_payload = load_payload(f"{cfg.teacher_root}/{paths['test']}")
+        q_src = train_payload
+        teacher_payload = train_payload
+        eval_payload = test_payload
+        qid = train_payload.get("qid")
+    else:
+        # mainv2/v3 families: ProxyQ pseudo-queries + full-dump teacher
+        q_payload = load_query_payload(f"{cfg.query_root}/{paths['pseudoQ']}")
+        teacher_payload = load_payload(f"{cfg.teacher_root}/{paths['split_before']}")
+        q_src = q_payload
+        eval_payload = teacher_payload
+        qid = q_payload.get("qid")
+
+    Q_train, qmask_train = preprocess_queries(
+        q_src["query"], q_src.get("query_attnmask"))
+    Q_test, qmask_test = preprocess_queries(
+        eval_payload["query"], eval_payload.get("query_attnmask"))
+
+    P_raw, pmask_teacher, _ = preprocess_docs(
+        teacher_payload["documents"],
+        teacher_payload.get("doc_attnmask"),
+        teacher_payload.get("doc_imgmask"),
+    )
+    P_teacher_norm = np.asarray(
+        l2_normalize(P_raw * pmask_teacher[..., None].astype(np.float32)),
+        dtype=np.float32,
+    )
+
+    pos_idx = None
+    if need_pos_idx:
+        rel = q_src.get("relevant_docs") or teacher_payload.get("relevant_docs")
+        d2d = teacher_payload.get("docidx_2_docid") or {}
+        if qid is None or rel is None:
+            raise ValueError(f"{dataset}: supervised loss needs qid + relevant_docs")
+        pos, ok = _derive_pos_idx(qid, rel, d2d)
+        if not ok.all():
+            print(f"[dataset] missing gt mapping {int((~ok).sum())}/{len(ok)} -> filtered")
+        Q_train, qmask_train, pos_idx = Q_train[ok], qmask_train[ok], pos[ok]
+
+    return DatasetBundle(
+        dataset=dataset,
+        Q_train=jnp.asarray(Q_train),
+        qmask_train=jnp.asarray(qmask_train),
+        pos_idx=pos_idx,
+        Q_test=jnp.asarray(Q_test),
+        qmask_test=jnp.asarray(qmask_test),
+        P_teacher_norm=jnp.asarray(P_teacher_norm),
+        pmask_teacher=jnp.asarray(pmask_teacher),
+        docid_teacher=teacher_payload["docid"],
+        relevant_docs_test=eval_payload["relevant_docs"],
+        docidx_2_docid_test=eval_payload["docidx_2_docid"],
+        qsidx_2_query_test=eval_payload["qsidx_2_query"],
+    )
+
+
+def init_student(cfg: TrainConfig, dataset: str, bundle: DatasetBundle, mf: int
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, tuple]:
+    """Load the pooled init index, align to teacher docid order, pack, mask.
+
+    Returns (param (N, Ls, D) masked, pmask_student (N, Ls) bool,
+    (doc_attn_in, doc_img_in) object arrays for export parity).
+    """
+    paths = DATASETMAP[dataset]
+    key = f"mf{mf}"
+    if key not in paths:
+        raise ValueError(f"Missing mapping for {dataset}:{key}")
+    init_payload = load_init_payload(f"{cfg.init_root}/{paths[key]}")
+
+    Pbar_obj = init_payload["documents"]
+    doc_attn_in = init_payload["doc_attnmask"]
+    doc_img_in = init_payload["doc_imgmask"]
+    docid_in = init_payload.get("docid")
+    if docid_in is not None:
+        (Pbar_obj, doc_attn_in, doc_img_in), ok = align_by_docid(
+            _as_object_array(bundle.docid_teacher), _as_object_array(docid_in),
+            Pbar_obj, doc_attn_in, doc_img_in,
+        )
+        if ok:
+            print(f"[align] {dataset} mf{mf}: init matched by docid")
+
+    Pbar_raw, pmask_student, _ = preprocess_docs(Pbar_obj, doc_attn_in, doc_img_in)
+    if Pbar_raw.shape[0] != bundle.n_docs:
+        raise ValueError(
+            f"init doc count mismatch: got {Pbar_raw.shape[0]} vs teacher {bundle.n_docs}")
+
+    param = jnp.asarray(Pbar_raw) * jnp.asarray(pmask_student)[..., None]
+    return param, jnp.asarray(pmask_student), (doc_attn_in, doc_img_in)
+
+
+# =============================================================================
+# loss dispatch
+# =============================================================================
+
+def make_loss_fn(cfg: TrainConfig):
+    """Returns loss(sc_s, sc_t, labels) -> (total, parts dict of floats)."""
+    hp = cfg.loss_hp()
+    name = cfg.loss
+    if name in COMBINED_RECIPES:
+        def fn(sc_s, sc_t, labels=None):
+            return combined_loss(name, sc_s, sc_t, hp)
+        return fn
+    base, needs_labels = LOSS_REGISTRY[name]
+    kwargs = {}
+    if name in ("infonce_sup", "infonce_distill"):
+        kwargs = {"temperature": cfg.temp}
+    elif name == "listwise":
+        kwargs = {"k": cfg.k, "temperature": cfg.temp}
+    elif name == "lambda":
+        kwargs = {"alpha": cfg.alpha, "eps": cfg.eps}
+    elif name == "ranknce":
+        kwargs = {"temperature": cfg.temp, "lambda_weight": cfg.lambda_weight}
+
+    if needs_labels:
+        def fn(sc_s, sc_t, labels=None):
+            val = base(sc_s, labels, **kwargs)
+            return val, {name: val}
+    else:
+        def fn(sc_s, sc_t, labels=None):
+            val = base(sc_s, sc_t, **kwargs)
+            return val, {name: val}
+    return fn
+
+
+# =============================================================================
+# jitted train step
+# =============================================================================
+
+def build_train_step(cfg: TrainConfig, bundle: DatasetBundle,
+                     pmask_student: jnp.ndarray, optimizer):
+    """One donated-buffer jitted step: gather batch -> score -> loss -> AdamW.
+
+    Batch selection happens on device via integer index gathers, teacher scores
+    are precomputed rows (or computed inline when streaming).
+    """
+    loss_fn = make_loss_fn(cfg)
+    needs_labels = cfg.loss == "infonce_sup"
+    chunk_p = cfg.chunk_p
+    pmask_s = pmask_student
+    pmask_f = pmask_s[..., None].astype(jnp.float32)
+    Q_all, qm_all = bundle.Q_train, bundle.qmask_train
+    sct_all = bundle.sc_t_train
+    pos_all = (
+        jnp.asarray(bundle.pos_idx, dtype=jnp.int32) if bundle.pos_idx is not None
+        else None
+    )
+    P_t, pm_t = bundle.P_teacher_norm, bundle.pmask_teacher
+    aug = cfg.aug
+
+    def score_student(Ps, Qb, qmb):
+        return maxsim_xla(Qb, Ps, qmb, pmask_s, chunk_p=chunk_p)
+
+    def step(param, opt_state, idx, rng):
+        Qb = jnp.take(Q_all, idx, axis=0)
+        qmb = jnp.take(qm_all, idx, axis=0)
+        labels = jnp.take(pos_all, idx, axis=0) if needs_labels else None
+
+        if aug == "qnoise":
+            # train-only Gaussian noise on valid query tokens
+            # (mainv3_iter_liscore_noisev1.py:296-298 — no re-normalization)
+            noise = jax.random.normal(rng, Qb.shape, Qb.dtype) * cfg.q_noise_std
+            Qb = Qb + noise * qmb[..., None].astype(Qb.dtype)
+
+        if needs_labels:
+            sc_t = None
+        elif sct_all is not None:
+            sc_t = jnp.take(sct_all, idx, axis=0)
+        else:
+            sc_t = maxsim_xla(Qb, P_t, qmb, pm_t, chunk_p=chunk_p)
+        sc_t = jax.lax.stop_gradient(sc_t) if sc_t is not None else None
+
+        def objective(p):
+            P_masked = p * pmask_f
+            Ps = l2_normalize(P_masked)
+            sc_s = score_student(Ps, Qb, qmb)
+            total, parts = loss_fn(sc_s, sc_t, labels)
+
+            if aug == "mixup" and bundle.n_docs > 1:
+                # document mixup (mainv3_iter_liscore_mixup.py:313-331)
+                rng_lam, rng_perm = jax.random.split(rng)
+                lam = jax.random.beta(rng_lam, cfg.mixup_alpha, cfg.mixup_alpha)
+                perm = jax.random.permutation(rng_perm, bundle.n_docs)
+                pmask_mix = pmask_s & jnp.take(pmask_s, perm, axis=0)
+                P_mix = lam * P_masked + (1.0 - lam) * jnp.take(P_masked, perm, axis=0)
+                Ps_mix = l2_normalize(P_mix * pmask_mix[..., None].astype(P_mix.dtype))
+                sc_s_mix = maxsim_xla(Qb, Ps_mix, qmb, pmask_mix, chunk_p=chunk_p)
+                sc_t_mix = lam * sc_t + (1.0 - lam) * jnp.take(sc_t, perm, axis=1)
+                loss_score_mix = jnp.mean(
+                    (sc_s_mix - jax.lax.stop_gradient(sc_t_mix)) ** 2)
+                loss_mix = cfg.lambda_score * loss_score_mix
+                total = total + cfg.lambda_mix * loss_mix
+                parts = dict(parts, mix=loss_mix, score_mix=loss_score_mix)
+
+            if aug == "hardtoken":
+                total, parts = _hardtoken_aux(
+                    cfg, total, parts, p, Ps, sc_s, sc_t, Qb, qmb,
+                    P_t, pm_t, pmask_s, chunk_p, rng, loss_fn)
+
+            return total, parts
+
+        (total, parts), grads = jax.value_and_grad(objective, has_aux=True)(param)
+        updates, opt_state = optimizer.update(grads, opt_state, param)
+        param = optax.apply_updates(param, updates)
+        parts = dict(parts, total_loss=total)
+        return param, opt_state, parts
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def _hardtoken_aux(cfg, total, parts, param, Ps, sc_s, sc_t, Qb, qmb,
+                   P_t, pm_t, pmask_s, chunk_p, rng, loss_fn):
+    """Hard-token virtual-query auxiliary loss
+    (mainv3_iter_liscore_QA_hardtoken.py:368-440), fully vectorized:
+
+    1. rank-gap G between teacher/student orderings via double argsort;
+    2. per query pick `aux_docs` top-gap docs within the teacher top-k;
+    3. for each picked doc, the doc token most similar to any valid query
+       token (+noise, L2-normalized) becomes a 1-token virtual query;
+    4. aux loss = same distillation loss on virtual-query scores.
+    """
+    b, n = sc_s.shape
+    k = min(int(cfg.k), n)
+    a = min(int(cfg.aux_docs), k)
+    if a <= 0:
+        return total, parts
+
+    sc_t_ng = jax.lax.stop_gradient(sc_t)
+    sc_s_ng = jax.lax.stop_gradient(sc_s)
+    rank_t = jnp.argsort(jnp.argsort(-sc_t_ng, axis=-1), axis=-1)
+    rank_s = jnp.argsort(jnp.argsort(-sc_s_ng, axis=-1), axis=-1)
+    gap = (rank_t - rank_s).astype(jnp.float32)
+
+    _, topk_idx = jax.lax.top_k(sc_t_ng, k)                    # (B, k)
+    gap_topk = jnp.abs(jnp.take_along_axis(gap, topk_idx, axis=1))
+    _, aux_pos = jax.lax.top_k(gap_topk, a)                    # (B, a)
+    aux_doc_idx = jnp.take_along_axis(topk_idx, aux_pos, axis=1)  # (B, a)
+
+    # hard token per (query, aux doc): argmax over doc tokens of the max
+    # similarity to any valid query token
+    doc_tok = jnp.take(P_t, aux_doc_idx.reshape(-1), axis=0)   # (B*a, Lp, D)
+    doc_msk = jnp.take(pm_t, aux_doc_idx.reshape(-1), axis=0)  # (B*a, Lp)
+    q_rep = jnp.repeat(Qb, a, axis=0)                          # (B*a, Lq, D)
+    qm_rep = jnp.repeat(qmb, a, axis=0)
+    sim = jnp.einsum("bld,bmd->blm", q_rep, doc_tok)           # (B*a, Lq, Lp)
+    sim = jnp.where(qm_rep[:, :, None], sim, -jnp.inf)
+    max_over_q = jnp.max(sim, axis=1)                          # (B*a, Lp)
+    max_over_q = jnp.where(doc_msk, max_over_q, -jnp.inf)
+    best_tok = jnp.argmax(max_over_q, axis=1)                  # (B*a,)
+    hard = jnp.take_along_axis(doc_tok, best_tok[:, None, None], axis=1)  # (B*a,1,D)
+
+    if cfg.virt_noise_std > 0:
+        hard = hard + jax.random.normal(rng, hard.shape, hard.dtype) * cfg.virt_noise_std
+    qv = l2_normalize(hard)
+    qv = jax.lax.stop_gradient(qv)
+    qmask_v = jnp.ones(qv.shape[:2], dtype=bool)
+
+    sc_t_v = jax.lax.stop_gradient(
+        maxsim_xla(qv, P_t, qmask_v, pm_t, chunk_p=chunk_p))
+    sc_s_v = maxsim_xla(qv, Ps, qmask_v, pmask_s, chunk_p=chunk_p)
+    aux_total, aux_parts = loss_fn(sc_s_v, sc_t_v, None)
+    total = total + cfg.lambda_aux * aux_total
+    parts = dict(parts, aux=aux_total,
+                 **{f"aux_{k2}": v for k2, v in aux_parts.items()})
+    return total, parts
+
+
+# =============================================================================
+# eval primitives
+# =============================================================================
+
+def evaluation_loss(cfg: TrainConfig, bundle: DatasetBundle, param, pmask_student
+                    ) -> Dict[str, float]:
+    """Distillation loss on test queries (mainv2_iter_liscore.py:343-370)."""
+    loss_fn = make_loss_fn(cfg)
+    Ps = l2_normalize(param * pmask_student[..., None].astype(jnp.float32))
+    if bundle.sc_t_test is not None:
+        sc_t = bundle.sc_t_test
+    else:
+        sc_t = maxsim_xla(bundle.Q_test, bundle.P_teacher_norm, bundle.qmask_test,
+                          bundle.pmask_teacher, chunk_p=cfg.chunk_p)
+    sc_s = maxsim_xla(bundle.Q_test, Ps, bundle.qmask_test, pmask_student,
+                      chunk_p=cfg.chunk_p)
+    labels = None
+    if cfg.loss == "infonce_sup":
+        # supervised loss has no teacher term on test queries; report 0 parts
+        return {"total_loss": 0.0}
+    total, parts = loss_fn(sc_s, sc_t, labels)
+    out = {"total_loss": float(total)}
+    out.update({f"loss_{k}": float(v) for k, v in parts.items()})
+    return out
+
+
+def update_best(best: Optional[Dict[str, Any]], metrics: Dict[str, Any],
+                step: int, kind: str) -> Tuple[Dict[str, Any], bool]:
+    """Best tracking with tie-breaks (mainv2_iter_liscore.py:407-426)."""
+    cur_r1 = float(metrics["Recall"]["Recall@1"])
+    cur_nd5 = float(metrics["NDCG"]["NDCG@5"])
+    if best is None:
+        return {"step": step, "Recall@1": cur_r1, "NDCG@5": cur_nd5}, True
+    if kind == "r1":
+        updated = (cur_r1 > best["Recall@1"]) or (
+            cur_r1 == best["Recall@1"] and cur_nd5 > best["NDCG@5"])
+    else:
+        updated = (cur_nd5 > best["NDCG@5"]) or (
+            cur_nd5 == best["NDCG@5"] and cur_r1 > best["Recall@1"])
+    if not updated:
+        return best, False
+    return {"step": step, "Recall@1": cur_r1, "NDCG@5": cur_nd5}, True
+
+
+def save_best_npz(out_dir: Path, fname: str, *, cfg: TrainConfig, dataset: str,
+                  mf: int, step: int, best: Dict, metrics: Dict,
+                  param, pmask_student, docid, doc_attn_in, doc_img_in) -> None:
+    """Export the unnormalized masked student as a compressed index npz
+    (mainv2_iter_liscore.py:428-463)."""
+    P_np = np.asarray(param * pmask_student[..., None].astype(jnp.float32),
+                      dtype=np.float32)
+    pm_np = np.asarray(pmask_student, dtype=bool)
+    docs_obj = tokens_to_object(P_np, pm_np)
+    save_compressed_npz(
+        Path(out_dir) / fname,
+        docid=_as_object_array(docid),
+        documents_obj=docs_obj,
+        doc_attnmask_obj=doc_attn_in,
+        doc_imgmask_obj=doc_img_in,
+        meta={
+            "dataset": dataset,
+            "mf": mf,
+            "step": int(step),
+            "best_type": "Recall@1" if fname == "best_recall.npz" else "NDCG@5",
+            "best": best,
+            "eval": {
+                "Recall@1": float(metrics["Recall"]["Recall@1"]),
+                "NDCG@5": float(metrics["NDCG"]["NDCG@5"]),
+            },
+            "latency": float(metrics.get("latency", 0.0)),
+            "loss": cfg.loss,
+            "aug": cfg.aug,
+            "k": cfg.k,
+            "temp": cfg.temp,
+            "lambda list": cfg.lambda_list,
+            "lambda score": cfg.lambda_score,
+            "lr": cfg.lr,
+        },
+    )
+
+
+# =============================================================================
+# checkpoint / resume (full train state — beyond the reference's artifacts)
+# =============================================================================
+
+def save_checkpoint(path: Path, param, opt_state, step: int, best_r1, best_nd5) -> None:
+    leaves, treedef = jax.tree_util.tree_flatten((param, opt_state))
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    meta = {"step": step, "best_r1": best_r1, "best_nd5": best_nd5,
+            "n_leaves": len(leaves)}
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, meta=np.array(meta, dtype=object), **arrays)
+
+
+def load_checkpoint(path: Path, param, opt_state):
+    z = np.load(path, allow_pickle=True)
+    meta = z["meta"].item()
+    leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(meta["n_leaves"])]
+    treedef = jax.tree_util.tree_structure((param, opt_state))
+    param, opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    return param, opt_state, meta["step"], meta["best_r1"], meta["best_nd5"]
+
+
+# =============================================================================
+# index stream (replaces DataLoader: cycling shuffled index batches)
+# =============================================================================
+
+def index_stream(n: int, batch: int, seed: int) -> Iterator[np.ndarray]:
+    """Infinite stream of shuffled index batches of EXACTLY `batch` elements
+    (the reference cycles a shuffled DataLoader; fixed batch keeps shapes
+    static for jit — leftover tail rolls into the next epoch's permutation)."""
+    rng = np.random.default_rng(seed)
+    buf = np.empty(0, dtype=np.int64)
+    while True:
+        while len(buf) < batch:
+            buf = np.concatenate([buf, rng.permutation(n)])
+        yield buf[:batch].astype(np.int32)
+        buf = buf[batch:]
+
+
+# =============================================================================
+# main loops
+# =============================================================================
+
+def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
+                     mf: int) -> Dict[str, Any]:
+    """Train one (dataset, mf) cell; returns the final summary dict."""
+    rngs = PRNGSequence(cfg.seed)
+    param, pmask_student, (doc_attn_in, doc_img_in) = init_student(
+        cfg, dataset, bundle, mf)
+
+    optimizer = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+    opt_state = optimizer.init(param)
+
+    out_dir = Path(cfg.out_root) / cfg.name / f"mf{mf}" / dataset
+    out_dir.mkdir(parents=True, exist_ok=True)
+    logger, writer = get_logger(out_dir)
+
+    cfg_path = out_dir / "config.json"
+    if not cfg_path.exists():
+        cfg_path.write_text(
+            json.dumps({"dataset": dataset, "mf": mf,
+                        **dataclasses.asdict(cfg)}, ensure_ascii=False, indent=2),
+            encoding="utf-8")
+
+    evaluator = CustomRetrievalEvaluator()
+
+    def eval_now(step):
+        metrics = eval_retrieval(
+            evaluator, bundle.Q_test, bundle.qmask_test, param, pmask_student,
+            bundle.relevant_docs_test, bundle.docidx_2_docid_test,
+            bundle.qsidx_2_query_test, chunk_p=cfg.chunk_p, impl=cfg.eval_impl)
+        ev_loss = evaluation_loss(cfg, bundle, param, pmask_student)
+        scalars = {
+            "dataset": dataset, "mf": mf, "step": int(step),
+            "eval/eval loss": ev_loss["total_loss"],
+            "eval/Recall@1": float(metrics["Recall"]["Recall@1"]),
+            "eval/NDCG@5": float(metrics["NDCG"]["NDCG@5"]),
+            "eval/latency": float(metrics["latency"]),
+        }
+        scalars.update({f"eval/{k}": v for k, v in ev_loss.items() if k != "total_loss"})
+        log_json(logger, scalars)
+        if writer is not None:
+            writer.add_scalar("eval/Recall@1", scalars["eval/Recall@1"], step)
+            writer.add_scalar("eval/NDCG@5", scalars["eval/NDCG@5"], step)
+            writer.add_scalar("eval/loss", ev_loss["total_loss"], step)
+        return metrics
+
+    # step-0 eval (regression baseline: init metrics must match the pooled index)
+    metrics0 = eval_now(0)
+    log_json(logger, {"dataset": dataset, "mf": mf, "step": 0,
+                      "note": "init Pbar before training"})
+    best_r1, _ = update_best(None, metrics0, 0, "r1")
+    best_nd5, _ = update_best(None, metrics0, 0, "nd5")
+    last_metrics = metrics0
+
+    step0 = 0
+    ckpt_path = out_dir / "ckpt.npz"
+    if cfg.resume and ckpt_path.exists():
+        param, opt_state, step0, best_r1, best_nd5 = load_checkpoint(
+            ckpt_path, param, opt_state)
+        log_json(logger, {"note": "resumed", "step": step0})
+
+    train_step = build_train_step(cfg, bundle, pmask_student, optimizer)
+
+    n_train = int(bundle.Q_train.shape[0])
+    if cfg.trainer == "iter":
+        max_steps = cfg.max_steps
+    else:
+        steps_per_epoch = max(1, -(-n_train // cfg.q_batch)) if not cfg.full_batch else 1
+        max_steps = cfg.epochs * steps_per_epoch
+
+    eval_every = cfg.eval_every if cfg.eval_every > 0 else max(
+        1, n_train // cfg.q_batch)
+
+    batch = n_train if cfg.full_batch else min(cfg.q_batch, n_train)
+    stream = index_stream(n_train, batch, cfg.seed)
+
+    t0 = time.time()
+    loss_sum, loss_cnt = 0.0, 0
+    for step in range(step0 + 1, max_steps + 1):
+        idx = jnp.asarray(next(stream))
+        param, opt_state, parts = train_step(param, opt_state, idx, rngs.next())
+        loss_val = float(parts["total_loss"])
+        loss_sum += loss_val
+        loss_cnt += 1
+
+        if writer is not None:
+            writer.add_scalar("train/loss", loss_val, step)
+            for k2, v in parts.items():
+                if k2 != "total_loss":
+                    writer.add_scalar(f"train/loss_{k2}", float(v), step)
+
+        if cfg.print_every and step % cfg.print_every == 0:
+            log_json(logger, {
+                "dataset": dataset, "mf": mf, "step": step,
+                "train/total loss": loss_val,
+                "train/avg_total_loss": loss_sum / max(loss_cnt, 1),
+                "time_sec": float(time.time() - t0),
+                **{f"train/loss_{k2}": float(v) for k2, v in parts.items()
+                   if k2 != "total_loss"},
+            })
+
+        if (step % eval_every == 0) or (step == max_steps):
+            metrics = eval_now(step)
+            last_metrics = metrics
+            best_r1, upd_r1 = update_best(best_r1, metrics, step, "r1")
+            best_nd5, upd_nd5 = update_best(best_nd5, metrics, step, "nd5")
+            if upd_r1:
+                logger.info(
+                    f"best recall step| {step} | nDCG@5={best_r1['NDCG@5']:.5f} | "
+                    f"Recall@1={best_r1['Recall@1']:.5f} | Latency {metrics['latency']:.5f}")
+                save_best_npz(out_dir, "best_recall.npz", cfg=cfg, dataset=dataset,
+                              mf=mf, step=step, best=best_r1, metrics=metrics,
+                              param=param, pmask_student=pmask_student,
+                              docid=bundle.docid_teacher,
+                              doc_attn_in=doc_attn_in, doc_img_in=doc_img_in)
+            if upd_nd5:
+                logger.info(
+                    f"best nDCG@5 step| {step} | nDCG@5={best_nd5['NDCG@5']:.5f} | "
+                    f"Recall@1={best_nd5['Recall@1']:.5f} | Latency {metrics['latency']:.5f}")
+                save_best_npz(out_dir, "best_ndcg5.npz", cfg=cfg, dataset=dataset,
+                              mf=mf, step=step, best=best_nd5, metrics=metrics,
+                              param=param, pmask_student=pmask_student,
+                              docid=bundle.docid_teacher,
+                              doc_attn_in=doc_attn_in, doc_img_in=doc_img_in)
+
+        if cfg.checkpoint_every and step % cfg.checkpoint_every == 0:
+            save_checkpoint(ckpt_path, param, opt_state, step, best_r1, best_nd5)
+
+    summary = {
+        "summary/latency": float(last_metrics.get("latency", 0.0)),
+        "summary/best_recall": best_r1,
+        "summary/best_ndcg5": best_nd5,
+        "note": "training finished",
+    }
+    log_json(logger, summary)
+    if writer is not None:
+        writer.close()
+    return summary
+
+
+def run_training(cfg: TrainConfig) -> Dict[str, Dict[str, Any]]:
+    """Outer loop: datasets x mfs (reference main() skeleton)."""
+    cfg.validate()
+    set_seed(cfg.seed)
+    results = {}
+    for dataset in cfg.datasets:
+        bundle = load_dataset_bundle(cfg, dataset,
+                                     need_pos_idx=(cfg.loss == "infonce_sup"))
+        if cfg.precompute_teacher and cfg.loss != "infonce_sup":
+            bundle.sc_t_train = _precompute_teacher_scores(
+                bundle.Q_train, bundle.qmask_train, bundle.P_teacher_norm,
+                bundle.pmask_teacher, chunk_q=256, chunk_p=cfg.chunk_p,
+                impl=cfg.score_impl)
+        bundle.sc_t_test = _precompute_teacher_scores(
+            bundle.Q_test, bundle.qmask_test, bundle.P_teacher_norm,
+            bundle.pmask_teacher, chunk_q=256, chunk_p=cfg.chunk_p,
+            impl=cfg.score_impl)
+        for mf in cfg.mfs:
+            results[f"{dataset}/mf{mf}"] = train_dataset_mf(cfg, bundle, dataset, mf)
+            print(f"[done] {dataset} mf{mf}")
+    return results

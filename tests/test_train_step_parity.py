@@ -1,0 +1,162 @@
+"""Train-step parity vs the reference torch pipeline.
+
+Recreates one liscore training step exactly as the reference does it
+(score_multi_vector_masked + listwise/score losses + torch AdamW,
+mainv2_iter_liscore.py:282-310) and checks our jitted optax step produces the
+same updated student parameter. The reference module imports mteb at module
+scope; we stub it since only the scorer is needed.
+"""
+
+import sys
+import types
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+# stub mteb so evaluator/retrieval.py imports without the dependency
+if "mteb" not in sys.modules:
+    mteb_stub = types.ModuleType("mteb")
+    eval_mod = types.ModuleType("mteb.evaluation")
+    evals_mod = types.ModuleType("mteb.evaluation.evaluators")
+    re_mod = types.ModuleType("mteb.evaluation.evaluators.RetrievalEvaluator")
+    re_mod.RetrievalEvaluator = object
+    sys.modules.update({
+        "mteb": mteb_stub,
+        "mteb.evaluation": eval_mod,
+        "mteb.evaluation.evaluators": evals_mod,
+        "mteb.evaluation.evaluators.RetrievalEvaluator": re_mod,
+    })
+
+try:
+    from evaluator.retrieval import score_multi_vector_masked as ref_score
+    import criterion as ref_criterion
+except Exception:  # pragma: no cover
+    ref_score = None
+
+needs_ref = pytest.mark.skipif(ref_score is None, reason="reference unavailable")
+
+
+def _setup(seed=0, b=6, n=9, lq=5, lp_t=40, ls=8, d=16):
+    rng = np.random.default_rng(seed)
+
+    def unit(x):
+        return x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+
+    Qb = unit(rng.normal(size=(b, lq, d))).astype(np.float32)
+    qmb = rng.random((b, lq)) > 0.15
+    P_t = rng.normal(size=(n, lp_t, d)).astype(np.float32)
+    pm_t = rng.random((n, lp_t)) > 0.15
+    P_t = np.asarray(P_t * pm_t[..., None])
+    P_t = unit(P_t + 1e-12).astype(np.float32)
+    Pbar = rng.normal(size=(n, ls, d)).astype(np.float32)
+    pm_s = rng.random((n, ls)) > 0.1
+    Pbar = (Pbar * pm_s[..., None]).astype(np.float32)
+    return Qb, qmb, P_t, pm_t, Pbar, pm_s
+
+
+@needs_ref
+def test_one_liscore_step_matches_reference():
+    Qb, qmb, P_t, pm_t, Pbar, pm_s = _setup()
+    lr, wd, k, temp, lam_l, lam_s = 1e-3, 1e-2, 4, 0.1, 1.0, 0.7
+
+    # ---- reference step (torch) ----
+    def l2n(x):
+        return x / (x.norm(dim=-1, keepdim=True) + 1e-12)
+
+    param_t = torch.nn.Parameter(torch.tensor(Pbar))
+    opt = torch.optim.AdamW([param_t], lr=lr, weight_decay=wd)
+    pm_s_t = torch.tensor(pm_s)
+    Psb = l2n(param_t * pm_s_t.unsqueeze(-1))
+    with torch.no_grad():
+        sc_t = ref_score(torch.tensor(Qb), torch.tensor(P_t),
+                         torch.tensor(qmb), torch.tensor(pm_t), chunk_p=4)
+    sc_s = ref_score(torch.tensor(Qb), Psb, torch.tensor(qmb), pm_s_t, chunk_p=4)
+    loss = (lam_l * ref_criterion.listwise_distillation_loss(sc_s, sc_t, k=k, temperature=temp)
+            + lam_s * ref_criterion.score_preserving_loss(sc_s, sc_t))
+    opt.zero_grad(set_to_none=True)
+    loss.backward()
+    opt.step()
+    want = param_t.detach().numpy()
+
+    # ---- our step (jax) ----
+    from evdr_tpu.train.config import TrainConfig
+    from evdr_tpu.train.harness import DatasetBundle, build_train_step
+    import optax
+
+    cfg = TrainConfig(loss="liscore", lr=lr, weight_decay=wd, k=k, temp=temp,
+                      lambda_list=lam_l, lambda_score=lam_s, chunk_p=4)
+    bundle = DatasetBundle(
+        dataset="x",
+        Q_train=jnp.asarray(Qb), qmask_train=jnp.asarray(qmb), pos_idx=None,
+        Q_test=jnp.asarray(Qb), qmask_test=jnp.asarray(qmb),
+        P_teacher_norm=jnp.asarray(P_t), pmask_teacher=jnp.asarray(pm_t),
+        docid_teacher=np.array(["d"] * P_t.shape[0], dtype=object),
+        relevant_docs_test={}, docidx_2_docid_test={}, qsidx_2_query_test=None,
+    )
+    optimizer = optax.adamw(lr, weight_decay=wd)
+    param = jnp.asarray(Pbar)
+    opt_state = optimizer.init(param)
+    step = build_train_step(cfg, bundle, jnp.asarray(pm_s), optimizer)
+    import jax
+
+    idx = jnp.arange(Qb.shape[0], dtype=jnp.int32)
+    param2, _, parts = step(param, opt_state, idx, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(parts["total_loss"]), loss.item(),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(param2), want, rtol=1e-4, atol=2e-5)
+
+
+@needs_ref
+def test_one_ranknet_step_matches_reference():
+    Qb, qmb, P_t, pm_t, Pbar, pm_s = _setup(seed=3)
+    lr, wd = 1e-3, 1e-2
+
+    def l2n(x):
+        return x / (x.norm(dim=-1, keepdim=True) + 1e-12)
+
+    param_t = torch.nn.Parameter(torch.tensor(Pbar))
+    opt = torch.optim.AdamW([param_t], lr=lr, weight_decay=wd)
+    pm_s_t = torch.tensor(pm_s)
+    Psb = l2n(param_t * pm_s_t.unsqueeze(-1))
+    with torch.no_grad():
+        sc_t = ref_score(torch.tensor(Qb), torch.tensor(P_t),
+                         torch.tensor(qmb), torch.tensor(pm_t), chunk_p=4)
+    sc_s = ref_score(torch.tensor(Qb), Psb, torch.tensor(qmb), pm_s_t, chunk_p=4)
+    loss = ref_criterion.pairwise_distillation_loss(sc_s, sc_t)
+    opt.zero_grad(set_to_none=True)
+    loss.backward()
+    opt.step()
+    want = param_t.detach().numpy()
+
+    from evdr_tpu.train.config import TrainConfig
+    from evdr_tpu.train.harness import DatasetBundle, build_train_step
+    import jax
+    import optax
+
+    cfg = TrainConfig(loss="ranknet", lr=lr, weight_decay=wd, chunk_p=4)
+    bundle = DatasetBundle(
+        dataset="x",
+        Q_train=jnp.asarray(Qb), qmask_train=jnp.asarray(qmb), pos_idx=None,
+        Q_test=jnp.asarray(Qb), qmask_test=jnp.asarray(qmb),
+        P_teacher_norm=jnp.asarray(P_t), pmask_teacher=jnp.asarray(pm_t),
+        docid_teacher=np.array(["d"] * P_t.shape[0], dtype=object),
+        relevant_docs_test={}, docidx_2_docid_test={}, qsidx_2_query_test=None,
+    )
+    optimizer = optax.adamw(lr, weight_decay=wd)
+    param = jnp.asarray(Pbar)
+    opt_state = optimizer.init(param)
+    step = build_train_step(cfg, bundle, jnp.asarray(pm_s), optimizer)
+    idx = jnp.arange(Qb.shape[0], dtype=jnp.int32)
+    param2, _, parts = step(param, opt_state, idx, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(parts["total_loss"]), loss.item(),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(param2), want, rtol=1e-4, atol=2e-5)
