@@ -1,0 +1,135 @@
+"""Headline benchmark: MaxSim retrieval throughput (queries/sec) on TPU.
+
+Workload mirrors the ViDoRe eval path (BASELINE config 2): ColQwen-scale
+teacher index (500 pages x 768 patch tokens x 128 dims), 256 queries x 32
+tokens, masked MaxSim scoring with the fused bf16 Pallas kernel.
+
+Prints ONE JSON line:
+  {"metric": "maxsim_queries_per_sec", "value": N, "unit": "q/s",
+   "vs_baseline": N}
+``vs_baseline`` = speedup over the fp32 CPU (XLA) baseline on the identical
+workload (target from BASELINE.md: >= 10x). The CPU baseline is measured in a
+subprocess on a query subset (queries are embarrassingly parallel, qps scales
+linearly) and cached per workload.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+NQ, LQ, ND, LP, D = 256, 32, 500, 768, 128
+CPU_NQ = 32  # CPU baseline measured on a subset, scaled linearly
+CACHE = pathlib.Path("/tmp/evdr_bench_cpu_baseline.json")
+WORKLOAD_KEY = f"{NQ}x{LQ}x{ND}x{LP}x{D}"
+
+
+def make_workload(nq):
+    rng = np.random.default_rng(0)
+
+    def unit(x):
+        return x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+
+    Q = unit(rng.normal(size=(nq, LQ, D))).astype(np.float32)
+    P = unit(rng.normal(size=(ND, LP, D))).astype(np.float32)
+    qmask = rng.random((nq, LQ)) > 0.15
+    pmask = rng.random((ND, LP)) > 0.1
+    return Q, P, qmask, pmask
+
+
+def measure_tpu_qps() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from evdr_tpu.ops.pallas_maxsim import maxsim_pallas
+    from evdr_tpu.ops.maxsim import maxsim_xla
+
+    Q, P, qmask, pmask = map(jnp.asarray, make_workload(NQ))
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+
+    def run(q):
+        if on_tpu:
+            return maxsim_pallas(q, P, qmask, pmask)
+        return maxsim_xla(q, P, qmask, pmask, chunk_p=128)
+
+    # honest timing on a tunneled TPU backend requires BOTH:
+    # - distinct query buffers per iteration (the client memoizes identical
+    #   dispatches), and
+    # - a forced device->host scalar fetch per result (block_until_ready does
+    #   not reliably block on the experimental remote backend)
+    summed = jax.jit(lambda q: jnp.sum(run(q)))
+    iters = 8
+    Qs = [jnp.roll(Q, i, axis=0) for i in range(iters)]
+    _ = [float(jnp.sum(q)) for q in Qs]  # materialize inputs
+    float(summed(Qs[0]))  # compile
+    t0 = time.perf_counter()
+    outs = [summed(q) for q in Qs]  # pipelined dispatch
+    _ = [float(o) for o in outs]    # forced fetches
+    dt = (time.perf_counter() - t0) / iters
+    return NQ / dt
+
+
+_CPU_SNIPPET = r"""
+import json, os, time
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import sys
+sys.path.insert(0, {repo!r})
+import bench
+from evdr_tpu.ops.maxsim import maxsim_xla
+
+Q, P, qmask, pmask = map(jnp.asarray, bench.make_workload(bench.CPU_NQ))
+f = lambda: maxsim_xla(Q, P, qmask, pmask, chunk_p=128)
+jax.block_until_ready(f())
+t0 = time.perf_counter()
+out = f()
+jax.block_until_ready(out)
+dt = time.perf_counter() - t0
+print(json.dumps({{"cpu_qps": bench.CPU_NQ / dt}}))
+"""
+
+
+def measure_cpu_qps() -> float:
+    if CACHE.exists():
+        try:
+            data = json.loads(CACHE.read_text())
+            if data.get("key") == WORKLOAD_KEY:
+                return float(data["cpu_qps"])
+        except Exception:
+            pass
+    repo = str(pathlib.Path(__file__).resolve().parent)
+    code = _CPU_SNIPPET.format(repo=repo)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=1800)
+    line = out.stdout.strip().splitlines()[-1]
+    cpu_qps = float(json.loads(line)["cpu_qps"])
+    CACHE.write_text(json.dumps({"key": WORKLOAD_KEY, "cpu_qps": cpu_qps}))
+    return cpu_qps
+
+
+def main() -> None:
+    tpu_qps = measure_tpu_qps()
+    try:
+        cpu_qps = measure_cpu_qps()
+        vs = tpu_qps / cpu_qps
+    except Exception as e:  # CPU baseline unavailable: report speedup 0
+        print(f"[bench] cpu baseline failed: {e}", file=sys.stderr)
+        vs = 0.0
+    print(json.dumps({
+        "metric": "maxsim_queries_per_sec",
+        "value": round(tpu_qps, 1),
+        "unit": "q/s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

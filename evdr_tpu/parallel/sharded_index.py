@@ -1,0 +1,48 @@
+"""Doc-axis sharded multi-vector index.
+
+Pads the doc axis to a multiple of the mesh size (padded docs are fully
+masked, so they score 0 and can never enter top-k with positive scores; the
+valid-count is tracked so exact merges drop them).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from evdr_tpu.parallel.mesh import shard_docs
+
+
+@dataclass
+class ShardedIndex:
+    P: jnp.ndarray          # (N_pad, Lp, D) sharded on dim 0
+    pmask: jnp.ndarray      # (N_pad, Lp) sharded on dim 0
+    n_docs: int             # valid docs (<= N_pad)
+    docids: Optional[np.ndarray] = None
+    mesh: Optional[Mesh] = None
+
+    @property
+    def n_pad(self) -> int:
+        return int(self.P.shape[0])
+
+
+def build_sharded_index(P, pmask, mesh: Mesh, docids=None) -> ShardedIndex:
+    P = np.asarray(P, dtype=np.float32)
+    pmask = np.asarray(pmask, dtype=bool)
+    n = P.shape[0]
+    world = mesh.devices.size
+    n_pad = ((n + world - 1) // world) * world
+    if n_pad != n:
+        P = np.pad(P, ((0, n_pad - n), (0, 0), (0, 0)))
+        pmask = np.pad(pmask, ((0, n_pad - n), (0, 0)))
+    return ShardedIndex(
+        P=shard_docs(jnp.asarray(P), mesh),
+        pmask=shard_docs(jnp.asarray(pmask), mesh),
+        n_docs=n,
+        docids=docids,
+        mesh=mesh,
+    )

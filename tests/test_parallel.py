@@ -1,0 +1,173 @@
+"""Mesh-sharded scoring, top-k, and training tests on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from evdr_tpu.data.packing import l2_normalize, preprocess_docs, preprocess_queries
+from evdr_tpu.data.synthetic import make_synthetic_corpus, pooled_init_index
+from evdr_tpu.losses.distill import (
+    infonce_distillation_loss,
+    listwise_distillation_loss,
+    score_preserving_loss,
+)
+from evdr_tpu.ops.maxsim import maxsim_xla
+from evdr_tpu.parallel import (
+    build_sharded_index,
+    build_sharded_train_step,
+    make_mesh,
+    replicate,
+    shard_docs,
+    sharded_maxsim,
+    sharded_topk,
+)
+from evdr_tpu.train.config import TrainConfig
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def _corpus(seed=0, n_docs=21, n_queries=6, dim=32):
+    c = make_synthetic_corpus(n_docs=n_docs, n_queries=n_queries, dim=dim, seed=seed)
+    P, pmask, _ = preprocess_docs(c["documents"], c["doc_attnmask"], c["doc_imgmask"])
+    Q, qmask = preprocess_queries(c["query"], c["query_attnmask"])
+    Pn = np.asarray(l2_normalize(P * pmask[..., None].astype(np.float32)))
+    return c, Q, qmask, Pn, pmask
+
+
+def test_sharded_maxsim_matches_local(mesh):
+    _, Q, qmask, Pn, pmask = _corpus()
+    idx = build_sharded_index(Pn, pmask, mesh)
+    want = np.asarray(maxsim_xla(jnp.asarray(Q), jnp.asarray(Pn),
+                                 jnp.asarray(qmask), jnp.asarray(pmask)))
+    got = np.asarray(sharded_maxsim(replicate(jnp.asarray(Q), mesh),
+                                    replicate(jnp.asarray(qmask), mesh), idx))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_topk_exact(mesh):
+    _, Q, qmask, Pn, pmask = _corpus(seed=1, n_docs=37)
+    idx = build_sharded_index(Pn, pmask, mesh)
+    scores = np.asarray(maxsim_xla(jnp.asarray(Q), jnp.asarray(Pn),
+                                   jnp.asarray(qmask), jnp.asarray(pmask)))
+    k = 5
+    vals, gidx = sharded_topk(replicate(jnp.asarray(Q), mesh),
+                              replicate(jnp.asarray(qmask), mesh), idx, k=k)
+    vals, gidx = np.asarray(vals), np.asarray(gidx)
+    for q in range(scores.shape[0]):
+        want_idx = np.argsort(-scores[q])[:k]
+        np.testing.assert_allclose(np.sort(vals[q])[::-1], np.sort(scores[q][want_idx])[::-1],
+                                   rtol=1e-5, atol=1e-5)
+        assert set(gidx[q].tolist()) == set(want_idx.tolist())
+
+
+def test_sharded_topk_excludes_padded_docs(mesh):
+    # 21 docs padded to 24: padded docs must never appear in top-k
+    _, Q, qmask, Pn, pmask = _corpus(seed=2, n_docs=21)
+    idx = build_sharded_index(Pn, pmask, mesh)
+    vals, gidx = sharded_topk(replicate(jnp.asarray(Q), mesh),
+                              replicate(jnp.asarray(qmask), mesh), idx, k=21)
+    assert int(np.asarray(gidx).max()) < 21
+
+
+@pytest.mark.parametrize("loss", ["liscore", "listwise", "infonce_distill",
+                                  "score", "spl", "ranknet"])
+def test_sharded_train_step_matches_unsharded(mesh, loss):
+    c, Q, qmask, Pn, pmask = _corpus(seed=3, n_docs=19)
+    init = pooled_init_index(c, mf=4, seed=3)
+    from evdr_tpu.data.align import align_by_docid
+
+    (docs, attn, img), ok = align_by_docid(c["docid"], init["docid"],
+                                           init["documents"], init["doc_attnmask"],
+                                           init["doc_imgmask"])
+    assert ok
+    Ps_raw, pm_s, _ = preprocess_docs(docs, attn, img)
+    param0 = (Ps_raw * pm_s[..., None]).astype(np.float32)
+
+    cfg = TrainConfig(loss=loss, k=6, temp=0.3, lambda_list=1.0, lambda_score=0.5,
+                      lr=1e-3, chunk_p=8)
+
+    # ---- unsharded reference step ----
+    from evdr_tpu.train.harness import DatasetBundle, build_train_step
+
+    bundle = DatasetBundle(
+        dataset="x", Q_train=jnp.asarray(Q), qmask_train=jnp.asarray(qmask),
+        pos_idx=None, Q_test=jnp.asarray(Q), qmask_test=jnp.asarray(qmask),
+        P_teacher_norm=jnp.asarray(Pn), pmask_teacher=jnp.asarray(pmask),
+        docid_teacher=c["docid"], relevant_docs_test={}, docidx_2_docid_test={},
+        qsidx_2_query_test=None,
+    )
+    optimizer = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+    p1 = jnp.asarray(param0)
+    st1 = optimizer.init(p1)
+    step1 = build_train_step(cfg, bundle, jnp.asarray(pm_s), optimizer)
+    idx_b = jnp.arange(Q.shape[0], dtype=jnp.int32)
+    p1b, _, parts1 = step1(p1, st1, idx_b, jax.random.PRNGKey(0))
+
+    # ---- sharded step ----
+    n = Pn.shape[0]
+    world = 8
+    n_pad = ((n + world - 1) // world) * world
+    pad = n_pad - n
+
+    def padded(x):
+        return np.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+    teacher_idx = build_sharded_index(Pn, pmask, mesh)
+    p2 = shard_docs(jnp.asarray(padded(param0)), mesh)
+    pm_s_sh = shard_docs(jnp.asarray(padded(pm_s)), mesh)
+    step2, opt2 = build_sharded_train_step(
+        cfg, mesh, pmask_student=pm_s_sh, P_teacher=teacher_idx.P,
+        pmask_teacher=teacher_idx.pmask, n_docs=n)
+    st2 = opt2.init(p2)
+    p2b, _, parts2 = step2(p2, st2, replicate(jnp.asarray(Q), mesh),
+                           replicate(jnp.asarray(qmask), mesh))
+
+    np.testing.assert_allclose(float(parts2["total_loss"]),
+                               float(parts1["total_loss"]), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p2b)[:n], np.asarray(p1b),
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_sharded_losses_match_dense_directly(mesh):
+    # direct check of the collective loss forms vs the dense functions
+    rng = np.random.default_rng(0)
+    b, n = 5, 19
+    s = rng.normal(size=(b, n)).astype(np.float32) * 2
+    t = rng.normal(size=(b, n)).astype(np.float32) * 2
+    from evdr_tpu.parallel.train_sharded import (
+        _global_lse, _infonce_distill_global, _listwise_global, _mse_global)
+    import functools
+    from jax.sharding import PartitionSpec as P
+
+    world = 8
+    n_pad = ((n + world - 1) // world) * world
+    sp = np.pad(s, ((0, 0), (0, n_pad - n)), constant_values=-np.inf)
+    tp = np.pad(t, ((0, 0), (0, n_pad - n)), constant_values=-np.inf)
+    valid = np.arange(n_pad) < n
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P(None, "docs"), P(None, "docs"), P("docs")),
+                       out_specs=P(), check_vma=False)
+    def f(s_loc, t_loc, v_loc):
+        l1 = _listwise_global(s_loc, t_loc, 6, 0.5, "docs")
+        l2 = _infonce_distill_global(s_loc, t_loc, 0.07, "docs")
+        s0 = jnp.where(v_loc[None, :], s_loc, 0.0)
+        t0 = jnp.where(v_loc[None, :], t_loc, 0.0)
+        l3 = _mse_global(s0, t0, v_loc, "docs")
+        return jnp.stack([l1, l2, l3])
+
+    got = np.asarray(f(jnp.asarray(sp), jnp.asarray(tp), jnp.asarray(valid)))
+    want = [
+        float(listwise_distillation_loss(jnp.asarray(s), jnp.asarray(t), k=6,
+                                         temperature=0.5)),
+        float(infonce_distillation_loss(jnp.asarray(s), jnp.asarray(t),
+                                        temperature=0.07)),
+        float(score_preserving_loss(jnp.asarray(s), jnp.asarray(t))),
+    ]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
