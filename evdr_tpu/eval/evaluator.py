@@ -16,7 +16,6 @@ from __future__ import annotations
 import time
 from typing import Any, Dict, List, Mapping, Optional
 
-import jax
 import numpy as np
 
 from evdr_tpu.data.packing import l2_normalize
@@ -87,10 +86,12 @@ def eval_retrieval(
     t0 = time.perf_counter()
     scores = maxsim(Q_test_norm, P_now, qmask_test, pmask_student,
                     chunk_p=chunk_p, impl=impl)
-    scores = jax.block_until_ready(scores)
+    # fetch to host inside the timed region: on remote-TPU backends
+    # block_until_ready alone does not reliably wait for execution
+    scores = np.asarray(scores)
     latency_ms = (time.perf_counter() - t0) * 1000.0 / max(int(scores.shape[0]), 1)
 
-    results = scores_to_results(np.asarray(scores), qsidx_2_query_test,
+    results = scores_to_results(scores, qsidx_2_query_test,
                                 docidx_2_docid_test)
     metrics = evaluator.compute_mteb_metrics(relevant_docs_test, results)
     metrics["latency"] = float(latency_ms)

@@ -1,0 +1,213 @@
+import json
+import zipfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from evdr_tpu.data.synthetic import make_synthetic_corpus, save_synthetic_npz
+from evdr_tpu.tools.doc_unique import (
+    dedup_companion_npz,
+    dedup_npz,
+    first_occurrence_keep,
+    sanity_check_unique,
+)
+from evdr_tpu.tools.make_questions import generate_questions, parse_numbered_questions
+from evdr_tpu.tools.report import parse_train_log, write_report
+from evdr_tpu.tools.split_data import split_query_npz
+from evdr_tpu.tools.xlsx import write_xlsx
+
+
+# ---------------------------------------------------------------------------
+# split_data
+# ---------------------------------------------------------------------------
+
+def test_split_query_npz(tmp_path):
+    c = make_synthetic_corpus(n_docs=8, n_queries=20, dim=16, seed=0)
+    src = tmp_path / "foo_dump_all.npz"
+    save_synthetic_npz(src, c)
+
+    train_p, test_p, idx_p = split_query_npz(src, tmp_path / "out",
+                                             test_ratio=0.25, shuffle=True, seed=1)
+    ztr = np.load(train_p, allow_pickle=True)
+    zte = np.load(test_p, allow_pickle=True)
+    assert len(zte["qid"]) == 5 and len(ztr["qid"]) == 15
+    # docs duplicated into both
+    assert len(ztr["docid"]) == len(zte["docid"]) == 8
+    # relevant_docs filtered per split
+    rel_tr = ztr["relevant_docs"].item()
+    rel_te = zte["relevant_docs"].item()
+    assert set(rel_tr) & set(rel_te) == set()
+    # qsidx_2_query sliced consistently with queries
+    assert len(ztr["qsidx_2_query"]) == 15
+    # idx file reproducible
+    zi = np.load(idx_p, allow_pickle=True)
+    assert len(zi["train_idx"]) == 15 and int(zi["Nq"]) == 20
+
+
+def test_split_rejects_bad_ratio(tmp_path):
+    c = make_synthetic_corpus(n_docs=4, n_queries=5, dim=8, seed=0)
+    src = tmp_path / "x_dump_all.npz"
+    save_synthetic_npz(src, c)
+    with pytest.raises(ValueError):
+        split_query_npz(src, tmp_path, test_ratio=0.0)
+
+
+# ---------------------------------------------------------------------------
+# doc_unique
+# ---------------------------------------------------------------------------
+
+def test_first_occurrence_keep():
+    keep = first_occurrence_keep(["a", "b", "a", "c", "b", "d"])
+    np.testing.assert_array_equal(keep, [0, 1, 3, 5])
+
+
+def test_dedup_npz_and_companion(tmp_path):
+    c = make_synthetic_corpus(n_docs=6, n_queries=4, dim=8, seed=1)
+    # duplicate docs 1 and 3
+    dup = np.concatenate([np.arange(6), [1, 3]])
+    dup_payload = dict(c)
+    for k in ("docid", "documents", "doc_attnmask", "doc_imgmask"):
+        dup_payload[k] = c[k][dup]
+    src = tmp_path / "full.npz"
+    save_synthetic_npz(src, dup_payload)
+
+    out = tmp_path / "unique.npz"
+    keep, docid_unique = dedup_npz(src, out)
+    assert len(docid_unique) == 6
+    z = np.load(out, allow_pickle=True)
+    assert len(z["docid"]) == 6 and z["documents"].shape[0] == 6
+    m = z["docidx_2_docid"].item()
+    assert m["0"] == str(docid_unique[0])
+
+    # companion sliced with the SAME keep
+    comp = tmp_path / "companion.npz"
+    save_synthetic_npz(comp, {k: dup_payload[k] for k in
+                              ("docid", "documents", "doc_attnmask", "doc_imgmask")})
+    out2 = tmp_path / "companion_unique.npz"
+    dedup_companion_npz(comp, out2, keep, docid_unique, n_full=8)
+    z2 = np.load(out2, allow_pickle=True)
+    assert z2["documents"].shape[0] == 6
+    info = sanity_check_unique(out2)
+    assert info["docid"] == info["documents"] == info["map"] == 6
+
+    # mismatched companion rejected
+    with pytest.raises(ValueError):
+        dedup_companion_npz(comp, out2, keep, docid_unique, n_full=7)
+
+
+# ---------------------------------------------------------------------------
+# make_questions
+# ---------------------------------------------------------------------------
+
+def test_parse_numbered_questions():
+    text = """Here are the questions:
+1. What is the revenue in 2023?
+2) Who authored the report?
+some noise
+3. What fraction of the table is blue?
+4. Extra question beyond limit"""
+    qs = parse_numbered_questions(text, 3)
+    assert qs == ["What is the revenue in 2023?", "Who authored the report?",
+                  "What fraction of the table is blue?"]
+
+
+def test_generate_questions_fake_and_resume(tmp_path):
+    img_dir = tmp_path / "pages"
+    img_dir.mkdir()
+    for i in range(5):
+        (img_dir / f"page_{i}.jpg").write_bytes(b"\xff\xd8fakejpg")
+    out = tmp_path / "proxyq.json"
+    res = generate_questions(img_dir, out, nq=4, backend="fake", save_every=2)
+    assert len(res) == 5
+    assert all(len(v["Question"]) == 4 and "error" not in v for v in res.values())
+
+    # resume: inject a failed entry; only it should be regenerated
+    data = json.loads(out.read_text())
+    data["page_2"]["error"] = "boom"
+    data["page_2"]["Question"] = []
+    out.write_text(json.dumps(data))
+    res2 = generate_questions(img_dir, out, nq=4, backend="fake")
+    assert len(res2["page_2"]["Question"]) == 4 and "error" not in res2["page_2"]
+
+
+# ---------------------------------------------------------------------------
+# reporter + xlsx
+# ---------------------------------------------------------------------------
+
+def _fake_train_log(path: Path, ndcg5: float, r1: float):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    lines = [
+        '[2026-01-01 00:00:00,000][INFO] {"step": 10, "eval/NDCG@5": 0.1}',
+        '[2026-01-01 00:00:01,000][INFO] {"summary/latency": 1.0, '
+        '"summary/best_recall": {"step": 5, "Recall@1": %s, "NDCG@5": %s}, '
+        '"summary/best_ndcg5": {"step": 7, "Recall@1": %s, "NDCG@5": %s}, '
+        '"note": "training finished"}' % (r1, ndcg5, r1, ndcg5),
+    ]
+    path.write_text("\n".join(lines))
+
+
+def test_parse_train_log(tmp_path):
+    log = tmp_path / "train.log"
+    _fake_train_log(log, 0.81309, 0.7)
+    got = parse_train_log(log)
+    assert got == {"N@5": pytest.approx(81.309), "R@1": pytest.approx(70.0)}
+
+
+def test_write_report(tmp_path):
+    root = tmp_path / "results"
+    _fake_train_log(root / "expA" / "mf5" / "tabfquad" / "train.log", 0.8, 0.7)
+    _fake_train_log(root / "expA" / "mf5" / "docvqa" / "train.log", 0.6, 0.5)
+    _fake_train_log(root / "expA" / "mf10" / "tabfquad" / "train.log", 0.75, 0.65)
+    _fake_train_log(root / "expB" / "mf5" / "tabfquad" / "train.log", 0.9, 0.85)
+
+    out = tmp_path / "summary.xlsx"
+    sheets = write_report(root, out)
+    assert set(sheets) == {"mf5", "mf10"}
+    mf5 = sheets["mf5"]
+    assert mf5[0][0] == "setting"
+    assert "tabfquad_N@5" in mf5[0] and "avg_R@1" in mf5[0]
+    rows = {r[0]: r for r in mf5[1:]}
+    i_n5 = mf5[0].index("tabfquad_N@5")
+    assert rows["expB"][i_n5] == pytest.approx(90.0)
+    # avg over available datasets
+    i_avg = mf5[0].index("avg_N@5")
+    assert rows["expA"][i_avg] == pytest.approx(70.0)
+
+    # xlsx is a structurally valid package with both sheets
+    with zipfile.ZipFile(out) as zf:
+        names = zf.namelist()
+        assert "xl/workbook.xml" in names
+        assert "xl/worksheets/sheet1.xml" in names
+        wb = zf.read("xl/workbook.xml").decode()
+        assert "mf5" in wb and "mf10" in wb
+        s1 = zf.read("xl/worksheets/sheet1.xml").decode()
+        assert "setting" in s1
+    # csv siblings
+    assert out.with_suffix(".mf5.csv").exists()
+
+
+def test_xlsx_escaping(tmp_path):
+    out = tmp_path / "t.xlsx"
+    write_xlsx(out, {"s&1": [["a<b", 1.5], [None, "x\"y"]]})
+    with zipfile.ZipFile(out) as zf:
+        sheet = zf.read("xl/worksheets/sheet1.xml").decode()
+        assert "a&lt;b" in sheet
+        wb = zf.read("xl/workbook.xml").decode()
+        assert "s&amp;1" in wb
+
+
+def test_reference_reporter_can_parse_our_logs(tmp_path):
+    """Cross-check: the reference's own regex parses our train.log lines."""
+    import re as _re
+
+    ref_re = _re.compile(r"(\{.*\"summary\/best_ndcg5\".*\})\s*$")
+    log = tmp_path / "train.log"
+    _fake_train_log(log, 0.5, 0.4)
+    matched = None
+    for line in reversed(log.read_text().splitlines()):
+        m = ref_re.search(line.strip())
+        if m:
+            matched = json.loads(m.group(1))
+            break
+    assert matched and matched["summary/best_ndcg5"]["NDCG@5"] == 0.5
