@@ -61,6 +61,29 @@ def scores_to_results(
     return results
 
 
+_FAST_CACHE: Dict[int, tuple] = {}
+
+
+def _fast_eval_inputs(relevant_docs, docidx_2_docid, qsidx_2_query, nq, nd):
+    """Build (and cache) CSR qrels + docid tie-ranks for the native engine."""
+    key = (id(relevant_docs), id(docidx_2_docid), id(qsidx_2_query))
+    cached = _FAST_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from evdr_tpu.native.fast_metrics import build_fast_qrels, tie_rank_from_docids
+
+    docids = [docidx_2_docid[str(j)] for j in range(nd)]
+    qkeys = [
+        str(qsidx_2_query[i]) if qsidx_2_query is not None else str(i)
+        for i in range(nq)
+    ]
+    fq = build_fast_qrels(relevant_docs, qkeys,
+                          {str(d): j for j, d in enumerate(docids)})
+    out = (fq, tie_rank_from_docids(docids))
+    _FAST_CACHE[key] = out
+    return out
+
+
 def eval_retrieval(
     evaluator: CustomRetrievalEvaluator,
     Q_test_norm,
@@ -72,12 +95,14 @@ def eval_retrieval(
     qsidx_2_query_test=None,
     chunk_p: int = 128,
     impl: str = "auto",
+    fast: bool = True,
 ) -> Dict[str, Any]:
     """Retrieval metrics of the (masked+normalized) student index.
 
     Mirrors reference ``eval_retrieval`` (mainv2_iter_listwise.py:299-322):
     student is re-masked and re-normalized before scoring; ``latency`` is the
-    per-query scoring wall time in ms.
+    per-query scoring wall time in ms. With ``fast=True`` metrics come from
+    the matrix-direct native engine (identical values, no 250k-entry dicts).
     """
     import jax.numpy as jnp
 
@@ -91,8 +116,17 @@ def eval_retrieval(
     scores = np.asarray(scores)
     latency_ms = (time.perf_counter() - t0) * 1000.0 / max(int(scores.shape[0]), 1)
 
-    results = scores_to_results(scores, qsidx_2_query_test,
-                                docidx_2_docid_test)
-    metrics = evaluator.compute_mteb_metrics(relevant_docs_test, results)
+    if fast and relevant_docs_test is not None and docidx_2_docid_test:
+        from evdr_tpu.native.fast_metrics import compute_metrics_from_scores
+
+        fq, tie_rank = _fast_eval_inputs(
+            relevant_docs_test, docidx_2_docid_test, qsidx_2_query_test,
+            scores.shape[0], scores.shape[1])
+        metrics = compute_metrics_from_scores(scores, fq, tie_rank,
+                                              evaluator.k_values)
+    else:
+        results = scores_to_results(scores, qsidx_2_query_test,
+                                    docidx_2_docid_test)
+        metrics = evaluator.compute_mteb_metrics(relevant_docs_test, results)
     metrics["latency"] = float(latency_ms)
     return metrics

