@@ -1,0 +1,104 @@
+"""RetrievalEngine — the user-facing TPU-native multi-vector retrieval API.
+
+Loads (or receives) a page-embedding index, shards it over the device mesh,
+and serves MaxSim top-k queries with the fused kernel + device-side candidate
+merge. This is the serving counterpart of the training harness: a reference
+user's end state ("score my queries against this index") in three lines:
+
+    engine = RetrievalEngine.from_npz("features/tabfquad_dump_all.npz")
+    docids, scores = engine.search(query_token_arrays, k=10)
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from evdr_tpu.data.npz_io import load_payload
+from evdr_tpu.data.packing import l2_normalize, preprocess_docs, preprocess_queries
+from evdr_tpu.parallel.mesh import make_mesh, replicate
+from evdr_tpu.parallel.sharded_index import ShardedIndex, build_sharded_index
+from evdr_tpu.parallel.topk import sharded_maxsim, sharded_topk
+
+
+class RetrievalEngine:
+    def __init__(self, mesh=None, dtype: str = "bfloat16", chunk_p: int = 512,
+                 impl: str = "auto", normalize: bool = True):
+        self.mesh = mesh or make_mesh()
+        self.dtype = dtype
+        self.chunk_p = chunk_p
+        self.normalize = normalize
+        import jax
+
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+        self.impl = impl
+        self.index: Optional[ShardedIndex] = None
+
+    # ------------------------------------------------------------------ build
+    def build(self, P: np.ndarray, pmask: np.ndarray,
+              docids: Optional[Sequence[str]] = None) -> "RetrievalEngine":
+        """Index dense padded page embeddings ``(N, Lp, D)`` + bool mask."""
+        P = np.asarray(P, dtype=np.float32)
+        pmask = np.asarray(pmask, dtype=bool)
+        if self.normalize:
+            P = np.asarray(l2_normalize(P * pmask[..., None].astype(np.float32)),
+                           dtype=np.float32)
+        self.index = build_sharded_index(
+            P, pmask, self.mesh,
+            docids=np.asarray(docids, dtype=object) if docids is not None else None,
+            dtype=self.dtype, pad_docs_to=64)
+        return self
+
+    def build_from_ragged(self, documents_obj, doc_attnmask=None, doc_imgmask=None,
+                          docids=None) -> "RetrievalEngine":
+        P, pmask, _ = preprocess_docs(documents_obj, doc_attnmask, doc_imgmask)
+        return self.build(P, pmask, docids)
+
+    @classmethod
+    def from_npz(cls, npz_path, **kw) -> "RetrievalEngine":
+        payload = load_payload(npz_path)
+        eng = cls(**kw)
+        eng.build_from_ragged(
+            payload["documents"], payload.get("doc_attnmask"),
+            payload.get("doc_imgmask"), docids=payload.get("docid"))
+        return eng
+
+    # ----------------------------------------------------------------- search
+    def search_dense(self, Q: np.ndarray, qmask: np.ndarray, k: int = 10
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """(nq, Lq, D) normalized queries + mask -> (scores, doc indices)."""
+        if self.index is None:
+            raise RuntimeError("engine has no index; call build() first")
+        Qd = replicate(jnp.asarray(Q, dtype=jnp.float32), self.mesh)
+        qmd = replicate(jnp.asarray(qmask, dtype=bool), self.mesh)
+        vals, idx = sharded_topk(Qd, qmd, self.index, k=k, chunk_p=self.chunk_p,
+                                 impl=self.impl)
+        return np.asarray(vals), np.asarray(idx)
+
+    def search(self, queries, query_attnmask=None, k: int = 10
+               ) -> Tuple[List[List[str]], np.ndarray]:
+        """Ragged query token arrays -> (per-query docid lists, scores)."""
+        Q, qmask = preprocess_queries(queries, query_attnmask)
+        vals, idx = self.search_dense(Q, qmask, k=k)
+        if self.index.docids is not None:
+            ids = [[str(self.index.docids[j]) for j in row] for row in idx]
+        else:
+            ids = [[str(j) for j in row] for row in idx]
+        return ids, vals
+
+    def score_all(self, Q: np.ndarray, qmask: np.ndarray) -> np.ndarray:
+        """Full (nq, N) score matrix (eval / reranking use)."""
+        if self.index is None:
+            raise RuntimeError("engine has no index; call build() first")
+        Qd = replicate(jnp.asarray(Q, dtype=jnp.float32), self.mesh)
+        qmd = replicate(jnp.asarray(qmask, dtype=bool), self.mesh)
+        return np.asarray(
+            sharded_maxsim(Qd, qmd, self.index, chunk_p=self.chunk_p,
+                           impl=self.impl))
+
+    @property
+    def n_docs(self) -> int:
+        return 0 if self.index is None else self.index.n_docs

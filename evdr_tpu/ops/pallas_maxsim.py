@@ -128,14 +128,18 @@ def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
     lp_pad = _round_up(lp, tlp)
     d_pad = _round_up(d, 128)
 
-    Qp = jnp.zeros((nq_pad, lq_pad, d_pad), compute_dtype).at[:nq, :lq, :d].set(
-        Q.astype(compute_dtype))
-    Pp = jnp.zeros((nd_pad, lp_pad, d_pad), compute_dtype).at[:nd, :lp, :d].set(
-        P.astype(compute_dtype))
-    qm = jnp.zeros((nq_pad, lq_pad), jnp.float32).at[:nq, :lq].set(
-        qmask.astype(jnp.float32))
-    pm = jnp.zeros((nd_pad, lp_pad), jnp.float32).at[:nd, :lp].set(
-        pmask.astype(jnp.float32))
+    def padded(x, shape, dtype):
+        # zero-copy when the array already conforms (large serving indexes
+        # are pre-padded by build_sharded_index; a 4GB transient would hurt)
+        x = x.astype(dtype)
+        if x.shape == shape:
+            return x
+        return jnp.zeros(shape, dtype).at[tuple(slice(0, s) for s in x.shape)].set(x)
+
+    Qp = padded(Q, (nq_pad, lq_pad, d_pad), compute_dtype)
+    Pp = padded(P, (nd_pad, lp_pad, d_pad), compute_dtype)
+    qm = padded(qmask, (nq_pad, lq_pad), jnp.float32)
+    pm = padded(pmask, (nd_pad, lp_pad), jnp.float32)
 
     qbl = qb * lq_pad
     qf = Qp.reshape(nq_pad * lq_pad, d_pad)

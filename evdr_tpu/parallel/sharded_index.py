@@ -30,12 +30,27 @@ class ShardedIndex:
         return int(self.P.shape[0])
 
 
-def build_sharded_index(P, pmask, mesh: Mesh, docids=None) -> ShardedIndex:
-    P = np.asarray(P, dtype=np.float32)
+def build_sharded_index(P, pmask, mesh: Mesh, docids=None, dtype=None,
+                        pad_docs_to: int = 1) -> ShardedIndex:
+    """Shard an index across the mesh's doc axis.
+
+    ``dtype`` stores the index in a narrower type (bf16 halves HBM for
+    serving); ``pad_docs_to`` additionally rounds the doc axis up to a
+    multiple (e.g. the scoring kernel's doc block) so the hot path never
+    re-pads on device.
+    """
+    P = np.asarray(P)
+    if dtype is not None:
+        import ml_dtypes  # numpy bf16 support
+
+        np_dtype = np.dtype(dtype) if dtype != "bfloat16" else ml_dtypes.bfloat16
+        if P.dtype != np_dtype:
+            P = P.astype(np_dtype)
     pmask = np.asarray(pmask, dtype=bool)
     n = P.shape[0]
-    world = mesh.devices.size
-    n_pad = ((n + world - 1) // world) * world
+    # each local shard must itself be a multiple of pad_docs_to
+    quantum = mesh.devices.size * max(1, int(pad_docs_to))
+    n_pad = ((n + quantum - 1) // quantum) * quantum
     if n_pad != n:
         P = np.pad(P, ((0, n_pad - n), (0, 0), (0, 0)))
         pmask = np.pad(pmask, ((0, n_pad - n), (0, 0)))

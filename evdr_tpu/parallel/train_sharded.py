@@ -103,7 +103,7 @@ def build_sharded_train_step(cfg: TrainConfig, mesh: Mesh, *, pmask_student,
     loss_name = cfg.loss
     fallback_loss = make_loss_fn(cfg)
 
-    def loss_shardmap(param, Qb, qmb):
+    def loss_shardmap(param, Qb, qmb, pmask_student, P_teacher, pmask_teacher):
         @functools.partial(
             jax.shard_map,
             mesh=mesh,
@@ -150,12 +150,19 @@ def build_sharded_train_step(cfg: TrainConfig, mesh: Mesh, *, pmask_student,
 
         return f(param, pmask_student, P_teacher, pmask_teacher, Qb, qmb)
 
+    # index-sized arrays are jit ARGUMENTS, not closure constants (closure
+    # capture inlines them into the program, which remote-compile rejects
+    # for large indexes)
     @jax.jit
-    def step(param, opt_state, Qb, qmb):
+    def step_impl(param, opt_state, Qb, qmb, pms, Pt, pmt):
         (total, parts), grads = jax.value_and_grad(
-            lambda p: loss_shardmap(p, Qb, qmb), has_aux=True)(param)
+            lambda p: loss_shardmap(p, Qb, qmb, pms, Pt, pmt), has_aux=True)(param)
         updates, opt_state = optimizer.update(grads, opt_state, param)
         param = optax.apply_updates(param, updates)
         return param, opt_state, dict(parts, total_loss=total)
+
+    def step(param, opt_state, Qb, qmb):
+        return step_impl(param, opt_state, Qb, qmb, pmask_student, P_teacher,
+                         pmask_teacher)
 
     return step, optimizer

@@ -259,25 +259,40 @@ def build_train_step(cfg: TrainConfig, bundle: DatasetBundle,
 
     Batch selection happens on device via integer index gathers, teacher scores
     are precomputed rows (or computed inline when streaming).
+
+    All dataset-sized arrays are threaded through as explicit jit ARGUMENTS
+    (bound with functools.partial-like closure at call sites would inline them
+    as program constants — remote-TPU backends ship those with every compile
+    request and reject large programs).
     """
     loss_fn = make_loss_fn(cfg)
     needs_labels = cfg.loss == "infonce_sup"
     chunk_p = cfg.chunk_p
-    pmask_s = pmask_student
-    pmask_f = pmask_s[..., None].astype(jnp.float32)
-    Q_all, qm_all = bundle.Q_train, bundle.qmask_train
-    sct_all = bundle.sc_t_train
-    pos_all = (
-        jnp.asarray(bundle.pos_idx, dtype=jnp.int32) if bundle.pos_idx is not None
-        else None
-    )
-    P_t, pm_t = bundle.P_teacher_norm, bundle.pmask_teacher
     aug = cfg.aug
+    n_docs = bundle.n_docs
 
-    def score_student(Ps, Qb, qmb):
-        return maxsim_xla(Qb, Ps, qmb, pmask_s, chunk_p=chunk_p)
+    # dataset-sized device arrays, passed positionally into the jitted step
+    data = dict(
+        pmask_s=pmask_student,
+        Q_all=bundle.Q_train,
+        qm_all=bundle.qmask_train,
+        sct_all=bundle.sc_t_train,
+        pos_all=(jnp.asarray(bundle.pos_idx, dtype=jnp.int32)
+                 if bundle.pos_idx is not None else None),
+        P_t=bundle.P_teacher_norm,
+        pm_t=bundle.pmask_teacher,
+    )
 
-    def step(param, opt_state, idx, rng):
+    def step(param, opt_state, idx, rng, d):
+        pmask_s = d["pmask_s"]
+        pmask_f = pmask_s[..., None].astype(jnp.float32)
+        Q_all, qm_all = d["Q_all"], d["qm_all"]
+        sct_all, pos_all = d["sct_all"], d["pos_all"]
+        P_t, pm_t = d["P_t"], d["pm_t"]
+
+        def score_student(Ps, Qb, qmb):
+            return maxsim_xla(Qb, Ps, qmb, pmask_s, chunk_p=chunk_p)
+
         Qb = jnp.take(Q_all, idx, axis=0)
         qmb = jnp.take(qm_all, idx, axis=0)
         labels = jnp.take(pos_all, idx, axis=0) if needs_labels else None
@@ -331,7 +346,12 @@ def build_train_step(cfg: TrainConfig, bundle: DatasetBundle,
         parts = dict(parts, total_loss=total)
         return param, opt_state, parts
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    jstep = jax.jit(step, donate_argnums=(0, 1))
+
+    def run_step(param, opt_state, idx, rng):
+        return jstep(param, opt_state, idx, rng, data)
+
+    return run_step
 
 
 def _hardtoken_aux(cfg, total, parts, param, Ps, sc_s, sc_t, Qb, qmb,
@@ -395,23 +415,37 @@ def _hardtoken_aux(cfg, total, parts, param, Ps, sc_s, sc_t, Qb, qmb,
 # eval primitives
 # =============================================================================
 
+def _test_pos_idx(bundle: DatasetBundle) -> Optional[np.ndarray]:
+    """gt-doc indices for TEST queries (qrels keyed by query string)."""
+    if bundle.relevant_docs_test is None or bundle.qsidx_2_query_test is None:
+        return None
+    pos, ok = _derive_pos_idx(
+        bundle.qsidx_2_query_test, bundle.relevant_docs_test,
+        bundle.docidx_2_docid_test or {})
+    return pos if ok.all() else np.where(ok, pos, 0)
+
+
 def evaluation_loss(cfg: TrainConfig, bundle: DatasetBundle, param, pmask_student
                     ) -> Dict[str, float]:
-    """Distillation loss on test queries (mainv2_iter_liscore.py:343-370)."""
+    """Distillation loss on test queries (mainv2_iter_liscore.py:343-370);
+    for supervised InfoNCE, the gt-docs eval loss of mainv2_iter_super_infonce."""
     loss_fn = make_loss_fn(cfg)
     Ps = l2_normalize(param * pmask_student[..., None].astype(jnp.float32))
-    if bundle.sc_t_test is not None:
-        sc_t = bundle.sc_t_test
-    else:
-        sc_t = maxsim_xla(bundle.Q_test, bundle.P_teacher_norm, bundle.qmask_test,
-                          bundle.pmask_teacher, chunk_p=cfg.chunk_p)
     sc_s = maxsim_xla(bundle.Q_test, Ps, bundle.qmask_test, pmask_student,
                       chunk_p=cfg.chunk_p)
-    labels = None
     if cfg.loss == "infonce_sup":
-        # supervised loss has no teacher term on test queries; report 0 parts
-        return {"total_loss": 0.0}
-    total, parts = loss_fn(sc_s, sc_t, labels)
+        pos = _test_pos_idx(bundle)
+        if pos is None:
+            return {"total_loss": 0.0}
+        total, parts = loss_fn(sc_s, None, jnp.asarray(pos, dtype=jnp.int32))
+    else:
+        if bundle.sc_t_test is not None:
+            sc_t = bundle.sc_t_test
+        else:
+            sc_t = maxsim_xla(bundle.Q_test, bundle.P_teacher_norm,
+                              bundle.qmask_test, bundle.pmask_teacher,
+                              chunk_p=cfg.chunk_p)
+        total, parts = loss_fn(sc_s, sc_t, None)
     out = {"total_loss": float(total)}
     out.update({f"loss_{k}": float(v) for k, v in parts.items()})
     return out
@@ -591,29 +625,35 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
     stream = index_stream(n_train, batch, cfg.seed)
 
     t0 = time.time()
-    loss_sum, loss_cnt = 0.0, 0
+    # loss accumulates ON DEVICE; host fetches happen only at logging/eval
+    # cadence (each fetch costs a full round trip on remote-TPU backends —
+    # a per-step sync would serialize the whole training pipeline)
+    loss_cum = jnp.zeros((), jnp.float32)
+    loss_cnt = 0
+    log_every = max(1, cfg.print_every or 20)
     for step in range(step0 + 1, max_steps + 1):
         idx = jnp.asarray(next(stream))
         param, opt_state, parts = train_step(param, opt_state, idx, rngs.next())
-        loss_val = float(parts["total_loss"])
-        loss_sum += loss_val
+        loss_cum = loss_cum + parts["total_loss"]
         loss_cnt += 1
 
-        if writer is not None:
-            writer.add_scalar("train/loss", loss_val, step)
-            for k2, v in parts.items():
-                if k2 != "total_loss":
-                    writer.add_scalar(f"train/loss_{k2}", float(v), step)
-
-        if cfg.print_every and step % cfg.print_every == 0:
-            log_json(logger, {
-                "dataset": dataset, "mf": mf, "step": step,
-                "train/total loss": loss_val,
-                "train/avg_total_loss": loss_sum / max(loss_cnt, 1),
-                "time_sec": float(time.time() - t0),
-                **{f"train/loss_{k2}": float(v) for k2, v in parts.items()
-                   if k2 != "total_loss"},
-            })
+        if (step % log_every == 0) or (step % eval_every == 0) or (step == max_steps):
+            loss_val = float(parts["total_loss"])
+            avg = float(loss_cum) / max(loss_cnt, 1)
+            if writer is not None:
+                writer.add_scalar("train/loss", loss_val, step)
+                for k2, v in parts.items():
+                    if k2 != "total_loss":
+                        writer.add_scalar(f"train/loss_{k2}", float(v), step)
+            if cfg.print_every:
+                log_json(logger, {
+                    "dataset": dataset, "mf": mf, "step": step,
+                    "train/total loss": loss_val,
+                    "train/avg_total_loss": avg,
+                    "time_sec": float(time.time() - t0),
+                    **{f"train/loss_{k2}": float(v) for k2, v in parts.items()
+                       if k2 != "total_loss"},
+                })
 
         if (step % eval_every == 0) or (step == max_steps):
             metrics = eval_now(step)

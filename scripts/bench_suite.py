@@ -1,0 +1,205 @@
+"""Benchmark suite covering BASELINE.md's five configs.
+
+Prints one JSON line per config (the driver's headline metric stays in
+bench.py; this suite is the full evidence set):
+
+1. tabfquad-scale brute-force fp32 MaxSim + nDCG@5 sanity (CPU-semantics oracle)
+2. ColQwen-scale batched fused bf16 Pallas MaxSim vs the fp32 oracle
+3. token-pooled compressed index + InfoNCE distillation (quality recovery)
+4. iterative liscore distillation (flagship loss) on the synthetic suite
+5. 1M-page compressed corpus: doc-sharded index, device-side top-k +
+   all-gather merge, queries/sec + exactness check on a subsample
+
+Run on the TPU:  python scripts/bench_suite.py [--configs 1 2 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def _emit(**kw):
+    print(json.dumps(kw))
+
+
+def _fetch(x):
+    """Force device->host (honest timing on the remote-TPU backend)."""
+    return np.asarray(x)
+
+
+def config1_bruteforce_fp32():
+    import jax.numpy as jnp
+
+    from evdr_tpu.data.packing import preprocess_docs, preprocess_queries
+    from evdr_tpu.data.synthetic import make_synthetic_corpus
+    from evdr_tpu.eval.evaluator import CustomRetrievalEvaluator, eval_retrieval
+    from evdr_tpu.ops.maxsim import maxsim_numpy
+
+    c = make_synthetic_corpus(n_docs=70, n_queries=64, dim=128,
+                              doc_len_range=(500, 900), seed=0)
+    P, pmask, _ = preprocess_docs(c["documents"], c["doc_attnmask"], c["doc_imgmask"])
+    Q, qmask = preprocess_queries(c["query"], c["query_attnmask"])
+    ev = CustomRetrievalEvaluator()
+    t0 = time.perf_counter()
+    m = eval_retrieval(ev, jnp.asarray(Q), jnp.asarray(qmask), jnp.asarray(P),
+                       jnp.asarray(pmask), c["relevant_docs"],
+                       c["docidx_2_docid"], c["qsidx_2_query"], impl="xla")
+    dt = time.perf_counter() - t0
+    _emit(config=1, metric="tabfquad_bruteforce_ndcg5", value=m["NDCG"]["NDCG@5"],
+          unit="ndcg@5", wall_s=round(dt, 2), latency_ms_per_q=round(m["latency"], 3))
+
+
+def config2_fused_bf16_vs_oracle():
+    import jax
+    import jax.numpy as jnp
+
+    from evdr_tpu.ops.maxsim import maxsim_numpy
+    from evdr_tpu.ops.pallas_maxsim import maxsim_pallas
+
+    rng = np.random.default_rng(0)
+
+    def unit(x):
+        return x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+
+    nq, lq, nd, lp, d = 256, 32, 1000, 768, 128
+    Q = unit(rng.normal(size=(nq, lq, d))).astype(np.float32)
+    P = unit(rng.normal(size=(nd, lp, d))).astype(np.float32)
+    qm = rng.random((nq, lq)) > 0.15
+    pm = rng.random((nd, lp)) > 0.1
+
+    Qd, Pd, qmd, pmd = map(jnp.asarray, (Q, P, qm, pm))
+    got = _fetch(maxsim_pallas(Qd, Pd, qmd, pmd))
+    want = maxsim_numpy(Q[:32], P, qm[:32], pm)
+    err = float(np.abs(got[:32] - want).max())
+
+    # K chained applications in ONE program amortize the remote-dispatch RTT;
+    # big arrays ride as jit arguments (closures would inline them)
+    K = 4
+
+    def chained(q, p, qmk, pmk):
+        total = jnp.float32(0)
+        for i in range(K):
+            total = total + jnp.sum(maxsim_pallas(jnp.roll(q, i, axis=0), p, qmk, pmk))
+        return total
+
+    g = jax.jit(chained)
+    float(g(Qd, Pd, qmd, pmd))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(g(Qd, Pd, qmd, pmd))
+        best = min(best, time.perf_counter() - t0)
+    dt = best / K
+    flops = 2 * nq * lq * nd * lp * d
+    _emit(config=2, metric="fused_bf16_maxsim", value=round(nq / dt, 1), unit="q/s",
+          tflops=round(flops / dt / 1e12, 1), max_abs_err_vs_fp32=round(err, 5))
+
+
+def config3_pooled_infonce():
+    _train_config(loss="infonce_distill", temp=0.07, tag="pooled_infonce", config=3)
+
+
+def config4_iter_liscore():
+    _train_config(loss="liscore", temp=0.1, tag="iter_liscore", config=4)
+
+
+def _train_config(loss, temp, tag, config):
+    from evdr_tpu.data.synthetic import write_dataset_fixture
+    from evdr_tpu.train.config import TrainConfig
+    from evdr_tpu.train.harness import run_training
+
+    root = pathlib.Path(tempfile.mkdtemp())
+    write_dataset_fixture(root, key="benchfx", n_docs=64, n_test_queries=48,
+                          n_train_queries=512, dim=128, mfs=(4,), seed=0,
+                          init_noise=0.7, doc_len_range=(60, 120))
+    cfg = TrainConfig(
+        datasets=["benchfx"], query_root=str(root), teacher_root=str(root),
+        init_root=str(root / "S3E_init"), mfs=[4], out_root=str(root / "res"),
+        name=tag, loss=loss, temp=temp, k=10, max_steps=800, eval_every=200,
+        print_every=0, q_batch=32, lr=3e-3, chunk_p=64)
+    t0 = time.perf_counter()
+    r = run_training(cfg)
+    dt = time.perf_counter() - t0
+    best = r["benchfx/mf4"]["summary/best_ndcg5"]
+    _emit(config=config, metric=f"{tag}_best_ndcg5", value=best["NDCG@5"],
+          unit="ndcg@5", recall1=best["Recall@1"], wall_s=round(dt, 1),
+          steps_per_s=round(800 / dt, 1))
+
+
+def config5_million_pages(n_pages: int = 1_000_000, tokens: int = 16, d: int = 128):
+    import jax
+    import jax.numpy as jnp
+
+    from evdr_tpu.parallel import (build_sharded_index, make_mesh, replicate,
+                                   sharded_topk)
+
+    import ml_dtypes
+
+    mesh = make_mesh()  # all available devices (1 real chip here; N on a pod)
+    rng = np.random.default_rng(0)
+
+    # compressed student-index scale: mf~50 -> ~16 tokens/page.
+    # generated chunkwise straight into bf16 to bound host RAM at ~4GB
+    def unit(x):
+        return x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+
+    P = np.empty((n_pages, tokens, d), dtype=ml_dtypes.bfloat16)
+    chunk = 65536
+    for s in range(0, n_pages, chunk):
+        e = min(s + chunk, n_pages)
+        P[s:e] = unit(rng.normal(size=(e - s, tokens, d)).astype(np.float32))
+    pm = np.ones((n_pages, tokens), dtype=bool)
+    index = build_sharded_index(P, pm, mesh, dtype="bfloat16", pad_docs_to=64)
+
+    nq, lq = 64, 32
+    Q = unit(rng.normal(size=(nq, lq, d))).astype(np.float32)
+    qm = rng.random((nq, lq)) > 0.15
+    Qd = replicate(jnp.asarray(Q), mesh)
+    qmd = replicate(jnp.asarray(qm), mesh)
+
+    k = 10
+    vals, idx = sharded_topk(Qd, qmd, index, k=k, chunk_p=4096, impl="pallas")
+    vals_h, idx_h = _fetch(vals), _fetch(idx)
+
+    # exactness on a subsample of queries vs a brute-force row scan
+    from evdr_tpu.ops.maxsim import maxsim_xla
+
+    sub = 4
+    sc = _fetch(maxsim_xla(jnp.asarray(Q[:sub]), index.P, jnp.asarray(qm[:sub]),
+                           index.pmask, chunk_p=8192))[:, :n_pages]
+    ok = True
+    for q in range(sub):
+        want = set(np.argsort(-sc[q])[:k].tolist())
+        ok = ok and set(idx_h[q].tolist()) == want
+
+    t0 = time.perf_counter()
+    vals2, idx2 = sharded_topk(Qd, qmd, index, k=k, chunk_p=4096, impl="pallas")
+    _fetch(vals2)
+    dt = time.perf_counter() - t0
+    _emit(config=5, metric="million_page_topk", value=round(nq / dt, 1), unit="q/s",
+          n_pages=n_pages, tokens_per_page=tokens, k=k, exact_on_subsample=ok,
+          devices=int(mesh.devices.size))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--configs", type=int, nargs="+", default=[1, 2, 3, 4, 5])
+    a = p.parse_args()
+    fns = {1: config1_bruteforce_fp32, 2: config2_fused_bf16_vs_oracle,
+           3: config3_pooled_infonce, 4: config4_iter_liscore,
+           5: config5_million_pages}
+    for c in a.configs:
+        fns[c]()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,45 @@
+import numpy as np
+import pytest
+
+from evdr_tpu.data.synthetic import make_synthetic_corpus, save_synthetic_npz
+from evdr_tpu.engine import RetrievalEngine
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_synthetic_corpus(n_docs=30, n_queries=12, dim=64, seed=5)
+
+
+def test_engine_from_npz_and_search(tmp_path, corpus):
+    path = tmp_path / "dump.npz"
+    save_synthetic_npz(path, corpus)
+    eng = RetrievalEngine.from_npz(path)
+    assert eng.n_docs == 30
+    ids, scores = eng.search(corpus["query"], corpus["query_attnmask"], k=5)
+    assert len(ids) == 12 and scores.shape == (12, 5)
+    # the relevant page should be retrieved at rank 1 on the easy corpus
+    hits = 0
+    for q in range(12):
+        gt = next(iter(corpus["relevant_docs"][str(corpus["qsidx_2_query"][q])]))
+        hits += ids[q][0] == gt
+    assert hits >= 10
+
+
+def test_engine_scores_match_topk(corpus):
+    from evdr_tpu.data.packing import preprocess_docs, preprocess_queries
+
+    eng = RetrievalEngine(dtype=None, impl="xla")  # fp32 index for exactness
+    eng.build_from_ragged(corpus["documents"], corpus["doc_attnmask"],
+                          corpus["doc_imgmask"], docids=corpus["docid"])
+    Q, qmask = preprocess_queries(corpus["query"], corpus["query_attnmask"])
+    full = eng.score_all(Q, qmask)
+    vals, idx = eng.search_dense(Q, qmask, k=7)
+    for q in range(Q.shape[0]):
+        want = np.sort(full[q])[::-1][:7]
+        np.testing.assert_allclose(np.asarray(vals[q]), want, rtol=1e-5, atol=1e-5)
+
+
+def test_engine_requires_index():
+    eng = RetrievalEngine()
+    with pytest.raises(RuntimeError):
+        eng.search_dense(np.zeros((1, 2, 8)), np.ones((1, 2), bool))
