@@ -28,8 +28,8 @@ _DATASETS = {
 }
 
 
-def _entry(stem: str, has_split: bool) -> Dict[str, str]:
-    e = {f"mf{mf}": f"mf{mf}/{stem}.npz" for mf in MF_FACTORS}
+def _entry(stem: str, has_split: bool, mfs=MF_FACTORS) -> Dict[str, str]:
+    e = {f"mf{mf}": f"mf{mf}/{stem}.npz" for mf in mfs}
     e["split_before"] = f"{stem}_dump_all.npz"
     e["pseudoQ"] = f"{stem}_query.npz"
     if has_split:
@@ -43,8 +43,9 @@ DATASETMAP: Dict[str, Dict[str, str]] = {
 }
 
 
-def register_dataset(key: str, stem: str, has_split: bool = False) -> Dict[str, str]:
+def register_dataset(key: str, stem: str, has_split: bool = False,
+                     mfs=MF_FACTORS) -> Dict[str, str]:
     """Register an additional dataset (synthetic fixtures, new corpora)."""
-    entry = _entry(stem, has_split)
+    entry = _entry(stem, has_split, mfs)
     DATASETMAP[key] = entry
     return entry

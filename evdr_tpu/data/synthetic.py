@@ -229,7 +229,7 @@ def write_dataset_fixture(
 
     root = Path(root)
     stem = f"{key}_test"
-    register_dataset(key, stem)
+    register_dataset(key, stem, mfs=tuple(mfs))
 
     teacher = make_synthetic_corpus(
         n_docs=n_docs, n_queries=n_test_queries, dim=dim, seed=seed, **corpus_kw)

@@ -64,6 +64,14 @@ def _pick_tiles(lq: int, lp: int, target_rows: int = 512, target_cols: int = 256
 
 def _kernel(qf_ref, qmf_ref, p_ref, pm_ref, out_ref, acc_ref, *, db, tlp, lq_pad, qb,
             out_dtype, precision):
+    """Transposed-similarity formulation.
+
+    sim^T = Pblk (DB*TLP, D) @ Qblk^T -> (DB*TLP, QBL): with docs on the
+    SUBLANE axis the per-doc segment max is a layout-preserving leading-dim
+    reshape (DB, TLP, QBL) + a reduce over axis 1 — no per-segment slices
+    (the earlier query-major form built DB lane-padded (QBL, 1) intermediates
+    and blew the 16MB scoped-VMEM limit at DB=32).
+    """
     l = pl.program_id(2)
     n_l = pl.num_programs(2)
 
@@ -75,20 +83,16 @@ def _kernel(qf_ref, qmf_ref, p_ref, pm_ref, out_ref, acc_ref, *, db, tlp, lq_pad
     pblk = p_ref[:].reshape(db * tlp, p_ref.shape[-1])
     # NOTE: MXU accumulators must be 32-bit; a bf16 running max (extra cast
     # pass) was measured SLOWER than keeping everything f32 (72 vs 87 TFLOP/s)
-    sim = jax.lax.dot_general(
-        qf_ref[:], pblk,
+    simT = jax.lax.dot_general(
+        pblk, qf_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision,
-    )  # (QBL, DB*TLP)
-    sim = jnp.where(pm_ref[0] > 0.5, sim, NEG_INIT)
+    )  # (DB*TLP, QBL)
+    simT = jnp.where(pm_ref[0] > 0.5, simT, NEG_INIT)  # pm block (DB*TLP, 1)
 
-    # segmented running max over the DB doc segments of TLP tokens each
-    segs = [
-        jnp.max(sim[:, c * tlp:(c + 1) * tlp], axis=1, keepdims=True)
-        for c in range(db)
-    ]
-    blockmax = segs[0] if db == 1 else jnp.concatenate(segs, axis=1)  # (QBL, DB)
+    # segmented running max: docs live on the sublane axis
+    blockmax = jnp.max(simT.reshape(db, tlp, simT.shape[-1]), axis=1)  # (DB, QBL)
     acc_ref[:] = jnp.maximum(acc_ref[:], blockmax)
 
     @pl.when(l == n_l - 1)
@@ -96,20 +100,20 @@ def _kernel(qf_ref, qmf_ref, p_ref, pm_ref, out_ref, acc_ref, *, db, tlp, lq_pad
         acc = acc_ref[:]
         # doc_has_token rule: all-invalid doc -> 0
         mx = jnp.where(acc > NEG_THRESH, acc, 0.0)
-        weighted = mx * qmf_ref[:]  # (QBL, DB) * (QBL, 1)
-        # selector S[r, c] = 1 iff flat token c belongs to query r of this block
+        weighted = mx * qmf_ref[0]  # (DB, QBL) * (1, QBL)
+        # selector S^T[c, r] = 1 iff flat token c belongs to query r
         qbl = qb * lq_pad
-        rows = jax.lax.broadcasted_iota(jnp.int32, (qb, qbl), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (qb, qbl), 1)
-        sel = (cols // lq_pad == rows).astype(jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (qbl, qb), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (qbl, qb), 1)
+        selT = (rows // lq_pad == cols).astype(jnp.float32)
         # always full precision: this matmul is tiny and rounding the weighted
         # maxes to bf16 here would dominate the kernel's overall error
         out = jax.lax.dot_general(
-            sel, weighted,
+            weighted, selT,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (QB, DB)
+        )  # (DB, QB)
         out_ref[0, 0] = out.astype(out_dtype)
 
 
@@ -118,7 +122,7 @@ def _kernel(qf_ref, qmf_ref, p_ref, pm_ref, out_ref, acc_ref, *, db, tlp, lq_pad
 )
 def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
                        interpret: bool = False, target_rows: int = 1024,
-                       target_cols: int = 1024):
+                       target_cols: int = 2048):
     nq, lq, d = Q.shape
     nd, lp, _ = P.shape
     qb, lq_pad, db, tlp = _pick_tiles(lq, lp, target_rows, target_cols)
@@ -143,19 +147,20 @@ def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
 
     qbl = qb * lq_pad
     qf = Qp.reshape(nq_pad * lq_pad, d_pad)
-    qmf = qm.reshape(nq_pad * lq_pad, 1)
-
     n_qb = nq_pad // qb
     n_db = nd_pad // db
     n_lp = lp_pad // tlp
 
+    # query mask rows per q-block: (n_qb, 1, QBL) — broadcast over doc sublanes
+    qmf = qm.reshape(n_qb, 1, qbl)
+
     # pre-tile the doc mask into the kernel's (doc_block, lp_tile) layout:
-    # slot j*n_lp + l = docs [j*db, (j+1)*db) x tokens [l*tlp, (l+1)*tlp), doc-major.
-    # kept 3D with a unit sublane dim to satisfy TPU block-shape constraints.
+    # slot j*n_lp + l = docs [j*db, (j+1)*db) x tokens [l*tlp, (l+1)*tlp),
+    # doc-major, as a (DB*TLP, 1) column (docs live on sublanes in simT)
     pm_t = (
         pm.reshape(n_db, db, n_lp, tlp)
         .transpose(0, 2, 1, 3)
-        .reshape(n_db * n_lp, 1, db * tlp)
+        .reshape(n_db * n_lp, db * tlp, 1)
     )
 
     # fp32 compute asks the MXU for full-precision passes; bf16 runs one pass
@@ -172,19 +177,20 @@ def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
         grid=(n_qb, n_db, n_lp),
         in_specs=[
             pl.BlockSpec((qbl, d_pad), lambda i, j, l: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qbl, 1), lambda i, j, l: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, qbl), lambda i, j, l: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((db, tlp, d_pad), lambda i, j, l: (j, l, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, db * tlp),
+            pl.BlockSpec((1, db * tlp, 1),
                          lambda i, j, l: (j * pl.num_programs(2) + l, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        # (q_block, doc_block)-major output layout so the (QB, DB) block fills
+        # (q_block, doc_block)-major output layout so the (DB, QB) block fills
         # its last two array dims exactly (TPU block-shape constraint)
-        out_specs=pl.BlockSpec((1, 1, qb, db), lambda i, j, l: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, db, qb), lambda i, j, l: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_qb, n_db, qb, db), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((qbl, db), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((n_qb, n_db, db, qb), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((db, qbl), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=qf.size * qf.dtype.itemsize
@@ -194,7 +200,8 @@ def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
         ),
         interpret=interpret,
     )(qf, qmf, Pp, pm_t)
-    scores = out.transpose(0, 2, 1, 3).reshape(nq_pad, nd_pad)
+    # (n_qb, n_db, db, qb) -> (nq_pad, nd_pad)
+    scores = out.transpose(0, 3, 1, 2).reshape(nq_pad, nd_pad)
     return scores[:nq, :nd]
 
 

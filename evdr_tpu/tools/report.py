@@ -25,7 +25,7 @@ TAIL_LINES = 3000
 
 
 def parse_train_log(train_log: Path) -> Optional[Dict[str, float]]:
-    """Last summary/best_ndcg5 line -> {"N@5": pct, "R@1": pct} or None."""
+    """Last summary/best_ndcg5 line -> {"N@5": pct, "R@1": pct, "step": int}."""
     if not train_log.exists():
         return None
     try:
@@ -51,7 +51,11 @@ def parse_train_log(train_log: Path) -> Optional[Dict[str, float]]:
             ndcg *= 100.0
         if 0.0 <= recall <= 1.0:
             recall *= 100.0
-        return {"N@5": ndcg, "R@1": recall}
+        out = {"N@5": ndcg, "R@1": recall}
+        step = d.get("step", d.get("epoch"))
+        if step is not None:
+            out["step"] = int(step)
+        return out
     return None
 
 
@@ -93,11 +97,40 @@ def build_sheets(collected) -> Dict[str, list]:
     return sheets
 
 
-def write_report(root, out_xlsx) -> Dict[str, list]:
+def build_single_exp_sheets(collected) -> Dict[str, list]:
+    """Single-experiment layout (reference summary_result_1exp.py:105-135):
+    one row per mf sheet — ``metric | <ds>_N@5 <ds>_R@1 ... | averages`` —
+    plus a best-step row."""
+    sheets = {}
+    for mf in sorted(collected, key=lambda s: int(s[2:]) if s[2:].isdigit() else 0):
+        per_ds: Dict[str, Dict[str, float]] = {}
+        for setting in collected[mf].values():
+            per_ds.update(setting)
+        datasets = sorted(per_ds)
+        header = ["metric"]
+        for d in datasets:
+            header += [f"{d}_N@5", f"{d}_R@1"]
+        header += ["average_N@5", "average_R@1"]
+        row = ["best_ndcg5"]
+        steps = ["best_step"]
+        n5s, r1s = [], []
+        for d in datasets:
+            m = per_ds[d]
+            row += [round(m["N@5"], 1), round(m["R@1"], 1)]
+            steps += [m.get("step"), None]
+            n5s.append(m["N@5"])
+            r1s.append(m["R@1"])
+        row += [round(sum(n5s) / len(n5s), 1) if n5s else None,
+                round(sum(r1s) / len(r1s), 1) if r1s else None]
+        sheets[mf] = [header, row, steps]
+    return sheets
+
+
+def write_report(root, out_xlsx, single: bool = False) -> Dict[str, list]:
     collected = collect_results(root)
     if not collected:
         raise FileNotFoundError(f"no parseable train.log under {root}")
-    sheets = build_sheets(collected)
+    sheets = build_single_exp_sheets(collected) if single else build_sheets(collected)
     write_xlsx(out_xlsx, sheets)
     out_xlsx = Path(out_xlsx)
     for mf, rows in sheets.items():
@@ -110,8 +143,10 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("results_root")
     p.add_argument("out_xlsx")
+    p.add_argument("--single", action="store_true",
+                   help="single-experiment layout (summary_result_1exp.py)")
     a = p.parse_args(argv)
-    sheets = write_report(a.results_root, a.out_xlsx)
+    sheets = write_report(a.results_root, a.out_xlsx, single=a.single)
     for mf, rows in sheets.items():
         print(f"[report] {mf}: {len(rows) - 1} settings x {len(rows[0]) - 3} columns")
     print(f"[report] -> {a.out_xlsx}")

@@ -472,10 +472,16 @@ def update_best(best: Optional[Dict[str, Any]], metrics: Dict[str, Any],
 def save_best_npz(out_dir: Path, fname: str, *, cfg: TrainConfig, dataset: str,
                   mf: int, step: int, best: Dict, metrics: Dict,
                   param, pmask_student, docid, doc_attn_in, doc_img_in) -> None:
-    """Export the unnormalized masked student as a compressed index npz
-    (mainv2_iter_liscore.py:428-463)."""
-    P_np = np.asarray(param * pmask_student[..., None].astype(jnp.float32),
-                      dtype=np.float32)
+    """Export the student as a compressed index npz.
+
+    Convention parity: iter-family scripts save the UNNORMALIZED masked param
+    (mainv2_iter_liscore.py:428-463); epoch-family scripts save the NORMALIZED
+    student (mainv2_distill_infonce.py:364,439). Selected by cfg.trainer.
+    """
+    P_masked = param * pmask_student[..., None].astype(jnp.float32)
+    if cfg.trainer == "epoch":
+        P_masked = l2_normalize(P_masked)
+    P_np = np.asarray(P_masked, dtype=np.float32)
     pm_np = np.asarray(pmask_student, dtype=bool)
     docs_obj = tokens_to_object(P_np, pm_np)
     save_compressed_npz(

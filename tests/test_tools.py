@@ -151,7 +151,9 @@ def test_parse_train_log(tmp_path):
     log = tmp_path / "train.log"
     _fake_train_log(log, 0.81309, 0.7)
     got = parse_train_log(log)
-    assert got == {"N@5": pytest.approx(81.309), "R@1": pytest.approx(70.0)}
+    assert got["N@5"] == pytest.approx(81.309)
+    assert got["R@1"] == pytest.approx(70.0)
+    assert got["step"] == 7
 
 
 def test_write_report(tmp_path):
