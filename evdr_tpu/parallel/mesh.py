@@ -16,6 +16,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DOC_AXIS = "docs"
+DP_AXIS = "dp"
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = DOC_AXIS) -> Mesh:
@@ -25,6 +26,21 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = DOC_AXIS) -> Mesh:
             raise ValueError(f"need {n_devices} devices, have {len(devs)}")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
+
+
+def make_mesh_2d(dp: int, docs: int) -> Mesh:
+    """2D mesh: query data-parallel groups x doc shards.
+
+    Layout intent: the ``docs`` axis should ride ICI (index shards exchange
+    top-k candidates), the ``dp`` axis needs no communication at all during
+    serving (each group owns its queries; the index is replicated across
+    groups) and may span DCN on multi-slice deployments.
+    """
+    devs = jax.devices()
+    if dp * docs > len(devs):
+        raise ValueError(f"need {dp * docs} devices, have {len(devs)}")
+    grid = np.array(devs[: dp * docs]).reshape(dp, docs)
+    return Mesh(grid, (DP_AXIS, DOC_AXIS))
 
 
 def shard_docs(x, mesh: Mesh, axis: str = DOC_AXIS):

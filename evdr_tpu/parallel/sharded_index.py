@@ -48,8 +48,10 @@ def build_sharded_index(P, pmask, mesh: Mesh, docids=None, dtype=None,
             P = P.astype(np_dtype)
     pmask = np.asarray(pmask, dtype=bool)
     n = P.shape[0]
-    # each local shard must itself be a multiple of pad_docs_to
-    quantum = mesh.devices.size * max(1, int(pad_docs_to))
+    # shard count = size of the DOC axis (a 2D dp x docs mesh replicates the
+    # index across dp groups); each local shard a multiple of pad_docs_to
+    n_shards = dict(mesh.shape).get("docs", mesh.devices.size)
+    quantum = n_shards * max(1, int(pad_docs_to))
     n_pad = ((n + quantum - 1) // quantum) * quantum
     if n_pad != n:
         P = np.pad(P, ((0, n_pad - n), (0, 0), (0, 0)))

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from evdr_tpu.ops.maxsim import maxsim_xla
-from evdr_tpu.parallel.mesh import DOC_AXIS
+from evdr_tpu.parallel.mesh import DOC_AXIS, DP_AXIS
 from evdr_tpu.parallel.sharded_index import ShardedIndex
 
 
@@ -30,16 +30,23 @@ def _local_scores(Q, qmask, P_loc, pm_loc, chunk_p: int, impl: str):
     return maxsim_xla(Q, P_loc, qmask, pm_loc, chunk_p=chunk_p)
 
 
+def _q_spec(mesh) -> P:
+    """Queries shard over the dp axis on 2D meshes, replicate on 1D."""
+    return P(DP_AXIS) if DP_AXIS in mesh.axis_names else P()
+
+
 def sharded_maxsim(Q, qmask, index: ShardedIndex, chunk_p: int = 128,
                    impl: str = "xla") -> jnp.ndarray:
-    """Full (Q, N) scores, output sharded over the doc axis."""
+    """Full (Q, N) scores, sharded over (dp-groups x doc shards)."""
     mesh = index.mesh
+    qs = _q_spec(mesh)
+    row_axis = DP_AXIS if DP_AXIS in mesh.axis_names else None
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(DOC_AXIS), P(DOC_AXIS)),
-        out_specs=P(None, DOC_AXIS),
+        in_specs=(qs, qs, P(DOC_AXIS), P(DOC_AXIS)),
+        out_specs=P(row_axis, DOC_AXIS),
     )
     def score(Qr, qmr, P_loc, pm_loc):
         return _local_scores(Qr, qmr, P_loc, pm_loc, chunk_p, impl)
@@ -57,18 +64,20 @@ def sharded_topk(Q, qmask, index: ShardedIndex, k: int, chunk_p: int = 128,
     of O(N).
     """
     mesh = index.mesh
-    world = mesh.devices.size
+    world = dict(mesh.shape).get(DOC_AXIS, mesh.devices.size)
     n_pad = index.n_pad
     shard_size = n_pad // world
     k_local = min(k, shard_size)
+    qs = _q_spec(mesh)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(DOC_AXIS), P(DOC_AXIS)),
-        out_specs=(P(), P()),
-        # outputs ARE replicated (identical merge on every device) but the
-        # varying-manual-axes checker can't infer that through all_gather
+        in_specs=(qs, qs, P(DOC_AXIS), P(DOC_AXIS)),
+        out_specs=(qs, qs),
+        # outputs ARE replicated across the doc axis (identical merge on
+        # every doc shard) but the varying-manual-axes checker can't infer
+        # that through all_gather
         check_vma=False,
     )
     def topk_local_merge(Qr, qmr, P_loc, pm_loc):
