@@ -167,8 +167,13 @@ def pooled_init_index(payload: Dict, mf: int, seed: int = 0,
             [np.mean(chunk, axis=0) for chunk in np.array_split(toks, li)]
         ).astype(np.float32)
         if init_noise > 0:
-            pooled = pooled + init_noise * rng.normal(size=pooled.shape).astype(
-                np.float32)
+            # RELATIVE noise: perturbation norm ~= init_noise * token norm,
+            # independent of dim (absolute per-component noise at high dim
+            # would drown unit-norm embeddings entirely)
+            g = rng.normal(size=pooled.shape).astype(np.float32)
+            g *= 1.0 / np.sqrt(pooled.shape[-1])
+            norms = np.linalg.norm(pooled, axis=-1, keepdims=True)
+            pooled = pooled + init_noise * norms * g
         out_docs[i] = pooled
         out_attn[i] = np.ones(pooled.shape[0], dtype=bool)
         out_img[i] = np.ones(pooled.shape[0], dtype=bool)

@@ -377,6 +377,13 @@ def _hardtoken_aux(cfg, total, parts, param, Ps, sc_s, sc_t, Qb, qmb,
     rank_s = jnp.argsort(jnp.argsort(-sc_s_ng, axis=-1), axis=-1)
     gap = (rank_t - rank_s).astype(jnp.float32)
 
+    # diagnostic: per-doc summed |rank gap|, top docs logged periodically
+    # (mainv3_iter_liscore_QA_hardtoken.py gap-log block)
+    G = jnp.sum(jnp.abs(gap), axis=0)
+    g_top = min(int(cfg.gap_topk), n)
+    gap_top_val, gap_top_idx = jax.lax.top_k(G, g_top)
+    diag = {"_gap_top_val": gap_top_val, "_gap_top_idx": gap_top_idx}
+
     _, topk_idx = jax.lax.top_k(sc_t_ng, k)                    # (B, k)
     gap_topk = jnp.abs(jnp.take_along_axis(gap, topk_idx, axis=1))
     _, aux_pos = jax.lax.top_k(gap_topk, a)                    # (B, a)
@@ -407,7 +414,7 @@ def _hardtoken_aux(cfg, total, parts, param, Ps, sc_s, sc_t, Qb, qmb,
     aux_total, aux_parts = loss_fn(sc_s_v, sc_t_v, None)
     total = total + cfg.lambda_aux * aux_total
     parts = dict(parts, aux=aux_total,
-                 **{f"aux_{k2}": v for k2, v in aux_parts.items()})
+                 **{f"aux_{k2}": v for k2, v in aux_parts.items()}, **diag)
     return total, parts
 
 
@@ -644,11 +651,13 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
         loss_cnt += 1
 
         if (step % log_every == 0) or (step % eval_every == 0) or (step == max_steps):
-            loss_val = float(parts["total_loss"])
+            scalar_parts = {k2: v for k2, v in parts.items()
+                            if not k2.startswith("_")}
+            loss_val = float(scalar_parts["total_loss"])
             avg = float(loss_cum) / max(loss_cnt, 1)
             if writer is not None:
                 writer.add_scalar("train/loss", loss_val, step)
-                for k2, v in parts.items():
+                for k2, v in scalar_parts.items():
                     if k2 != "total_loss":
                         writer.add_scalar(f"train/loss_{k2}", float(v), step)
             if cfg.print_every:
@@ -657,9 +666,18 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
                     "train/total loss": loss_val,
                     "train/avg_total_loss": avg,
                     "time_sec": float(time.time() - t0),
-                    **{f"train/loss_{k2}": float(v) for k2, v in parts.items()
-                       if k2 != "total_loss"},
+                    **{f"train/loss_{k2}": float(v)
+                       for k2, v in scalar_parts.items() if k2 != "total_loss"},
                 })
+
+        if ("_gap_top_val" in parts and cfg.gap_log_every
+                and step % cfg.gap_log_every == 0):
+            # hard-token rank-gap diagnostic (reference gap-log block)
+            log_json(logger, {
+                "dataset": dataset, "mf": mf, "step": step,
+                "gaplog/top_docidx": np.asarray(parts["_gap_top_idx"]).tolist(),
+                "gaplog/top_gap": np.asarray(parts["_gap_top_val"]).tolist(),
+            })
 
         if (step % eval_every == 0) or (step == max_steps):
             metrics = eval_now(step)
@@ -702,6 +720,9 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
 
 def run_training(cfg: TrainConfig) -> Dict[str, Dict[str, Any]]:
     """Outer loop: datasets x mfs (reference main() skeleton)."""
+    from evdr_tpu.utils.timing import enable_persistent_cache
+
+    enable_persistent_cache()
     cfg.validate()
     set_seed(cfg.seed)
     results = {}

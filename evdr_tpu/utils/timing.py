@@ -5,10 +5,25 @@ evaluator/retrieval.py:135-145)."""
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Dict
 
 import jax
+
+
+def enable_persistent_cache(path: str = "/tmp/evdr_jax_cache") -> None:
+    """Turn on JAX's persistent compilation cache (best effort).
+
+    TPU compiles through the remote tunnel take 1-3 minutes; the cache makes
+    repeat invocations (bench reruns, CLI restarts, resumed training) free.
+    """
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 class Timer:

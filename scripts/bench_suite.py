@@ -120,7 +120,7 @@ def _train_config(loss, temp, tag, config):
     root = pathlib.Path(tempfile.mkdtemp())
     write_dataset_fixture(root, key="benchfx", n_docs=64, n_test_queries=48,
                           n_train_queries=512, dim=128, mfs=(4,), seed=0,
-                          init_noise=0.7, doc_len_range=(60, 120))
+                          init_noise=2.5, doc_len_range=(60, 120))
     cfg = TrainConfig(
         datasets=["benchfx"], query_root=str(root), teacher_root=str(root),
         init_root=str(root / "S3E_init"), mfs=[4], out_root=str(root / "res"),
@@ -191,6 +191,9 @@ def config5_million_pages(n_pages: int = 1_000_000, tokens: int = 16, d: int = 1
 
 
 def main():
+    from evdr_tpu.utils.timing import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--configs", type=int, nargs="+", default=[1, 2, 3, 4, 5])
     a = p.parse_args()

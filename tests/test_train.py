@@ -15,10 +15,11 @@ from evdr_tpu.train.harness import run_training, load_dataset_bundle
 @pytest.fixture(scope="module")
 def fixture_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("synthdata")
-    # init_noise degrades the pooled init so distillation has headroom to show
+    # init_noise (relative) degrades the pooled init so distillation has
+    # headroom to demonstrably recover ranking quality
     write_dataset_fixture(root, key="synth", n_docs=12, n_test_queries=10,
                           n_train_queries=48, dim=32, mfs=(5,), seed=0,
-                          init_noise=0.8)
+                          init_noise=2.5)
     return root
 
 
