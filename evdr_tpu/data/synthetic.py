@@ -75,7 +75,10 @@ def make_synthetic_corpus(
         lq = int(rng.integers(query_len_range[0], query_len_range[1] + 1))
         src = docs[tgt]
         take = rng.integers(0, src.shape[0], size=lq)
-        qtok = src[take] + noise * rng.normal(size=(lq, dim))
+        # RELATIVE noise (perturbation norm ~= noise * token norm) so query
+        # difficulty is dim-independent
+        g = rng.normal(size=(lq, dim)) / np.sqrt(dim)
+        qtok = src[take] + noise * g
         queries[q] = unit(qtok).astype(np.float32)
         a = np.ones(lq, dtype=bool)
         a[rng.random(lq) < 0.1] = False
@@ -123,7 +126,8 @@ def make_queries_for_corpus(payload: Dict, n_queries: int, seed: int = 0,
         src = np.asarray(docs[tgt])
         lq = int(rng.integers(query_len_range[0], query_len_range[1] + 1))
         take = rng.integers(0, src.shape[0], size=lq)
-        qtok = src[take] + noise * rng.normal(size=(lq, src.shape[1]))
+        g = rng.normal(size=(lq, src.shape[1])) / np.sqrt(src.shape[1])
+        qtok = src[take] + noise * g  # relative noise, dim-independent
         queries[q] = unit(qtok).astype(np.float32)
         a = np.ones(lq, dtype=bool)
         a[rng.random(lq) < 0.1] = False

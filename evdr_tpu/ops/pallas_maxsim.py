@@ -89,7 +89,10 @@ def _kernel(qf_ref, qmf_ref, p_ref, pm_ref, out_ref, acc_ref, *, db, tlp, lq_pad
         preferred_element_type=jnp.float32,
         precision=precision,
     )  # (DB*TLP, QBL)
-    simT = jnp.where(pm_ref[0] > 0.5, simT, NEG_INIT)  # pm block (DB*TLP, 1)
+    # mask rides as a (1, DB*TLP) row (a trailing unit dim would lane-pad the
+    # HBM array 128x — fatal at 1M docs) and is transposed to a column here
+    pmcol = jnp.transpose(pm_ref[0])  # (DB*TLP, 1)
+    simT = jnp.where(pmcol > 0.5, simT, NEG_INIT)
 
     # segmented running max: docs live on the sublane axis
     blockmax = jnp.max(simT.reshape(db, tlp, simT.shape[-1]), axis=1)  # (DB, QBL)
@@ -114,7 +117,9 @@ def _kernel(qf_ref, qmf_ref, p_ref, pm_ref, out_ref, acc_ref, *, db, tlp, lq_pad
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (DB, QB)
-        out_ref[0, 0] = out.astype(out_dtype)
+        # store qb-major/db-minor: db is 128-aligned for long-doc tiles, so
+        # the (..., qb, db) output array avoids lane padding at large N
+        out_ref[0, 0] = jnp.transpose(out).astype(out_dtype)
 
 
 @functools.partial(
@@ -156,11 +161,11 @@ def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
 
     # pre-tile the doc mask into the kernel's (doc_block, lp_tile) layout:
     # slot j*n_lp + l = docs [j*db, (j+1)*db) x tokens [l*tlp, (l+1)*tlp),
-    # doc-major, as a (DB*TLP, 1) column (docs live on sublanes in simT)
+    # doc-major, stored as rows (kernel transposes to a sublane column)
     pm_t = (
         pm.reshape(n_db, db, n_lp, tlp)
         .transpose(0, 2, 1, 3)
-        .reshape(n_db * n_lp, db * tlp, 1)
+        .reshape(n_db * n_lp, 1, db * tlp)
     )
 
     # fp32 compute asks the MXU for full-precision passes; bf16 runs one pass
@@ -181,15 +186,15 @@ def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((db, tlp, d_pad), lambda i, j, l: (j, l, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, db * tlp, 1),
+            pl.BlockSpec((1, 1, db * tlp),
                          lambda i, j, l: (j * pl.num_programs(2) + l, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        # (q_block, doc_block)-major output layout so the (DB, QB) block fills
+        # (q_block, doc_block)-major output layout so the (QB, DB) block fills
         # its last two array dims exactly (TPU block-shape constraint)
-        out_specs=pl.BlockSpec((1, 1, db, qb), lambda i, j, l: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, qb, db), lambda i, j, l: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_qb, n_db, db, qb), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_qb, n_db, qb, db), jnp.float32),
         scratch_shapes=[pltpu.VMEM((db, qbl), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -200,8 +205,8 @@ def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
         ),
         interpret=interpret,
     )(qf, qmf, Pp, pm_t)
-    # (n_qb, n_db, db, qb) -> (nq_pad, nd_pad)
-    scores = out.transpose(0, 3, 1, 2).reshape(nq_pad, nd_pad)
+    # (n_qb, n_db, qb, db) -> (nq_pad, nd_pad)
+    scores = out.transpose(0, 2, 1, 3).reshape(nq_pad, nd_pad)
     return scores[:nq, :nd]
 
 

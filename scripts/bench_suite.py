@@ -118,13 +118,16 @@ def _train_config(loss, temp, tag, config):
     from evdr_tpu.train.harness import run_training
 
     root = pathlib.Path(tempfile.mkdtemp())
+    # calibrated difficulty: teacher ~1.0, noisy pooled init ~0.39 nDCG@5,
+    # liscore distillation recovers to ~0.89 within 1500 steps (CPU-verified)
     write_dataset_fixture(root, key="benchfx", n_docs=64, n_test_queries=48,
                           n_train_queries=512, dim=128, mfs=(4,), seed=0,
-                          init_noise=2.5, doc_len_range=(60, 120))
+                          init_noise=2.5, noise=1.0, doc_len_range=(60, 120))
+    steps = 1500
     cfg = TrainConfig(
         datasets=["benchfx"], query_root=str(root), teacher_root=str(root),
         init_root=str(root / "S3E_init"), mfs=[4], out_root=str(root / "res"),
-        name=tag, loss=loss, temp=temp, k=10, max_steps=800, eval_every=200,
+        name=tag, loss=loss, temp=temp, k=10, max_steps=steps, eval_every=300,
         print_every=0, q_batch=32, lr=3e-3, chunk_p=64)
     t0 = time.perf_counter()
     r = run_training(cfg)
@@ -132,7 +135,7 @@ def _train_config(loss, temp, tag, config):
     best = r["benchfx/mf4"]["summary/best_ndcg5"]
     _emit(config=config, metric=f"{tag}_best_ndcg5", value=best["NDCG@5"],
           unit="ndcg@5", recall1=best["Recall@1"], wall_s=round(dt, 1),
-          steps_per_s=round(800 / dt, 1))
+          steps_per_s=round(steps / dt, 1))
 
 
 def config5_million_pages(n_pages: int = 1_000_000, tokens: int = 16, d: int = 128):
