@@ -35,10 +35,55 @@ def _q_spec(mesh) -> P:
     return P(DP_AXIS) if DP_AXIS in mesh.axis_names else P()
 
 
+def chunked_topk(scores, k: int, chunk: int = 4096):
+    """Exact top-k over a huge last axis via two-stage selection.
+
+    ``lax.top_k`` over millions of columns is a giant sorting network; chunked
+    per-block top-k + a merge over (n_chunks * k) candidates is exact (every
+    global top-k element is a top-k element of its own chunk) and orders of
+    magnitude faster at 1M docs.
+    """
+    nq, n = scores.shape
+    k = min(k, n)
+    if n <= 2 * chunk:
+        return jax.lax.top_k(scores, k)
+    n_chunks = -(-n // chunk)
+    n_pad = n_chunks * chunk
+    if n_pad != n:
+        scores = jnp.pad(scores, ((0, 0), (0, n_pad - n)),
+                         constant_values=-jnp.inf)
+    s3 = scores.reshape(nq, n_chunks, chunk)
+    kk = min(k, chunk)
+    v1, i1 = jax.lax.top_k(s3, kk)  # (nq, n_chunks, kk)
+    offs = (jnp.arange(n_chunks, dtype=i1.dtype) * chunk)[None, :, None]
+    g1 = (i1 + offs).reshape(nq, n_chunks * kk)
+    v1 = v1.reshape(nq, n_chunks * kk)
+    v2, p2 = jax.lax.top_k(v1, k)
+    return v2, jnp.take_along_axis(g1, p2, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_p", "impl"))
+def _single_device_scores(Q, qmask, P_loc, pm_loc, chunk_p, impl):
+    return _local_scores(Q, qmask, P_loc, pm_loc, chunk_p, impl)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk_p", "impl"))
+def _single_device_topk(Q, qmask, P_loc, pm_loc, k, chunk_p, impl):
+    sc = _local_scores(Q, qmask, P_loc, pm_loc, chunk_p, impl)
+    valid_doc = jnp.any(pm_loc, axis=-1)[None, :]
+    sc = jnp.where(valid_doc, sc, -jnp.inf)
+    return jax.lax.top_k(sc, k)
+
+
 def sharded_maxsim(Q, qmask, index: ShardedIndex, chunk_p: int = 128,
                    impl: str = "xla") -> jnp.ndarray:
     """Full (Q, N) scores, sharded over (dp-groups x doc shards)."""
     mesh = index.mesh
+    if mesh.devices.size == 1:
+        # shard_map measured ~200x slower than plain jit on the remote-TPU
+        # backend; a 1-device mesh needs no collectives anyway
+        sc = _single_device_scores(Q, qmask, index.P, index.pmask, chunk_p, impl)
+        return sc[:, : index.n_docs]
     qs = _q_spec(mesh)
     row_axis = DP_AXIS if DP_AXIS in mesh.axis_names else None
 
@@ -64,6 +109,10 @@ def sharded_topk(Q, qmask, index: ShardedIndex, k: int, chunk_p: int = 128,
     of O(N).
     """
     mesh = index.mesh
+    if mesh.devices.size == 1:
+        vals, idx = _single_device_topk(Q, qmask, index.P, index.pmask,
+                                        min(k, index.n_pad), chunk_p, impl)
+        return vals, idx
     world = dict(mesh.shape).get(DOC_AXIS, mesh.devices.size)
     n_pad = index.n_pad
     shard_size = n_pad // world
@@ -86,7 +135,7 @@ def sharded_topk(Q, qmask, index: ShardedIndex, k: int, chunk_p: int = 128,
         # candidate so they cannot displace true results in the merge
         valid_doc = jnp.any(pm_loc, axis=-1)[None, :]
         sc = jnp.where(valid_doc, sc, -jnp.inf)
-        vals, idx = jax.lax.top_k(sc, k_local)  # (Qn, k_local)
+        vals, idx = chunked_topk(sc, k_local)  # (Qn, k_local)
         my = jax.lax.axis_index(DOC_AXIS)
         gidx = idx + my * shard_size
         # gather candidates from all shards: (world*k_local) per query

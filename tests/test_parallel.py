@@ -171,3 +171,16 @@ def test_sharded_losses_match_dense_directly(mesh):
         float(score_preserving_loss(jnp.asarray(s), jnp.asarray(t))),
     ]
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_chunked_topk_exact_large():
+    from evdr_tpu.parallel.topk import chunked_topk
+
+    rng = np.random.default_rng(0)
+    scores = jnp.asarray(rng.normal(size=(3, 20000)).astype(np.float32))
+    v, i = chunked_topk(scores, 7, chunk=4096)
+    s = np.asarray(scores)
+    for q in range(3):
+        want = np.argsort(-s[q])[:7]
+        np.testing.assert_allclose(np.asarray(v[q]), s[q][want], rtol=1e-6)
+        assert set(np.asarray(i[q]).tolist()) == set(want.tolist())
