@@ -213,3 +213,54 @@ def test_reference_reporter_can_parse_our_logs(tmp_path):
             matched = json.loads(m.group(1))
             break
     assert matched and matched["summary/best_ndcg5"]["NDCG@5"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# pool_index
+# ---------------------------------------------------------------------------
+
+def test_pool_index_mean_and_kmeans(tmp_path):
+    from evdr_tpu.tools.pool_index import build_pooled_index
+
+    c = make_synthetic_corpus(n_docs=6, n_queries=4, dim=16, seed=2,
+                              doc_len_range=(30, 50))
+    src = tmp_path / "dump_all.npz"
+    save_synthetic_npz(src, c)
+    for method in ("mean", "kmeans"):
+        out = tmp_path / method / "mf5" / "x.npz"
+        build_pooled_index(src, out, mf=5, method=method)
+        z = np.load(out, allow_pickle=True)
+        docs = z["documents"]
+        for i in range(6):
+            n_valid = int((np.asarray(c["doc_attnmask"][i], bool)
+                           & np.asarray(c["doc_imgmask"][i], bool)).sum())
+            want_k = max(1, int(round(n_valid / 5)))
+            assert docs[i].shape[0] == want_k, (method, i)
+            assert np.isfinite(docs[i]).all()
+        meta = z["meta"].item()
+        assert meta["mf"] == 5 and meta["method"] == method
+
+
+def test_pooled_init_trains(tmp_path):
+    """pool_index output plugs directly into the trainer as the init index."""
+    from evdr_tpu.tools.pool_index import build_pooled_index
+    from evdr_tpu.data.registry import register_dataset
+    from evdr_tpu.train.config import TrainConfig
+    from evdr_tpu.train.harness import run_training
+    from evdr_tpu.data.synthetic import make_queries_for_corpus
+
+    c = make_synthetic_corpus(n_docs=10, n_queries=8, dim=16, seed=3)
+    save_synthetic_npz(tmp_path / "pooled_test_dump_all.npz", c)
+    qp = make_queries_for_corpus(c, n_queries=24, seed=9)
+    save_synthetic_npz(tmp_path / "pooled_test_query.npz", qp)
+    build_pooled_index(tmp_path / "pooled_test_dump_all.npz",
+                       tmp_path / "init" / "mf5" / "pooled_test.npz",
+                       mf=5, method="kmeans")
+    register_dataset("pooledfx", "pooled_test", mfs=(5,))
+    cfg = TrainConfig(datasets=["pooledfx"], query_root=str(tmp_path),
+                      teacher_root=str(tmp_path), init_root=str(tmp_path / "init"),
+                      mfs=[5], out_root=str(tmp_path / "res"), loss="liscore",
+                      max_steps=3, eval_every=3, print_every=0, q_batch=8,
+                      k=4, chunk_p=8)
+    results = run_training(cfg)
+    assert "pooledfx/mf5" in results
