@@ -136,6 +136,7 @@ def score_multi_vector(
     batch_size: int = 128,
     chunk_p: int = 128,
     impl: str = "auto",
+    timing: Optional[list] = None,
 ) -> np.ndarray:
     """Ragged list-of-(Li,D) scorer (reference retrieval.py:101-150).
 
@@ -161,6 +162,8 @@ def score_multi_vector(
             out[i, L - s.shape[0]:] = s
         return out
 
+    import time as _time
+
     rows = []
     for i in range(0, len(qs), batch_size):
         qb = pad_right(qs[i : i + batch_size])
@@ -171,8 +174,13 @@ def score_multi_vector(
             pm = np.ones(pb.shape[:2], dtype=bool)
             # unmasked semantics: zero pad tokens participate in the max,
             # exactly like the reference's unmasked einsum (:136)
+            t0 = _time.perf_counter()
             sc = maxsim(qb, pb, qm, pm, chunk_p=chunk_p, impl=impl)
-            cols.append(np.asarray(sc))
+            sc = np.asarray(sc)  # host fetch = honest per-batch-pair timing
+            if timing is not None:
+                # per-batch-pair kernel wall time (reference retrieval.py:135-145)
+                timing.append(_time.perf_counter() - t0)
+            cols.append(sc)
         rows.append(np.concatenate(cols, axis=1))
     scores = np.concatenate(rows, axis=0)
     assert scores.shape[0] == len(qs)

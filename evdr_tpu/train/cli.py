@@ -74,6 +74,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--lambda_aux", type=float, default=defaults.lambda_aux)
     p.add_argument("--aux_docs", type=int, default=defaults.aux_docs)
 
+    p.add_argument("--save_period", type=int, default=defaults.save_period)
+    p.add_argument("--debug_invariants", action="store_true")
     p.add_argument("--chunk_p", type=int, default=defaults.chunk_p)
     p.add_argument("--score_impl", type=str, default=defaults.score_impl,
                    choices=("xla", "pallas", "auto"))

@@ -73,6 +73,13 @@ class TrainConfig:
     gap_log_every: int = 500
     gap_topk: int = 10
 
+    # periodic export (mainv1.py:375-395: compressed_ep{N}.npz every
+    # save_period epochs; 0 disables). Counted in epochs for the epoch
+    # trainer, in eval periods for the iter trainer.
+    save_period: int = 0
+    # print masked-gradient/param invariants (mainv1.py:74-87 diagnostics)
+    debug_invariants: bool = False
+
     # engine
     chunk_p: int = 128
     score_impl: str = "xla"                # 'xla' | 'pallas' | 'auto'

@@ -679,6 +679,26 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
                 "gaplog/top_gap": np.asarray(parts["_gap_top_val"]).tolist(),
             })
 
+        if cfg.debug_invariants and step % log_every == 0:
+            # masked-token invariants (mainv1.py:74-87): parameters at
+            # masked-out positions must stay exactly 0 through training
+            masked_abs = float(jnp.max(jnp.abs(
+                param * (~pmask_student)[..., None].astype(param.dtype))))
+            log_json(logger, {
+                "dataset": dataset, "mf": mf, "step": step,
+                "debug/masked_param_absmax": masked_abs,
+            })
+
+        if cfg.save_period and step % (cfg.save_period * (
+                1 if cfg.trainer == "iter" else max(1, n_train // batch))) == 0:
+            # periodic compressed export (mainv1.py:375-395)
+            save_best_npz(out_dir, f"compressed_ep{step}.npz", cfg=cfg,
+                          dataset=dataset, mf=mf, step=step,
+                          best={"step": step}, metrics=last_metrics,
+                          param=param, pmask_student=pmask_student,
+                          docid=bundle.docid_teacher,
+                          doc_attn_in=doc_attn_in, doc_img_in=doc_img_in)
+
         if (step % eval_every == 0) or (step == max_steps):
             metrics = eval_now(step)
             last_metrics = metrics

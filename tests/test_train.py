@@ -157,3 +157,19 @@ def test_cli_roundtrip(fixture_root, tmp_path):
     from evdr_tpu.train.harness import run_training as rt
 
     rt(cfg)
+
+
+def test_save_period_and_invariants(fixture_root, tmp_path):
+    cfg = _cfg(fixture_root, tmp_path, max_steps=6, eval_every=6, name="sp",
+               save_period=3, debug_invariants=True, print_every=2)
+    run_training(cfg)
+    out_dir = Path(cfg.out_root) / "sp" / "mf5" / "synth"
+    assert (out_dir / "compressed_ep3.npz").exists()
+    assert (out_dir / "compressed_ep6.npz").exists()
+    log = (out_dir / "train.log").read_text()
+    assert "debug/masked_param_absmax" in log
+    # the invariant itself: masked params stay exactly 0
+    for line in log.splitlines():
+        if "masked_param_absmax" in line:
+            payload = json.loads(line[line.index("{"):])
+            assert payload["debug/masked_param_absmax"] == 0.0
