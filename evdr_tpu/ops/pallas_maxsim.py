@@ -222,14 +222,33 @@ def maxsim_pallas(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
                               interpret=interpret)
 
 
+# fused Pallas backward (recompute + indicator matmuls); set False to fall
+# back to differentiating the chunked XLA oracle instead
+FUSED_BACKWARD = True
+
+
 def _fwd(Q, P, qmask, pmask, compute_dtype, interpret):
+    if FUSED_BACKWARD:
+        from evdr_tpu.ops.pallas_maxsim_bwd import maxsim_pallas_fwd_train
+
+        out, M = maxsim_pallas_fwd_train(Q, P, qmask, pmask,
+                                         compute_dtype=compute_dtype,
+                                         interpret=interpret)
+        return out, (Q, P, qmask, pmask, M)
     out = _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=compute_dtype,
                              interpret=interpret)
-    return out, (Q, P, qmask, pmask)
+    return out, (Q, P, qmask, pmask, None)
 
 
 def _bwd(compute_dtype, interpret, res, g):
-    Q, P, qmask, pmask = res
+    Q, P, qmask, pmask, M = res
+    if FUSED_BACKWARD and M is not None:
+        from evdr_tpu.ops.pallas_maxsim_bwd import maxsim_pallas_bwd
+
+        dq, dp = maxsim_pallas_bwd(Q, P, qmask, pmask, M, g,
+                                   compute_dtype=compute_dtype,
+                                   interpret=interpret)
+        return dq.astype(Q.dtype), dp.astype(P.dtype), None, None
     _, vjp = jax.vjp(lambda q, p: _maxsim_xla(q, p, qmask, pmask), Q, P)
     dq, dp = vjp(g.astype(jnp.float32))
     return dq, dp, None, None

@@ -1,0 +1,84 @@
+"""Fused Pallas backward parity vs the XLA-oracle VJP (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evdr_tpu.data.packing import l2_normalize, preprocess_docs, preprocess_queries
+from evdr_tpu.data.synthetic import make_synthetic_corpus
+from evdr_tpu.ops.maxsim import maxsim_numpy, maxsim_xla
+from evdr_tpu.ops.pallas_maxsim_bwd import maxsim_pallas_bwd, maxsim_pallas_fwd_train
+
+
+def _inputs(seed=0, n_docs=7, n_queries=5, dim=32, **kw):
+    c = make_synthetic_corpus(n_docs=n_docs, n_queries=n_queries, dim=dim,
+                              seed=seed, **kw)
+    P, pmask, _ = preprocess_docs(c["documents"], c["doc_attnmask"], c["doc_imgmask"])
+    Q, qmask = preprocess_queries(c["query"], c["query_attnmask"])
+    Pn = np.asarray(l2_normalize(P * pmask[..., None].astype(np.float32)))
+    return (jnp.asarray(Q), jnp.asarray(Pn), jnp.asarray(qmask), jnp.asarray(pmask))
+
+
+def test_fwd_train_scores_match_oracle():
+    Q, P, qmask, pmask = _inputs(seed=1, n_docs=9, n_queries=6)
+    want = maxsim_numpy(np.asarray(Q), np.asarray(P), np.asarray(qmask),
+                        np.asarray(pmask))
+    got, M = maxsim_pallas_fwd_train(Q, P, qmask, pmask, jnp.float32, True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+    assert np.isfinite(np.asarray(M)).all() or True  # M may hold NEG_INIT fills
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_fused_bwd_matches_xla_vjp(seed):
+    Q, P, qmask, pmask = _inputs(seed=seed, n_docs=8, n_queries=5, dim=32)
+    rng = np.random.default_rng(seed)
+    g = jnp.asarray(rng.normal(size=(Q.shape[0], P.shape[0])).astype(np.float32))
+
+    _, vjp = jax.vjp(lambda q, p: maxsim_xla(q, p, qmask, pmask, chunk_p=4), Q, P)
+    dq_want, dp_want = vjp(g)
+
+    _, M = maxsim_pallas_fwd_train(Q, P, qmask, pmask, jnp.float32, True)
+    dq, dp = maxsim_pallas_bwd(Q, P, qmask, pmask, M, g, jnp.float32, True)
+
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_want),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_bwd_with_fully_masked_doc():
+    Q, P, qmask, pmask = _inputs(seed=5, n_docs=6, n_queries=4)
+    pmask = np.asarray(pmask).copy()
+    pmask[2] = False
+    pmask = jnp.asarray(pmask)
+    rng = np.random.default_rng(0)
+    g = jnp.asarray(rng.normal(size=(Q.shape[0], P.shape[0])).astype(np.float32))
+
+    _, vjp = jax.vjp(lambda q, p: maxsim_xla(q, p, qmask, pmask, chunk_p=4), Q, P)
+    dq_want, dp_want = vjp(g)
+    _, M = maxsim_pallas_fwd_train(Q, P, qmask, pmask, jnp.float32, True)
+    dq, dp = maxsim_pallas_bwd(Q, P, qmask, pmask, M, g, jnp.float32, True)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_want),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_want),
+                               rtol=1e-4, atol=1e-4)
+    # the fully-masked doc receives zero gradient
+    assert np.abs(np.asarray(dp)[2]).max() == 0.0
+
+
+def test_custom_vjp_end_to_end_interpret():
+    from evdr_tpu.ops.pallas_maxsim import maxsim_pallas
+
+    Q, P, qmask, pmask = _inputs(seed=7, n_docs=5, n_queries=4)
+
+    def loss_pallas(p):
+        return jnp.sum(maxsim_pallas(Q, p, qmask, pmask, jnp.float32, True) ** 2)
+
+    def loss_xla(p):
+        return jnp.sum(maxsim_xla(Q, p, qmask, pmask) ** 2)
+
+    g1 = jax.grad(loss_pallas)(P)
+    g2 = jax.grad(loss_xla)(P)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
+                               atol=1e-4)
