@@ -25,17 +25,24 @@ from evdr_tpu.parallel.topk import sharded_maxsim, sharded_topk
 
 class RetrievalEngine:
     def __init__(self, mesh=None, dtype: str = "bfloat16", chunk_p: int = 512,
-                 impl: str = "auto", normalize: bool = True):
+                 impl: str = "auto", normalize: bool = True,
+                 prune_centroids: int = 0):
+        """``prune_centroids > 0`` additionally builds a per-page centroid
+        summary index enabling two-stage pruned search (PLAID-style):
+        ``search_dense(..., n_candidates=C)`` scores the cheap summary index
+        first and exactly reranks only C candidate pages per query."""
         self.mesh = mesh or make_mesh()
         self.dtype = dtype
         self.chunk_p = chunk_p
         self.normalize = normalize
+        self.prune_centroids = prune_centroids
         import jax
 
         if impl == "auto":
             impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
         self.impl = impl
         self.index: Optional[ShardedIndex] = None
+        self.summary: Optional[ShardedIndex] = None
 
     # ------------------------------------------------------------------ build
     def build(self, P: np.ndarray, pmask: np.ndarray,
@@ -50,6 +57,12 @@ class RetrievalEngine:
             P, pmask, self.mesh,
             docids=np.asarray(docids, dtype=object) if docids is not None else None,
             dtype=self.dtype, pad_docs_to=64)
+        if self.prune_centroids > 0:
+            from evdr_tpu.ops.pruned import build_summary_tokens
+
+            S, smask = build_summary_tokens(P, pmask, self.prune_centroids)
+            self.summary = build_sharded_index(S, smask, self.mesh,
+                                               dtype=self.dtype, pad_docs_to=64)
         return self
 
     def build_from_ragged(self, documents_obj, doc_attnmask=None, doc_imgmask=None,
@@ -67,15 +80,32 @@ class RetrievalEngine:
         return eng
 
     # ----------------------------------------------------------------- search
-    def search_dense(self, Q: np.ndarray, qmask: np.ndarray, k: int = 10
+    def search_dense(self, Q: np.ndarray, qmask: np.ndarray, k: int = 10,
+                     n_candidates: Optional[int] = None
                      ) -> Tuple[np.ndarray, np.ndarray]:
-        """(nq, Lq, D) normalized queries + mask -> (scores, doc indices)."""
+        """(nq, Lq, D) normalized queries + mask -> (scores, doc indices).
+
+        With ``n_candidates`` (and a prune-enabled engine), runs the two-stage
+        pruned search: summary-index top-n_candidates, then exact rerank.
+        """
         if self.index is None:
             raise RuntimeError("engine has no index; call build() first")
         Qd = replicate(jnp.asarray(Q, dtype=jnp.float32), self.mesh)
         qmd = replicate(jnp.asarray(qmask, dtype=bool), self.mesh)
-        vals, idx = sharded_topk(Qd, qmd, self.index, k=k, chunk_p=self.chunk_p,
-                                 impl=self.impl)
+        if n_candidates and self.summary is not None:
+            from evdr_tpu.ops.pruned import rerank_candidates
+
+            c = min(n_candidates, self.index.n_docs)
+            # hardware-approximate selection for candidate generation (exact
+            # top_k's compile blows up at large k; the reranker is exact)
+            _, cand = sharded_topk(Qd, qmd, self.summary, k=c,
+                                   chunk_p=self.chunk_p, impl=self.impl,
+                                   approx=True)
+            vals, idx = rerank_candidates(Qd, qmd, self.index.P,
+                                          self.index.pmask, cand, k=k)
+        else:
+            vals, idx = sharded_topk(Qd, qmd, self.index, k=k,
+                                     chunk_p=self.chunk_p, impl=self.impl)
         return np.asarray(vals), np.asarray(idx)
 
     def search(self, queries, query_attnmask=None, k: int = 10

@@ -67,12 +67,22 @@ def _single_device_scores(Q, qmask, P_loc, pm_loc, chunk_p, impl):
     return _local_scores(Q, qmask, P_loc, pm_loc, chunk_p, impl)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk_p", "impl"))
-def _single_device_topk(Q, qmask, P_loc, pm_loc, k, chunk_p, impl):
+def _select_topk(sc, k: int, approx: bool):
+    """k-selection: exact lax.top_k for small k; hardware approx_max_k for
+    large k (exact top_k compiles a sorting network whose build time explodes
+    with k — top_k(250k, k=1024) was observed compiling for >45 min)."""
+    if approx and k > 128:
+        return jax.lax.approx_max_k(sc, k, recall_target=0.95)
+    return jax.lax.top_k(sc, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk_p", "impl", "approx"))
+def _single_device_topk(Q, qmask, P_loc, pm_loc, k, chunk_p, impl,
+                        approx=False):
     sc = _local_scores(Q, qmask, P_loc, pm_loc, chunk_p, impl)
     valid_doc = jnp.any(pm_loc, axis=-1)[None, :]
     sc = jnp.where(valid_doc, sc, -jnp.inf)
-    return jax.lax.top_k(sc, k)
+    return _select_topk(sc, k, approx)
 
 
 def sharded_maxsim(Q, qmask, index: ShardedIndex, chunk_p: int = 128,
@@ -101,17 +111,21 @@ def sharded_maxsim(Q, qmask, index: ShardedIndex, chunk_p: int = 128,
 
 
 def sharded_topk(Q, qmask, index: ShardedIndex, k: int, chunk_p: int = 128,
-                 impl: str = "xla") -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact global top-k (values, doc indices) per query.
+                 impl: str = "xla", approx: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Global top-k (values, doc indices) per query.
 
     Per-shard local top-k -> all_gather of (k, score, global idx) candidates
     over ICI -> merge top-k. Communication is O(world * k) per query instead
-    of O(N).
+    of O(N). Exact by default; ``approx=True`` uses the TPU's hardware
+    approximate k-selection for large k (recall ~0.95 per stage) — intended
+    for candidate generation where a reranker follows.
     """
     mesh = index.mesh
     if mesh.devices.size == 1:
         vals, idx = _single_device_topk(Q, qmask, index.P, index.pmask,
-                                        min(k, index.n_pad), chunk_p, impl)
+                                        min(k, index.n_pad), chunk_p, impl,
+                                        approx)
         return vals, idx
     world = dict(mesh.shape).get(DOC_AXIS, mesh.devices.size)
     n_pad = index.n_pad
@@ -135,7 +149,10 @@ def sharded_topk(Q, qmask, index: ShardedIndex, k: int, chunk_p: int = 128,
         # candidate so they cannot displace true results in the merge
         valid_doc = jnp.any(pm_loc, axis=-1)[None, :]
         sc = jnp.where(valid_doc, sc, -jnp.inf)
-        vals, idx = chunked_topk(sc, k_local)  # (Qn, k_local)
+        if approx and k_local > 128:
+            vals, idx = _select_topk(sc, k_local, True)  # hw approx selection
+        else:
+            vals, idx = chunked_topk(sc, k_local)  # (Qn, k_local)
         my = jax.lax.axis_index(DOC_AXIS)
         gidx = idx + my * shard_size
         # gather candidates from all shards: (world*k_local) per query

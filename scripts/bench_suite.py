@@ -192,17 +192,93 @@ def config5_million_pages(n_pages: int = 1_000_000, tokens: int = 16, d: int = 1
           n_pages=n_pages, tokens_per_page=tokens, k=k, exact_on_subsample=ok,
           devices=int(mesh.devices.size))
 
+def config5b_pruned(n_pages: int = 250_048, tokens: int = 64, d: int = 128,
+                    n_centers: int = 8):
+    """PLAID-style pruned retrieval at teacher-ish token counts.
+
+    Uses a CLUSTERED corpus (pages = noisy draws from per-page centers, like
+    real patch embeddings) and GROUNDED queries (noisy copies of a target
+    page's tokens) — pruning is meaningless on structureless random tokens.
+    """
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from evdr_tpu.parallel import (build_sharded_index, make_mesh, replicate,
+                                   sharded_topk)
+    from evdr_tpu.ops.pruned import (build_summary_tokens, pruned_recall,
+                                     rerank_candidates)
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+
+    def unit(x):
+        return x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+
+    P = np.empty((n_pages, tokens, d), dtype=ml_dtypes.bfloat16)
+    chunk = 32768
+    for s in range(0, n_pages, chunk):
+        e = min(s + chunk, n_pages)
+        centers = unit(rng.normal(size=(e - s, n_centers, d)))
+        assign = rng.integers(0, n_centers, size=(e - s, tokens))
+        toks = np.take_along_axis(centers, assign[:, :, None], axis=1)
+        toks = toks + 0.3 / np.sqrt(d) * rng.normal(size=toks.shape)
+        P[s:e] = unit(toks)
+    pm = np.ones((n_pages, tokens), dtype=bool)
+
+    nq, lq = 64, 32
+    tgt = rng.integers(0, n_pages, size=nq)
+    take = rng.integers(0, tokens, size=(nq, lq))
+    Q = np.asarray(P[tgt], np.float32)[np.arange(nq)[:, None], take]
+    Q = unit(Q + 1.0 / np.sqrt(d) * rng.normal(size=Q.shape)).astype(np.float32)
+    qm = rng.random((nq, lq)) > 0.15
+
+    index = build_sharded_index(P, pm, mesh, dtype="bfloat16", pad_docs_to=64)
+    S, smask = build_summary_tokens(np.asarray(P, np.float32), pm, k_centroids=4)
+    summary = build_sharded_index(S, smask, mesh, dtype="bfloat16",
+                                  pad_docs_to=64)
+    Qd = replicate(jnp.asarray(Q), mesh)
+    qmd = replicate(jnp.asarray(qm), mesh)
+    k, n_cand = 10, 1024
+
+    def exact():
+        return sharded_topk(Qd, qmd, index, k=k, chunk_p=4096, impl="pallas")
+
+    def pruned():
+        _, cand = sharded_topk(Qd, qmd, summary, k=n_cand, chunk_p=4096,
+                               impl="pallas", approx=True)
+        return rerank_candidates(Qd, qmd, index.P, index.pmask, cand, k=k)
+
+    _, idx_e = exact()
+    idx_e = _fetch(idx_e)
+    t0 = time.perf_counter()
+    _, idx_e2 = exact()
+    _fetch(idx_e2)
+    dt_e = time.perf_counter() - t0
+
+    _, idx_p = pruned()
+    _fetch(idx_p)
+    t0 = time.perf_counter()
+    _, idx_p2 = pruned()
+    idx_p2 = _fetch(idx_p2)
+    dt_p = time.perf_counter() - t0
+
+    rec = pruned_recall(idx_e, idx_p2)
+    _emit(config=5, metric="pruned_topk_teacher_scale", value=round(nq / dt_p, 1),
+          unit="q/s", n_pages=n_pages, tokens_per_page=tokens,
+          exact_qps=round(nq / dt_e, 1), n_candidates=n_cand,
+          recall_vs_exact=round(rec, 4), speedup_vs_exact=round(dt_e / dt_p, 2))
+
 
 def main():
     from evdr_tpu.utils.timing import enable_persistent_cache
 
     enable_persistent_cache()
     p = argparse.ArgumentParser()
-    p.add_argument("--configs", type=int, nargs="+", default=[1, 2, 3, 4, 5])
+    p.add_argument("--configs", type=int, nargs="+", default=[1, 2, 3, 4, 5, 6])
     a = p.parse_args()
     fns = {1: config1_bruteforce_fp32, 2: config2_fused_bf16_vs_oracle,
            3: config3_pooled_infonce, 4: config4_iter_liscore,
-           5: config5_million_pages}
+           5: config5_million_pages, 6: config5b_pruned}
     for c in a.configs:
         fns[c]()
 

@@ -43,3 +43,26 @@ def test_engine_requires_index():
     eng = RetrievalEngine()
     with pytest.raises(RuntimeError):
         eng.search_dense(np.zeros((1, 2, 8)), np.ones((1, 2), bool))
+
+
+def test_pruned_search_high_recall(corpus):
+    from evdr_tpu.data.packing import preprocess_queries
+    from evdr_tpu.ops.pruned import pruned_recall
+
+    eng = RetrievalEngine(dtype=None, impl="xla", prune_centroids=4)
+    eng.build_from_ragged(corpus["documents"], corpus["doc_attnmask"],
+                          corpus["doc_imgmask"], docids=corpus["docid"])
+    assert eng.summary is not None
+    Q, qmask = preprocess_queries(corpus["query"], corpus["query_attnmask"])
+    v_exact, i_exact = eng.search_dense(Q, qmask, k=5)
+    v_pruned, i_pruned = eng.search_dense(Q, qmask, k=5, n_candidates=10)
+    # the exact TOP-1 page must survive pruning for (nearly) every query;
+    # the deep-tail of top-5 is noise-ranked on this tiny corpus
+    r1 = pruned_recall(i_exact[:, :1], i_pruned[:, :1])
+    assert r1 >= 0.9, f"pruned top-1 recall {r1}"
+    r5 = pruned_recall(i_exact, i_pruned)
+    assert r5 >= 0.6, f"pruned top-5 recall {r5}"
+    # candidate set covering everything must be exactly exact
+    v_all, i_all = eng.search_dense(Q, qmask, k=5, n_candidates=30)
+    for q in range(Q.shape[0]):
+        assert set(np.asarray(i_all)[q].tolist()) == set(np.asarray(i_exact)[q].tolist())
