@@ -117,38 +117,59 @@ def _precompute_teacher_scores(Q, qmask, P, pmask, chunk_q: int, chunk_p: int,
     return jnp.concatenate(outs, axis=0)
 
 
+def _load_any(path):
+    """Load an interchange (pickled-object) OR packed (dense) feature npz."""
+    from evdr_tpu.tools.convert_packed import is_packed, load_packed_payload
+
+    if is_packed(path):
+        return load_packed_payload(path)
+    return load_payload(path)
+
+
+def _queries_from(payload):
+    if "Q_norm" in payload:  # packed: already normalized + masked
+        return np.asarray(payload["Q_norm"]), np.asarray(payload["qmask"])
+    return preprocess_queries(payload["query"], payload.get("query_attnmask"))
+
+
+def _docs_from(payload):
+    if "P_pad" in payload:  # packed: raw padded + composed mask
+        return np.asarray(payload["P_pad"]), np.asarray(payload["pmask"])
+    P_raw, pmask, _ = preprocess_docs(
+        payload["documents"], payload.get("doc_attnmask"),
+        payload.get("doc_imgmask"))
+    return P_raw, pmask
+
+
 def load_dataset_bundle(cfg: TrainConfig, dataset: str,
                         need_pos_idx: bool = False) -> DatasetBundle:
-    """Load + pack one dataset (ProxyQ mode or labeled-split mode)."""
+    """Load + pack one dataset (ProxyQ mode or labeled-split mode).
+
+    Feature files may be the reference's pickled-object interchange npz or the
+    TPU-friendly packed format (tools/convert_packed.py) — detected per file.
+    """
     paths = DATASETMAP[dataset]
 
     if cfg.use_labeled_split:
         # mainv1 family: teacher + train queries from the train npz, test
         # queries + eval maps from the test npz (mainv1.py:172-196)
-        train_payload = load_payload(f"{cfg.teacher_root}/{paths['train']}")
-        test_payload = load_payload(f"{cfg.teacher_root}/{paths['test']}")
+        train_payload = _load_any(f"{cfg.teacher_root}/{paths['train']}")
+        test_payload = _load_any(f"{cfg.teacher_root}/{paths['test']}")
         q_src = train_payload
         teacher_payload = train_payload
         eval_payload = test_payload
         qid = train_payload.get("qid")
     else:
         # mainv2/v3 families: ProxyQ pseudo-queries + full-dump teacher
-        q_payload = load_query_payload(f"{cfg.query_root}/{paths['pseudoQ']}")
-        teacher_payload = load_payload(f"{cfg.teacher_root}/{paths['split_before']}")
+        q_payload = _load_any(f"{cfg.query_root}/{paths['pseudoQ']}")
+        teacher_payload = _load_any(f"{cfg.teacher_root}/{paths['split_before']}")
         q_src = q_payload
         eval_payload = teacher_payload
         qid = q_payload.get("qid")
 
-    Q_train, qmask_train = preprocess_queries(
-        q_src["query"], q_src.get("query_attnmask"))
-    Q_test, qmask_test = preprocess_queries(
-        eval_payload["query"], eval_payload.get("query_attnmask"))
-
-    P_raw, pmask_teacher, _ = preprocess_docs(
-        teacher_payload["documents"],
-        teacher_payload.get("doc_attnmask"),
-        teacher_payload.get("doc_imgmask"),
-    )
+    Q_train, qmask_train = _queries_from(q_src)
+    Q_test, qmask_test = _queries_from(eval_payload)
+    P_raw, pmask_teacher = _docs_from(teacher_payload)
     P_teacher_norm = np.asarray(
         l2_normalize(P_raw * pmask_teacher[..., None].astype(np.float32)),
         dtype=np.float32,

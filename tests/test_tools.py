@@ -264,3 +264,57 @@ def test_pooled_init_trains(tmp_path):
                       k=4, chunk_p=8)
     results = run_training(cfg)
     assert "pooledfx/mf5" in results
+
+
+# ---------------------------------------------------------------------------
+# packed conversion
+# ---------------------------------------------------------------------------
+
+def test_convert_packed_roundtrip_and_training(tmp_path):
+    from evdr_tpu.tools.convert_packed import (convert_payload_to_packed,
+                                               is_packed, load_packed_payload)
+    from evdr_tpu.data.npz_io import load_payload
+    from evdr_tpu.data.packing import preprocess_docs, preprocess_queries
+    from evdr_tpu.data.synthetic import make_queries_for_corpus, write_dataset_fixture
+    from evdr_tpu.train.config import TrainConfig
+    from evdr_tpu.train.harness import run_training
+
+    root = tmp_path / "raw"
+    root.mkdir()
+    write_dataset_fixture(root, key="pkfx", n_docs=10, n_test_queries=8,
+                          n_train_queries=24, dim=16, mfs=(5,), seed=4)
+
+    # convert dump_all + query npz to packed; init stays interchange
+    import numpy as np
+    for name in ("pkfx_test_dump_all.npz", "pkfx_test_query.npz"):
+        payload = load_payload(root / name)
+        packed = convert_payload_to_packed(payload, length_multiple=8)
+        np.savez(root / name, **packed)  # overwrite in place
+        assert is_packed(root / name)
+        rp = load_packed_payload(root / name)
+        if "P_pad" in rp:
+            assert rp["P_pad"].shape[1] % 8 == 0
+            assert rp["docidx_2_docid"]["0"] == str(payload["docid"][0])
+
+    cfg = TrainConfig(datasets=["pkfx"], query_root=str(root),
+                      teacher_root=str(root), init_root=str(root / "S3E_init"),
+                      mfs=[5], out_root=str(tmp_path / "res"), loss="liscore",
+                      max_steps=3, eval_every=3, print_every=0, q_batch=8,
+                      k=4, chunk_p=8)
+    results = run_training(cfg)
+    assert "pkfx/mf5" in results
+
+
+def test_packed_values_match_interchange(tmp_path):
+    from evdr_tpu.tools.convert_packed import convert_payload_to_packed
+    from evdr_tpu.data.packing import preprocess_docs, preprocess_queries
+
+    c = make_synthetic_corpus(n_docs=5, n_queries=4, dim=8, seed=6)
+    packed = convert_payload_to_packed(c)
+    P, pmask, _ = preprocess_docs(c["documents"], c["doc_attnmask"],
+                                  c["doc_imgmask"])
+    Q, qmask = preprocess_queries(c["query"], c["query_attnmask"])
+    np.testing.assert_array_equal(packed["P_pad"], P)
+    np.testing.assert_array_equal(packed["pmask"], pmask)
+    np.testing.assert_allclose(packed["Q_norm"], Q, rtol=1e-6)
+    np.testing.assert_array_equal(packed["qmask"], qmask)
