@@ -203,6 +203,10 @@ def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
             + nq_pad * nd_pad * 4,
             transcendentals=0,
         ),
+        # q-blocks are independent; doc/patch dims carry the running-max
+        # accumulator and must stay sequential
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=interpret,
     )(qf, qmf, Pp, pm_t)
     # (n_qb, n_db, qb, db) -> (nq_pad, nd_pad)

@@ -82,3 +82,35 @@ def test_custom_vjp_end_to_end_interpret():
     g2 = jax.grad(loss_xla)(P)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
                                atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 1, 1, 1, 8),        # degenerate minima
+    (3, 5, 2, 17, 48),      # nothing divides any tile
+    (9, 33, 11, 129, 128),  # just past tile boundaries
+    (17, 8, 130, 16, 64),   # docs > doc-block
+])
+def test_fwd_bwd_shape_sweep_interpret(shape):
+    nq, lq, nd, lp, d = shape
+    rng = np.random.default_rng(hash(shape) % 2**31)
+    Q = rng.normal(size=(nq, lq, d)).astype(np.float32)
+    P = rng.normal(size=(nd, lp, d)).astype(np.float32)
+    qmask = rng.random((nq, lq)) > 0.25
+    pmask = rng.random((nd, lp)) > 0.25
+    want = maxsim_numpy(Q, P, qmask, pmask)
+    got, M = maxsim_pallas_fwd_train(jnp.asarray(Q), jnp.asarray(P),
+                                     jnp.asarray(qmask), jnp.asarray(pmask),
+                                     jnp.float32, True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+    g = jnp.asarray(rng.normal(size=(nq, nd)).astype(np.float32))
+    _, vjp = jax.vjp(lambda q, p: maxsim_xla(q, p, jnp.asarray(qmask),
+                                             jnp.asarray(pmask), chunk_p=8),
+                     jnp.asarray(Q), jnp.asarray(P))
+    dq_want, dp_want = vjp(g)
+    dq, dp = maxsim_pallas_bwd(jnp.asarray(Q), jnp.asarray(P), jnp.asarray(qmask),
+                               jnp.asarray(pmask), M, g, jnp.float32, True)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_want), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_want), rtol=1e-4,
+                               atol=1e-4)
