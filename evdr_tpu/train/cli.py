@@ -76,6 +76,8 @@ def build_argparser() -> argparse.ArgumentParser:
 
     p.add_argument("--save_period", type=int, default=defaults.save_period)
     p.add_argument("--debug_invariants", action="store_true")
+    p.add_argument("--steps_per_dispatch", type=int,
+                   default=defaults.steps_per_dispatch)
     p.add_argument("--chunk_p", type=int, default=defaults.chunk_p)
     p.add_argument("--score_impl", type=str, default=defaults.score_impl,
                    choices=("xla", "pallas", "auto"))

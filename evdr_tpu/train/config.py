@@ -81,6 +81,10 @@ class TrainConfig:
     debug_invariants: bool = False
 
     # engine
+    # >1 fuses K optimizer steps into ONE dispatched program via lax.scan —
+    # remote/tunneled TPU backends pay ~30ms per dispatch, which dominates the
+    # ~2ms step compute; logging/eval cadences round up to multiples of K
+    steps_per_dispatch: int = 1
     chunk_p: int = 128
     score_impl: str = "xla"                # 'xla' | 'pallas' | 'auto'
     eval_impl: str = "auto"

@@ -372,7 +372,32 @@ def build_train_step(cfg: TrainConfig, bundle: DatasetBundle,
     def run_step(param, opt_state, idx, rng):
         return jstep(param, opt_state, idx, rng, data)
 
-    return run_step
+    if cfg.steps_per_dispatch <= 1:
+        return run_step
+
+    # K steps per dispatched program: scan the step body so one host->device
+    # round trip drives K optimizer updates
+    def multi(param, opt_state, idx_block, rng, d):
+        keys = jax.random.split(rng, idx_block.shape[0])
+
+        def body(carry, inp):
+            p, s = carry
+            idx, key = inp
+            p, s, parts = step(p, s, idx, key, d)
+            return (p, s), parts
+
+        (param, opt_state), parts_seq = jax.lax.scan(
+            body, (param, opt_state), (idx_block, keys))
+        parts = jax.tree_util.tree_map(lambda x: x[-1], parts_seq)
+        parts["total_loss_sum"] = jnp.sum(parts_seq["total_loss"])
+        return param, opt_state, parts
+
+    jmulti = jax.jit(multi, donate_argnums=(0, 1))
+
+    def run_multi(param, opt_state, idx_block, rng):
+        return jmulti(param, opt_state, idx_block, rng, data)
+
+    return run_multi
 
 
 def _hardtoken_aux(cfg, total, parts, param, Ps, sc_s, sc_t, Qb, qmb,
@@ -665,15 +690,24 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
     loss_cum = jnp.zeros((), jnp.float32)
     loss_cnt = 0
     log_every = max(1, cfg.print_every or 20)
-    for step in range(step0 + 1, max_steps + 1):
-        idx = jnp.asarray(next(stream))
+    K = max(1, cfg.steps_per_dispatch)
+    if K > 1:
+        # cadences snap to dispatch boundaries
+        eval_every = -(-eval_every // K) * K
+        log_every = -(-log_every // K) * K
+        max_steps = -(-max_steps // K) * K
+    for step in range(step0 + K, max_steps + 1, K):
+        if K == 1:
+            idx = jnp.asarray(next(stream))
+        else:
+            idx = jnp.asarray(np.stack([next(stream) for _ in range(K)]))
         param, opt_state, parts = train_step(param, opt_state, idx, rngs.next())
-        loss_cum = loss_cum + parts["total_loss"]
-        loss_cnt += 1
+        loss_cum = loss_cum + parts.get("total_loss_sum", parts["total_loss"])
+        loss_cnt += K
 
         if (step % log_every == 0) or (step % eval_every == 0) or (step == max_steps):
             scalar_parts = {k2: v for k2, v in parts.items()
-                            if not k2.startswith("_")}
+                            if not k2.startswith("_") and k2 != "total_loss_sum"}
             loss_val = float(scalar_parts["total_loss"])
             avg = float(loss_cum) / max(loss_cnt, 1)
             if writer is not None:

@@ -173,3 +173,17 @@ def test_save_period_and_invariants(fixture_root, tmp_path):
         if "masked_param_absmax" in line:
             payload = json.loads(line[line.index("{"):])
             assert payload["debug/masked_param_absmax"] == 0.0
+
+
+def test_steps_per_dispatch_matches_single(fixture_root, tmp_path):
+    # K-step fused dispatch must produce the same training trajectory
+    cfg1 = _cfg(fixture_root, tmp_path, max_steps=12, eval_every=12, name="k1",
+                print_every=0)
+    cfg4 = _cfg(fixture_root, tmp_path, max_steps=12, eval_every=12, name="k4",
+                print_every=0, steps_per_dispatch=4)
+    r1 = run_training(cfg1)
+    r4 = run_training(cfg4)
+    b1 = r1["synth/mf5"]["summary/best_ndcg5"]
+    b4 = r4["synth/mf5"]["summary/best_ndcg5"]
+    assert b1["NDCG@5"] == b4["NDCG@5"]
+    assert b1["Recall@1"] == b4["Recall@1"]
