@@ -61,15 +61,20 @@ def scores_to_results(
     return results
 
 
-_FAST_CACHE: Dict[int, tuple] = {}
+# id()-keyed cache of CSR qrels. Each entry pins STRONG references to the
+# keyed objects: CPython only reuses an id after the object is freed, so as
+# long as the entry exists its key cannot alias a different object. Bounded
+# (datasets per process are few); oldest entries evicted FIFO.
+_FAST_CACHE: Dict[tuple, tuple] = {}
+_FAST_CACHE_MAX = 64
 
 
 def _fast_eval_inputs(relevant_docs, docidx_2_docid, qsidx_2_query, nq, nd):
     """Build (and cache) CSR qrels + docid tie-ranks for the native engine."""
-    key = (id(relevant_docs), id(docidx_2_docid), id(qsidx_2_query))
+    key = (id(relevant_docs), id(docidx_2_docid), id(qsidx_2_query), nq, nd)
     cached = _FAST_CACHE.get(key)
     if cached is not None:
-        return cached
+        return cached[0]
     from evdr_tpu.native.fast_metrics import build_fast_qrels, tie_rank_from_docids
 
     docids = [docidx_2_docid[str(j)] for j in range(nd)]
@@ -80,7 +85,9 @@ def _fast_eval_inputs(relevant_docs, docidx_2_docid, qsidx_2_query, nq, nd):
     fq = build_fast_qrels(relevant_docs, qkeys,
                           {str(d): j for j, d in enumerate(docids)})
     out = (fq, tie_rank_from_docids(docids))
-    _FAST_CACHE[key] = out
+    while len(_FAST_CACHE) >= _FAST_CACHE_MAX:
+        _FAST_CACHE.pop(next(iter(_FAST_CACHE)))
+    _FAST_CACHE[key] = (out, (relevant_docs, docidx_2_docid, qsidx_2_query))
     return out
 
 
@@ -109,8 +116,11 @@ def eval_retrieval(
     P_now = l2_normalize(jnp.asarray(student_param) * jnp.asarray(pmask_student)[..., None])
 
     t0 = time.perf_counter()
+    # fp32 accumulation: reported metrics must not depend on bf16-rounded
+    # near-tie rankings (reference evaluates in fp32)
+    import jax.numpy as _jnp
     scores = maxsim(Q_test_norm, P_now, qmask_test, pmask_student,
-                    chunk_p=chunk_p, impl=impl)
+                    chunk_p=chunk_p, impl=impl, compute_dtype=_jnp.float32)
     # fetch to host inside the timed region: on remote-TPU backends
     # block_until_ready alone does not reliably wait for execution
     scores = np.asarray(scores)

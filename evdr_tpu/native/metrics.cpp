@@ -45,7 +45,9 @@ void evdr_compute_metrics(const float* scores, int64_t nq, int64_t nd,
 
   std::vector<int32_t> order(nd);
   std::vector<int32_t> top(depth);
-  std::vector<int8_t> rel_of_doc(nd, 0);
+  // int32: relevance must stay unclamped so DCG and IDCG see identical gains
+  // (an int8 clamp at 127 would skew nDCG for judgments with rel > 127)
+  std::vector<int32_t> rel_of_doc(nd, 0);
   std::vector<double> disc(depth + 1);
   for (int64_t r = 1; r <= depth; ++r) disc[r] = 1.0 / std::log2((double)r + 1.0);
 
@@ -77,7 +79,7 @@ void evdr_compute_metrics(const float* scores, int64_t nq, int64_t nd,
     ideal_rels.reserve(hi - lo);
     for (int64_t t = lo; t < hi; ++t) {
       if (qrels_doc[t] >= 0 && qrels_doc[t] < nd)
-        rel_of_doc[qrels_doc[t]] = (int8_t)std::min<int32_t>(qrels_rel[t], 127);
+        rel_of_doc[qrels_doc[t]] = qrels_rel[t];
       if (qrels_rel[t] > 0) {
         ++n_rel_pos;
         ideal_rels.push_back(qrels_rel[t]);

@@ -94,23 +94,31 @@ def maxsim_xla(Q, P, qmask, pmask, chunk_p: int = 128):
     return scores[:, :pn]
 
 
-def maxsim(Q, P, qmask, pmask, chunk_p: int = 128, impl: str = "auto"):
+def maxsim(Q, P, qmask, pmask, chunk_p: int = 128, impl: str = "auto",
+           compute_dtype=None):
     """Dispatching MaxSim scorer.
 
     impl: 'auto' (Pallas on TPU, XLA otherwise), 'xla', or 'pallas'.
+    compute_dtype: Pallas-kernel accumulation dtype; None keeps the kernel
+    default (bfloat16 for throughput). Metric-bearing paths (eval, teacher
+    precompute) pass float32 so reported Recall/NDCG are not affected by
+    bf16-rounded near-tie rankings (the reference evaluates in fp32,
+    evaluator/retrieval.py:176-177).
     """
     if impl == "xla":
         return maxsim_xla(Q, P, qmask, pmask, chunk_p=chunk_p)
     if impl == "pallas":
         from evdr_tpu.ops.pallas_maxsim import maxsim_pallas
 
-        return maxsim_pallas(Q, P, qmask, pmask)
+        kw = {} if compute_dtype is None else {"compute_dtype": compute_dtype}
+        return maxsim_pallas(Q, P, qmask, pmask, **kw)
     # auto
     platform = jax.default_backend()
     if platform in ("tpu", "axon"):
         from evdr_tpu.ops.pallas_maxsim import maxsim_pallas
 
-        return maxsim_pallas(Q, P, qmask, pmask)
+        kw = {} if compute_dtype is None else {"compute_dtype": compute_dtype}
+        return maxsim_pallas(Q, P, qmask, pmask, **kw)
     return maxsim_xla(Q, P, qmask, pmask, chunk_p=chunk_p)
 
 

@@ -40,7 +40,10 @@ class TrainConfig:
     aug: str = "none"
     max_steps: int = 23460                 # mainv2_iter_* default
     epochs: int = 30                       # mainv2 epoch family default
-    eval_every: int = 200
+    # 0 = auto: 200 for the iter trainer (mainv2_iter_liscore.py default),
+    # once per epoch for the epoch trainer (reference epoch scripts evaluate
+    # every epoch, mainv2_distill_infonce.py loop)
+    eval_every: int = 0
     print_every: int = 20
     q_batch: int = 32
     full_batch: bool = False               # mainv1 SPL: one full-batch step per epoch

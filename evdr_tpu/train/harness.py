@@ -62,6 +62,11 @@ from evdr_tpu.train.config import TrainConfig
 from evdr_tpu.utils.logging_utils import get_logger, log_json
 from evdr_tpu.utils.prng import PRNGSequence, set_seed
 
+# losses whose eval computation materializes (Q, N, N) pairwise tensors —
+# these get the reference's >600-query chunking (mainv2_ranknet.py:149-161)
+_PAIRWISE_LOSSES = frozenset(
+    {"ranknet", "lambda", "ranknce", "lipairwise", "pairscore"})
+
 
 # =============================================================================
 # data bundles
@@ -112,7 +117,7 @@ def _precompute_teacher_scores(Q, qmask, P, pmask, chunk_q: int, chunk_p: int,
     mq = Q.shape[0]
     for qs in range(0, mq, chunk_q):
         sc = maxsim(Q[qs:qs + chunk_q], P, qmask[qs:qs + chunk_q], pmask,
-                    chunk_p=chunk_p, impl=impl)
+                    chunk_p=chunk_p, impl=impl, compute_dtype=jnp.float32)
         outs.append(sc)
     return jnp.concatenate(outs, axis=0)
 
@@ -319,14 +324,19 @@ def build_train_step(cfg: TrainConfig, bundle: DatasetBundle,
         labels = jnp.take(pos_all, idx, axis=0) if needs_labels else None
 
         if aug == "qnoise":
-            # train-only Gaussian noise on valid query tokens
-            # (mainv3_iter_liscore_noisev1.py:296-298 — no re-normalization)
+            # train-only Gaussian noise on valid query tokens, then mask-
+            # multiply + re-L2-normalize (mainv3_iter_liscore_noisev1.py:296-299)
             noise = jax.random.normal(rng, Qb.shape, Qb.dtype) * cfg.q_noise_std
-            Qb = Qb + noise * qmb[..., None].astype(Qb.dtype)
+            qmf = qmb[..., None].astype(Qb.dtype)
+            Qb = Qb + noise * qmf
+            Qb = l2_normalize(Qb * qmf)
 
         if needs_labels:
             sc_t = None
-        elif sct_all is not None:
+        elif sct_all is not None and aug != "qnoise":
+            # precomputed rows are clean-query scores; qnoise must score the
+            # teacher with the NOISY queries (noisev1:305), so it always takes
+            # the inline branch below
             sc_t = jnp.take(sct_all, idx, axis=0)
         else:
             sc_t = maxsim_xla(Qb, P_t, qmb, pm_t, chunk_p=chunk_p)
@@ -362,6 +372,16 @@ def build_train_step(cfg: TrainConfig, bundle: DatasetBundle,
             return total, parts
 
         (total, parts), grads = jax.value_and_grad(objective, has_aux=True)(param)
+        if cfg.debug_invariants:
+            # masked-GRADIENT invariant (mainv1.py:74-87): gradients at
+            # masked-out token positions must stay exactly 0
+            g_abs = jnp.max(jnp.abs(grads), axis=-1)  # (N, L)
+            inval = (~pmask_s).astype(g_abs.dtype)
+            parts = dict(
+                parts,
+                _grad_valid_absmax=jnp.max(g_abs * pmask_s.astype(g_abs.dtype)),
+                _grad_invalid_absmax=jnp.max(g_abs * inval),
+            )
         updates, opt_state = optimizer.update(grads, opt_state, param)
         param = optax.apply_updates(param, updates)
         parts = dict(parts, total_loss=total)
@@ -498,7 +518,25 @@ def evaluation_loss(cfg: TrainConfig, bundle: DatasetBundle, param, pmask_studen
             sc_t = maxsim_xla(bundle.Q_test, bundle.P_teacher_norm,
                               bundle.qmask_test, bundle.pmask_teacher,
                               chunk_p=cfg.chunk_p)
-        total, parts = loss_fn(sc_s, sc_t, None)
+        nq = int(sc_s.shape[0])
+        if nq > 600 and cfg.loss in _PAIRWISE_LOSSES:
+            # chunk test queries by 300 (mainv2_ranknet.py:149-161): pairwise
+            # losses materialize (Q, N, N) tensors; chunking bounds peak
+            # memory on large test sets (tatdqa) without changing the value
+            total_acc, denom = 0.0, 0
+            parts_acc: Dict[str, float] = {}
+            for st in range(0, nq, 300):
+                ed = min(st + 300, nq)
+                t_c, parts_c = loss_fn(sc_s[st:ed], sc_t[st:ed], None)
+                w = ed - st
+                total_acc += float(t_c) * w
+                for k2, v in parts_c.items():
+                    parts_acc[k2] = parts_acc.get(k2, 0.0) + float(v) * w
+                denom += w
+            total = total_acc / max(denom, 1)
+            parts = {k2: v / max(denom, 1) for k2, v in parts_acc.items()}
+        else:
+            total, parts = loss_fn(sc_s, sc_t, None)
     out = {"total_loss": float(total)}
     out.update({f"loss_{k}": float(v) for k, v in parts.items()})
     return out
@@ -677,8 +715,12 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
         steps_per_epoch = max(1, -(-n_train // cfg.q_batch)) if not cfg.full_batch else 1
         max_steps = cfg.epochs * steps_per_epoch
 
-    eval_every = cfg.eval_every if cfg.eval_every > 0 else max(
-        1, n_train // cfg.q_batch)
+    if cfg.eval_every > 0:
+        eval_every = cfg.eval_every
+    elif cfg.trainer == "epoch":
+        eval_every = steps_per_epoch  # evaluate every epoch (reference default)
+    else:
+        eval_every = 200  # iter-family default (mainv2_iter_liscore.py:41)
 
     batch = n_train if cfg.full_batch else min(cfg.q_batch, n_train)
     stream = index_stream(n_train, batch, cfg.seed)
@@ -691,11 +733,25 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
     loss_cnt = 0
     log_every = max(1, cfg.print_every or 20)
     K = max(1, cfg.steps_per_dispatch)
+    # periodic-export modulus: per-iter steps or per-epoch boundaries
+    save_every = (cfg.save_period * (
+        1 if cfg.trainer == "iter" else max(1, n_train // batch))
+        if cfg.save_period else 0)
+    checkpoint_every = cfg.checkpoint_every
+    gap_log_every = cfg.gap_log_every
     if K > 1:
-        # cadences snap to dispatch boundaries
-        eval_every = -(-eval_every // K) * K
-        log_every = -(-log_every // K) * K
-        max_steps = -(-max_steps // K) * K
+        # ALL cadences snap to dispatch boundaries: the loop only visits
+        # multiples of K, so an un-snapped modulus would fire at lcm cadence
+        # or never (e.g. K=16 with checkpoint_every=250)
+        def _snap(x):
+            return -(-x // K) * K if x else x
+
+        eval_every = _snap(eval_every)
+        log_every = _snap(log_every)
+        max_steps = _snap(max_steps)
+        save_every = _snap(save_every)
+        checkpoint_every = _snap(checkpoint_every)
+        gap_log_every = _snap(gap_log_every)
     for step in range(step0 + K, max_steps + 1, K):
         if K == 1:
             idx = jnp.asarray(next(stream))
@@ -725,8 +781,8 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
                        for k2, v in scalar_parts.items() if k2 != "total_loss"},
                 })
 
-        if ("_gap_top_val" in parts and cfg.gap_log_every
-                and step % cfg.gap_log_every == 0):
+        if ("_gap_top_val" in parts and gap_log_every
+                and step % gap_log_every == 0):
             # hard-token rank-gap diagnostic (reference gap-log block)
             log_json(logger, {
                 "dataset": dataset, "mf": mf, "step": step,
@@ -735,17 +791,20 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
             })
 
         if cfg.debug_invariants and step % log_every == 0:
-            # masked-token invariants (mainv1.py:74-87): parameters at
-            # masked-out positions must stay exactly 0 through training
+            # masked-token invariants (mainv1.py:74-87): gradients AND
+            # parameters at masked-out positions must stay exactly 0
             masked_abs = float(jnp.max(jnp.abs(
                 param * (~pmask_student)[..., None].astype(param.dtype))))
-            log_json(logger, {
+            rec = {
                 "dataset": dataset, "mf": mf, "step": step,
                 "debug/masked_param_absmax": masked_abs,
-            })
+            }
+            if "_grad_invalid_absmax" in parts:
+                rec["debug/grad_valid_absmax"] = float(parts["_grad_valid_absmax"])
+                rec["debug/grad_invalid_absmax"] = float(parts["_grad_invalid_absmax"])
+            log_json(logger, rec)
 
-        if cfg.save_period and step % (cfg.save_period * (
-                1 if cfg.trainer == "iter" else max(1, n_train // batch))) == 0:
+        if save_every and step % save_every == 0:
             # periodic compressed export (mainv1.py:375-395)
             save_best_npz(out_dir, f"compressed_ep{step}.npz", cfg=cfg,
                           dataset=dataset, mf=mf, step=step,
@@ -778,7 +837,7 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
                               docid=bundle.docid_teacher,
                               doc_attn_in=doc_attn_in, doc_img_in=doc_img_in)
 
-        if cfg.checkpoint_every and step % cfg.checkpoint_every == 0:
+        if checkpoint_every and step % checkpoint_every == 0:
             save_checkpoint(ckpt_path, param, opt_state, step, best_r1, best_nd5)
 
     summary = {
@@ -804,7 +863,10 @@ def run_training(cfg: TrainConfig) -> Dict[str, Dict[str, Any]]:
     for dataset in cfg.datasets:
         bundle = load_dataset_bundle(cfg, dataset,
                                      need_pos_idx=(cfg.loss == "infonce_sup"))
-        if cfg.precompute_teacher and cfg.loss != "infonce_sup":
+        # qnoise scores the teacher with the noisy queries inline each step
+        # (noisev1:305), so clean-query precomputed rows would be dead weight
+        if (cfg.precompute_teacher and cfg.loss != "infonce_sup"
+                and cfg.aug != "qnoise"):
             bundle.sc_t_train = _precompute_teacher_scores(
                 bundle.Q_train, bundle.qmask_train, bundle.P_teacher_norm,
                 bundle.pmask_teacher, chunk_q=256, chunk_p=cfg.chunk_p,

@@ -126,3 +126,32 @@ def test_eval_retrieval_fast_equals_dict(tmp_path):
     m_dict = eval_retrieval(fast=False, **kwargs)
     for group in ("NDCG", "Recall", "mAP", "Precision", "mRR"):
         assert m_fast[group] == m_dict[group]
+
+
+def test_fast_cache_no_stale_id_reuse():
+    """Freed-and-reallocated qrels dicts must never hit a stale cache entry.
+
+    The cache pins strong references to its keyed objects, so CPython cannot
+    hand a cached id to a new object. Churn through many short-lived qrels
+    dicts (the allocator aggressively reuses dict ids) and check each one
+    evaluates with ITS OWN judgments.
+    """
+    from evdr_tpu.eval import evaluator as ev_mod
+    from evdr_tpu.native.fast_metrics import compute_metrics_from_scores
+
+    nd = 4
+    docidx_2_docid = {str(j): f"d{j}" for j in range(nd)}
+    scores = np.eye(1, nd, dtype=np.float32)  # query 0 ranks d0 first
+    for trial in range(50):
+        rel_doc = f"d{trial % nd}"
+        qrels = {"q0": {rel_doc: 1}}
+        qs = np.array(["q0"], dtype=object)
+        fq, tie = ev_mod._fast_eval_inputs(qrels, docidx_2_docid, qs, 1, nd)
+        got = compute_metrics_from_scores(scores, fq, tie, [1])
+        want = 1.0 if rel_doc == "d0" else 0.0
+        assert got["Recall"]["Recall@1"] == want, (trial, got)
+        del qrels, qs
+    # pinned objects: every cached id must still be alive inside the cache
+    for (rid, did, qid, _, _), (_, pinned) in ev_mod._FAST_CACHE.items():
+        assert id(pinned[0]) == rid and id(pinned[1]) == did
+    assert len(ev_mod._FAST_CACHE) <= ev_mod._FAST_CACHE_MAX

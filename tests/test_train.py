@@ -168,11 +168,64 @@ def test_save_period_and_invariants(fixture_root, tmp_path):
     assert (out_dir / "compressed_ep6.npz").exists()
     log = (out_dir / "train.log").read_text()
     assert "debug/masked_param_absmax" in log
-    # the invariant itself: masked params stay exactly 0
+    assert "debug/grad_invalid_absmax" in log
+    # the invariants themselves (mainv1.py:74-87): masked params AND masked
+    # gradients stay exactly 0; valid gradients are non-degenerate
+    saw_valid_grad = 0.0
     for line in log.splitlines():
         if "masked_param_absmax" in line:
             payload = json.loads(line[line.index("{"):])
             assert payload["debug/masked_param_absmax"] == 0.0
+            assert payload["debug/grad_invalid_absmax"] == 0.0
+            saw_valid_grad = max(saw_valid_grad,
+                                 payload["debug/grad_valid_absmax"])
+    assert saw_valid_grad > 0.0
+
+
+def test_evaluation_loss_query_chunking_matches_unchunked():
+    """>600 test queries trigger 300-query chunking for pairwise losses
+    (mainv2_ranknet.py:149-161); the loss value must be unchanged."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from evdr_tpu.data.packing import l2_normalize
+    from evdr_tpu.ops.maxsim import maxsim_xla
+    from evdr_tpu.train.config import TrainConfig
+    from evdr_tpu.train.harness import (DatasetBundle, evaluation_loss,
+                                        make_loss_fn)
+
+    rng = np.random.default_rng(0)
+    nq, lq, n, lp, ls, d = 605, 3, 7, 10, 4, 8
+
+    def unit(x):
+        return x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+
+    Q = unit(rng.normal(size=(nq, lq, d))).astype(np.float32)
+    qm = rng.random((nq, lq)) > 0.1
+    P_t = unit(rng.normal(size=(n, lp, d))).astype(np.float32)
+    pm_t = rng.random((n, lp)) > 0.1
+    param = rng.normal(size=(n, ls, d)).astype(np.float32)
+    pm_s = rng.random((n, ls)) > 0.1
+    param = (param * pm_s[..., None]).astype(np.float32)
+
+    cfg = TrainConfig(loss="ranknet", chunk_p=4)
+    bundle = DatasetBundle(
+        dataset="x",
+        Q_train=jnp.asarray(Q[:4]), qmask_train=jnp.asarray(qm[:4]),
+        pos_idx=None,
+        Q_test=jnp.asarray(Q), qmask_test=jnp.asarray(qm),
+        P_teacher_norm=jnp.asarray(P_t), pmask_teacher=jnp.asarray(pm_t),
+        docid_teacher=np.array(["d"] * n, dtype=object),
+        relevant_docs_test={}, docidx_2_docid_test={}, qsidx_2_query_test=None,
+    )
+    out = evaluation_loss(cfg, bundle, jnp.asarray(param), jnp.asarray(pm_s))
+
+    Ps = l2_normalize(jnp.asarray(param) * jnp.asarray(pm_s)[..., None].astype(jnp.float32))
+    sc_s = maxsim_xla(jnp.asarray(Q), Ps, jnp.asarray(qm), jnp.asarray(pm_s), chunk_p=4)
+    sc_t = maxsim_xla(jnp.asarray(Q), jnp.asarray(P_t), jnp.asarray(qm),
+                      jnp.asarray(pm_t), chunk_p=4)
+    total, _ = make_loss_fn(cfg)(sc_s, sc_t, None)
+    assert abs(out["total_loss"] - float(total)) < 1e-5
 
 
 def test_steps_per_dispatch_matches_single(fixture_root, tmp_path):

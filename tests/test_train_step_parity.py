@@ -115,6 +115,80 @@ def test_one_liscore_step_matches_reference():
 
 
 @needs_ref
+def test_one_qnoise_liscore_step_matches_reference():
+    """aug='qnoise' parity vs mainv3_iter_liscore_noisev1.py:293-311.
+
+    The reference adds masked Gaussian noise, then mask-multiplies and
+    re-L2-normalizes the queries (:296-299), and scores the TEACHER with the
+    noisy queries (:305). Fixed noise (drawn from the exact PRNG key our
+    jitted step consumes) is injected into both pipelines.
+    """
+    import jax
+
+    Qb, qmb, P_t, pm_t, Pbar, pm_s = _setup(seed=7)
+    lr, wd, k, temp, lam_l, lam_s = 1e-3, 1e-2, 4, 0.1, 1.0, 0.7
+    q_noise_std = 0.05
+    key = jax.random.PRNGKey(0)
+    noise = np.asarray(
+        jax.random.normal(key, Qb.shape, jnp.float32)) * q_noise_std
+
+    # ---- reference step semantics (torch), with our noise injected ----
+    def l2n(x):
+        return x / (x.norm(dim=-1, keepdim=True) + 1e-12)
+
+    param_t = torch.nn.Parameter(torch.tensor(Pbar))
+    opt = torch.optim.AdamW([param_t], lr=lr, weight_decay=wd)
+    pm_s_t = torch.tensor(pm_s)
+    qmb_t = torch.tensor(qmb)
+    Qb_t = torch.tensor(Qb) + torch.tensor(noise) * qmb_t.unsqueeze(-1)
+    Qb_t = l2n(Qb_t * qmb_t.unsqueeze(-1))
+    Psb = l2n(param_t * pm_s_t.unsqueeze(-1))
+    with torch.no_grad():
+        sc_t = ref_score(Qb_t, torch.tensor(P_t), qmb_t,
+                         torch.tensor(pm_t), chunk_p=4)
+    sc_s = ref_score(Qb_t, Psb, qmb_t, pm_s_t, chunk_p=4)
+    loss = (lam_l * ref_criterion.listwise_distillation_loss(sc_s, sc_t, k=k, temperature=temp)
+            + lam_s * ref_criterion.score_preserving_loss(sc_s, sc_t))
+    opt.zero_grad(set_to_none=True)
+    loss.backward()
+    opt.step()
+    want = param_t.detach().numpy()
+
+    # ---- our step (jax), aug='qnoise', same PRNG key ----
+    from evdr_tpu.train.config import TrainConfig
+    from evdr_tpu.train.harness import DatasetBundle, build_train_step
+    import optax
+
+    cfg = TrainConfig(loss="liscore", lr=lr, weight_decay=wd, k=k, temp=temp,
+                      lambda_list=lam_l, lambda_score=lam_s, chunk_p=4,
+                      aug="qnoise", q_noise_std=q_noise_std)
+    bundle = DatasetBundle(
+        dataset="x",
+        Q_train=jnp.asarray(Qb), qmask_train=jnp.asarray(qmb), pos_idx=None,
+        Q_test=jnp.asarray(Qb), qmask_test=jnp.asarray(qmb),
+        P_teacher_norm=jnp.asarray(P_t), pmask_teacher=jnp.asarray(pm_t),
+        docid_teacher=np.array(["d"] * P_t.shape[0], dtype=object),
+        relevant_docs_test={}, docidx_2_docid_test={}, qsidx_2_query_test=None,
+    )
+    # precomputed clean-query teacher rows must be IGNORED under qnoise
+    from evdr_tpu.train.harness import _precompute_teacher_scores
+    bundle.sc_t_train = _precompute_teacher_scores(
+        bundle.Q_train, bundle.qmask_train, bundle.P_teacher_norm,
+        bundle.pmask_teacher, chunk_q=8, chunk_p=4, impl="xla")
+
+    optimizer = optax.adamw(lr, weight_decay=wd)
+    param = jnp.asarray(Pbar)
+    opt_state = optimizer.init(param)
+    step = build_train_step(cfg, bundle, jnp.asarray(pm_s), optimizer)
+    idx = jnp.arange(Qb.shape[0], dtype=jnp.int32)
+    param2, _, parts = step(param, opt_state, idx, key)
+
+    np.testing.assert_allclose(float(parts["total_loss"]), loss.item(),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(param2), want, rtol=1e-4, atol=2e-5)
+
+
+@needs_ref
 def test_one_ranknet_step_matches_reference():
     Qb, qmb, P_t, pm_t, Pbar, pm_s = _setup(seed=3)
     lr, wd = 1e-3, 1e-2
