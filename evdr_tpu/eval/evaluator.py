@@ -103,6 +103,7 @@ def eval_retrieval(
     chunk_p: int = 128,
     impl: str = "auto",
     fast: bool = True,
+    score_fn=None,
 ) -> Dict[str, Any]:
     """Retrieval metrics of the (masked+normalized) student index.
 
@@ -110,20 +111,26 @@ def eval_retrieval(
     student is re-masked and re-normalized before scoring; ``latency`` is the
     per-query scoring wall time in ms. With ``fast=True`` metrics come from
     the matrix-direct native engine (identical values, no 250k-entry dicts).
+
+    ``score_fn`` overrides the scoring step entirely (e.g. mesh-sharded
+    scoring): it must return the full (n_queries, n_docs) score matrix for
+    the CURRENT student; latency is timed around it.
     """
     import jax.numpy as jnp
 
-    P_now = l2_normalize(jnp.asarray(student_param) * jnp.asarray(pmask_student)[..., None])
-
     t0 = time.perf_counter()
-    # fp32 accumulation: reported metrics must not depend on bf16-rounded
-    # near-tie rankings (reference evaluates in fp32)
-    import jax.numpy as _jnp
-    scores = maxsim(Q_test_norm, P_now, qmask_test, pmask_student,
-                    chunk_p=chunk_p, impl=impl, compute_dtype=_jnp.float32)
-    # fetch to host inside the timed region: on remote-TPU backends
-    # block_until_ready alone does not reliably wait for execution
-    scores = np.asarray(scores)
+    if score_fn is not None:
+        scores = np.asarray(score_fn())
+    else:
+        P_now = l2_normalize(
+            jnp.asarray(student_param) * jnp.asarray(pmask_student)[..., None])
+        # fp32 accumulation: reported metrics must not depend on bf16-rounded
+        # near-tie rankings (reference evaluates in fp32)
+        scores = maxsim(Q_test_norm, P_now, qmask_test, pmask_student,
+                        chunk_p=chunk_p, impl=impl, compute_dtype=jnp.float32)
+        # fetch to host inside the timed region: on remote-TPU backends
+        # block_until_ready alone does not reliably wait for execution
+        scores = np.asarray(scores)
     latency_ms = (time.perf_counter() - t0) * 1000.0 / max(int(scores.shape[0]), 1)
 
     if fast and relevant_docs_test is not None and docidx_2_docid_test:

@@ -31,39 +31,21 @@ from evdr_tpu.ops.maxsim import NEG_FILL
 
 
 def build_summary_tokens(P: np.ndarray, pmask: np.ndarray, k_centroids: int = 4,
-                         iters: int = 5, seed: int = 0
+                         iters: int = 5, seed: int = 0,
+                         chunk_pages: int = 16384
                          ) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-page k-means summaries: (N, Lp, D) -> (N, k, D) + all-true mask.
+    """Per-page k-means summaries: (N, Lp, D) -> (N, k, D) + occupancy mask.
 
-    Host-side build (one-time, index-build stage). Pages with fewer valid
-    tokens than k get zero-padded centers (masked out).
+    Corpus-scale device build: all N per-page k-means problems are solved at
+    once as batched matmuls (``ops/batched_kmeans.py``), chunked along the
+    page axis — no per-page host loop, runs at 1M pages. Pages with fewer
+    valid tokens than k get zero centers (masked out). Summaries are scored
+    like tokens: L2-normalized.
     """
-    from evdr_tpu.tools.pool_index import _kmeans_pool
+    from evdr_tpu.ops.batched_kmeans import batched_kmeans
 
-    n, lp, d = P.shape
-    pmask = np.asarray(pmask, dtype=bool)
-
-    if pmask.all() and lp % k_centroids == 0:
-        # vectorized strided mean-pool fast path (uniform fully-valid indexes,
-        # e.g. compressed student/serving indexes at corpus scale)
-        S = np.asarray(P, dtype=np.float32).reshape(
-            n, k_centroids, lp // k_centroids, d).mean(axis=2)
-        norms = np.linalg.norm(S, axis=-1, keepdims=True)
-        S = (S / np.maximum(norms, 1e-12)).astype(np.float32)
-        return S, np.ones((n, k_centroids), dtype=bool)
-
-    S = np.zeros((n, k_centroids, d), dtype=np.float32)
-    smask = np.zeros((n, k_centroids), dtype=bool)
-    for i in range(n):
-        toks = np.asarray(P[i][np.asarray(pmask[i], bool)], dtype=np.float32)
-        if toks.shape[0] == 0:
-            continue
-        mf = max(1, int(round(toks.shape[0] / k_centroids)))
-        centers = _kmeans_pool(toks, mf, iters=iters, seed=seed + i)
-        k_eff = min(k_centroids, centers.shape[0])
-        S[i, :k_eff] = centers[:k_eff]
-        smask[i, :k_eff] = True
-    # summaries are scored like tokens: L2-normalize
+    S, smask = batched_kmeans(P, pmask, k=k_centroids, iters=iters, seed=seed,
+                              chunk_pages=chunk_pages)
     norms = np.linalg.norm(S, axis=-1, keepdims=True)
     S = np.where(norms > 0, S / np.maximum(norms, 1e-12), 0.0).astype(np.float32)
     return S, smask

@@ -94,6 +94,10 @@ class TrainConfig:
     precompute_teacher: bool = True        # teacher is frozen: score the pool once
     checkpoint_every: int = 0              # 0 = only best-npz artifacts
     resume: bool = False
+    # multi-device training: shard the student/teacher doc axis over an
+    # N-device mesh (global-softmax losses via XLA collectives,
+    # parallel/train_sharded.py); 0/1 = single device
+    mesh_docs: int = 0
 
     def loss_hp(self) -> dict:
         return {
@@ -119,6 +123,14 @@ class TrainConfig:
             raise ValueError(f"unknown trainer {self.trainer!r}")
         if self.opt != "adamw":
             raise ValueError("only adamw is supported (reference utils/utils.py:78-80)")
+        if self.mesh_docs > 1:
+            if self.aug != "none":
+                raise ValueError("mesh_docs>1 supports aug='none' only")
+            if self.loss == "infonce_sup":
+                raise ValueError("mesh_docs>1 does not support infonce_sup "
+                                 "(label-indexed positives are not doc-sharded)")
+            if self.steps_per_dispatch > 1:
+                raise ValueError("mesh_docs>1 requires steps_per_dispatch=1")
         return self
 
     def to_json(self) -> str:

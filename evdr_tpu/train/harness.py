@@ -654,6 +654,32 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
     param, pmask_student, (doc_attn_in, doc_img_in) = init_student(
         cfg, dataset, bundle, mf)
 
+    # --- optional doc-sharded multi-device training (--mesh_docs N) ---------
+    # student/teacher doc axes shard over the mesh; queries replicate; the
+    # global-softmax losses run via XLA collectives (parallel/train_sharded).
+    # Scaled version of the single-device step, mainv2_iter_liscore.py:283-311.
+    mesh = None
+    n_docs = int(param.shape[0])
+    if cfg.mesh_docs > 1:
+        from evdr_tpu.parallel import (build_sharded_index, make_mesh,
+                                       replicate, shard_docs)
+
+        mesh = make_mesh(cfg.mesh_docs)
+        teacher_sh = build_sharded_index(
+            np.asarray(bundle.P_teacher_norm), np.asarray(bundle.pmask_teacher),
+            mesh)
+        pad = teacher_sh.n_pad - n_docs
+        param = shard_docs(jnp.asarray(np.pad(
+            np.asarray(param), ((0, pad), (0, 0), (0, 0)))), mesh)
+        pmask_student = shard_docs(jnp.asarray(np.pad(
+            np.asarray(pmask_student), ((0, pad), (0, 0)))), mesh)
+        Q_train_r = replicate(jnp.asarray(bundle.Q_train), mesh)
+        qm_train_r = replicate(jnp.asarray(bundle.qmask_train), mesh)
+
+    def unpad(x):
+        """Valid-doc view for export/eval paths (mesh pads the doc axis)."""
+        return x[:n_docs] if mesh is not None else x
+
     optimizer = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
     opt_state = optimizer.init(param)
 
@@ -670,12 +696,37 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
 
     evaluator = CustomRetrievalEvaluator()
 
+    if mesh is not None:
+        from evdr_tpu.parallel import replicate as _replicate
+        from evdr_tpu.parallel import sharded_maxsim
+        from evdr_tpu.parallel.sharded_index import ShardedIndex
+
+        Q_test_r = _replicate(jnp.asarray(bundle.Q_test), mesh)
+        qm_test_r = _replicate(jnp.asarray(bundle.qmask_test), mesh)
+
+        def _mesh_score_fn():
+            Ps = l2_normalize(param * pmask_student[..., None].astype(jnp.float32))
+            sidx = ShardedIndex(P=Ps, pmask=pmask_student, n_docs=n_docs,
+                                mesh=mesh)
+            return sharded_maxsim(Q_test_r, qm_test_r, sidx, chunk_p=cfg.chunk_p)
+
     def eval_now(step):
-        metrics = eval_retrieval(
-            evaluator, bundle.Q_test, bundle.qmask_test, param, pmask_student,
-            bundle.relevant_docs_test, bundle.docidx_2_docid_test,
-            bundle.qsidx_2_query_test, chunk_p=cfg.chunk_p, impl=cfg.eval_impl)
-        ev_loss = evaluation_loss(cfg, bundle, param, pmask_student)
+        if mesh is not None:
+            metrics = eval_retrieval(
+                evaluator, bundle.Q_test, bundle.qmask_test, None, None,
+                bundle.relevant_docs_test, bundle.docidx_2_docid_test,
+                bundle.qsidx_2_query_test, score_fn=_mesh_score_fn)
+            # eval loss on the gathered valid-doc view (small: test queries x
+            # student; exact same code path as single-device)
+            ev_loss = evaluation_loss(
+                cfg, bundle, jnp.asarray(np.asarray(param)[:n_docs]),
+                jnp.asarray(np.asarray(pmask_student)[:n_docs]))
+        else:
+            metrics = eval_retrieval(
+                evaluator, bundle.Q_test, bundle.qmask_test, param, pmask_student,
+                bundle.relevant_docs_test, bundle.docidx_2_docid_test,
+                bundle.qsidx_2_query_test, chunk_p=cfg.chunk_p, impl=cfg.eval_impl)
+            ev_loss = evaluation_loss(cfg, bundle, param, pmask_student)
         scalars = {
             "dataset": dataset, "mf": mf, "step": int(step),
             "eval/eval loss": ev_loss["total_loss"],
@@ -704,9 +755,33 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
     if cfg.resume and ckpt_path.exists():
         param, opt_state, step0, best_r1, best_nd5 = load_checkpoint(
             ckpt_path, param, opt_state)
+        if mesh is not None:
+            from evdr_tpu.parallel import replicate as _rep
+            from evdr_tpu.parallel import shard_docs as _shard
+
+            n_pad = int(param.shape[0])
+            param = _shard(param, mesh)
+            opt_state = jax.tree_util.tree_map(
+                lambda x: (_shard(x, mesh)
+                           if getattr(x, "ndim", 0) >= 1 and x.shape[0] == n_pad
+                           else _rep(x, mesh)),
+                opt_state)
         log_json(logger, {"note": "resumed", "step": step0})
 
-    train_step = build_train_step(cfg, bundle, pmask_student, optimizer)
+    if mesh is not None:
+        from evdr_tpu.parallel import build_sharded_train_step
+
+        sstep, _ = build_sharded_train_step(
+            cfg, mesh, pmask_student=pmask_student, P_teacher=teacher_sh.P,
+            pmask_teacher=teacher_sh.pmask, n_docs=n_docs)
+
+        def train_step(p, s, idx, rng):
+            idxd = jnp.asarray(idx)
+            Qb = jnp.take(Q_train_r, idxd, axis=0)
+            qmb = jnp.take(qm_train_r, idxd, axis=0)
+            return sstep(p, s, Qb, qmb)
+    else:
+        train_step = build_train_step(cfg, bundle, pmask_student, optimizer)
 
     n_train = int(bundle.Q_train.shape[0])
     if cfg.trainer == "iter":
@@ -809,7 +884,7 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
             save_best_npz(out_dir, f"compressed_ep{step}.npz", cfg=cfg,
                           dataset=dataset, mf=mf, step=step,
                           best={"step": step}, metrics=last_metrics,
-                          param=param, pmask_student=pmask_student,
+                          param=unpad(param), pmask_student=unpad(pmask_student),
                           docid=bundle.docid_teacher,
                           doc_attn_in=doc_attn_in, doc_img_in=doc_img_in)
 
@@ -824,7 +899,7 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
                     f"Recall@1={best_r1['Recall@1']:.5f} | Latency {metrics['latency']:.5f}")
                 save_best_npz(out_dir, "best_recall.npz", cfg=cfg, dataset=dataset,
                               mf=mf, step=step, best=best_r1, metrics=metrics,
-                              param=param, pmask_student=pmask_student,
+                              param=unpad(param), pmask_student=unpad(pmask_student),
                               docid=bundle.docid_teacher,
                               doc_attn_in=doc_attn_in, doc_img_in=doc_img_in)
             if upd_nd5:
@@ -833,7 +908,7 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
                     f"Recall@1={best_nd5['Recall@1']:.5f} | Latency {metrics['latency']:.5f}")
                 save_best_npz(out_dir, "best_ndcg5.npz", cfg=cfg, dataset=dataset,
                               mf=mf, step=step, best=best_nd5, metrics=metrics,
-                              param=param, pmask_student=pmask_student,
+                              param=unpad(param), pmask_student=unpad(pmask_student),
                               docid=bundle.docid_teacher,
                               doc_attn_in=doc_attn_in, doc_img_in=doc_img_in)
 

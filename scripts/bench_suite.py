@@ -233,17 +233,21 @@ def config5b_pruned(n_pages: int = 250_048, tokens: int = 64, d: int = 128,
     qm = rng.random((nq, lq)) > 0.15
 
     index = build_sharded_index(P, pm, mesh, dtype="bfloat16", pad_docs_to=64)
-    S, smask = build_summary_tokens(np.asarray(P, np.float32), pm, k_centroids=4)
+    t0 = time.perf_counter()
+    # summaries from the DEVICE-resident index: no second corpus transfer
+    S, smask = build_summary_tokens(index.P[:n_pages], index.pmask[:n_pages],
+                                    k_centroids=4, iters=5)
+    dt_build = time.perf_counter() - t0
     summary = build_sharded_index(S, smask, mesh, dtype="bfloat16",
                                   pad_docs_to=64)
     Qd = replicate(jnp.asarray(Q), mesh)
     qmd = replicate(jnp.asarray(qm), mesh)
-    k, n_cand = 10, 1024
+    k = 10
 
     def exact():
         return sharded_topk(Qd, qmd, index, k=k, chunk_p=4096, impl="pallas")
 
-    def pruned():
+    def pruned(n_cand):
         _, cand = sharded_topk(Qd, qmd, summary, k=n_cand, chunk_p=4096,
                                impl="pallas", approx=True)
         return rerank_candidates(Qd, qmd, index.P, index.pmask, cand, k=k)
@@ -255,18 +259,31 @@ def config5b_pruned(n_pages: int = 250_048, tokens: int = 64, d: int = 128,
     _fetch(idx_e2)
     dt_e = time.perf_counter() - t0
 
-    _, idx_p = pruned()
-    _fetch(idx_p)
-    t0 = time.perf_counter()
-    _, idx_p2 = pruned()
-    idx_p2 = _fetch(idx_p2)
-    dt_p = time.perf_counter() - t0
-
-    rec = pruned_recall(idx_e, idx_p2)
-    _emit(config=5, metric="pruned_topk_teacher_scale", value=round(nq / dt_p, 1),
+    curve = []
+    for n_cand in (512, 1024, 2048):
+        _, idx_p = pruned(n_cand)
+        _fetch(idx_p)
+        t0 = time.perf_counter()
+        _, idx_p2 = pruned(n_cand)
+        idx_p2 = _fetch(idx_p2)
+        dt_p = time.perf_counter() - t0
+        curve.append({
+            "n_candidates": n_cand,
+            "qps": round(nq / dt_p, 1),
+            "recall_at_10": round(pruned_recall(idx_e, idx_p2), 4),
+            "recall_at_1": round(pruned_recall(idx_e[:, :1], idx_p2[:, :1]), 4),
+            "speedup_vs_exact": round(dt_e / dt_p, 2),
+        })
+    # headline: smallest candidate set reaching recall@10 >= 0.95 (else best)
+    good = [c for c in curve if c["recall_at_10"] >= 0.95]
+    pick = good[0] if good else max(curve, key=lambda c: c["recall_at_10"])
+    _emit(config=5, metric="pruned_topk_teacher_scale", value=pick["qps"],
           unit="q/s", n_pages=n_pages, tokens_per_page=tokens,
-          exact_qps=round(nq / dt_e, 1), n_candidates=n_cand,
-          recall_vs_exact=round(rec, 4), speedup_vs_exact=round(dt_e / dt_p, 2))
+          exact_qps=round(nq / dt_e, 1), n_candidates=pick["n_candidates"],
+          recall_at_10_vs_exact=pick["recall_at_10"],
+          recall_at_1_vs_exact=pick["recall_at_1"],
+          speedup_vs_exact=pick["speedup_vs_exact"],
+          summary_build_sec=round(dt_build, 1), curve=curve)
 
 
 def main():
