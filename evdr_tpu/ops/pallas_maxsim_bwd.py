@@ -169,9 +169,17 @@ def _indicator(simT, m_ref, w_ref, db, tlp, compute_dtype):
     return e3.reshape(db * tlp, qbl).astype(compute_dtype)
 
 
-def _dq_kernel(qf_ref, p_ref, pm_ref, m_ref, w_ref, dq_ref, acc_ref, *,
-               db, tlp, precision, compute_dtype):
-    j, l = pl.program_id(1), pl.program_id(2)
+def _dqdp_kernel(qf_ref, p_ref, pm_ref, m_ref, w_ref, dq_ref, dp_ref, acc_ref,
+                 *, db, tlp, precision, compute_dtype):
+    """ONE sim recompute feeds BOTH gradient matmuls (VERDICT r1 item 4).
+
+    Grid (i=q-block, j=doc-block, l=lp-tile), i outermost:
+    - dQ accumulates over (j, l) in a VMEM scratch, written once per i;
+    - dP's (j, l) output block is revisited once per i — initialized at i==0,
+      then read-modify-write accumulated (Pallas refetches the block on each
+      revisit, cheap here because training has n_qb == 1 q-block).
+    """
+    i, j, l = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     n_j, n_l = pl.num_programs(1), pl.num_programs(2)
 
     @pl.when((j == 0) & (l == 0))
@@ -180,35 +188,29 @@ def _dq_kernel(qf_ref, p_ref, pm_ref, m_ref, w_ref, dq_ref, acc_ref, *,
 
     simT = _simT(qf_ref[:], p_ref, pm_ref, db, tlp, precision)
     e_t = _indicator(simT, m_ref, w_ref, db, tlp, compute_dtype)
+
     pblk = p_ref[:].reshape(db * tlp, p_ref.shape[-1])
     acc_ref[:] += jax.lax.dot_general(
         e_t, pblk, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision)
 
+    dp_blk = jax.lax.dot_general(
+        e_t, qf_ref[:].astype(compute_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision).reshape(1, db, tlp, qf_ref.shape[-1])
+
+    @pl.when(i == 0)
+    def _dp_set():
+        dp_ref[:] = dp_blk
+
+    @pl.when(i > 0)
+    def _dp_acc():
+        dp_ref[:] += dp_blk
+
     @pl.when((j == n_j - 1) & (l == n_l - 1))
     def _finish():
         dq_ref[:] = acc_ref[:]
-
-
-def _dp_kernel(qf_ref, p_ref, pm_ref, m_ref, w_ref, dp_ref, acc_ref, *,
-               db, tlp, precision, compute_dtype):
-    i = pl.program_id(2)
-    n_i = pl.num_programs(2)
-
-    @pl.when(i == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    simT = _simT(qf_ref[:], p_ref, pm_ref, db, tlp, precision)
-    e_t = _indicator(simT, m_ref, w_ref, db, tlp, compute_dtype)
-    acc_ref[:] += jax.lax.dot_general(
-        e_t, qf_ref[:].astype(compute_dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)
-
-    @pl.when(i == n_i - 1)
-    def _finish():
-        dp_ref[0] = acc_ref[:].reshape(1, db, tlp, acc_ref.shape[-1])[0]
 
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
@@ -231,58 +233,40 @@ def maxsim_pallas_bwd(Q, P, qmask, pmask, M, g, compute_dtype=jnp.bfloat16,
     W = (W.reshape(dm["n_qb"], dm["qbl"], dm["n_db"], dm["db"])
          .transpose(0, 2, 3, 1))  # (n_qb, n_db, db, qbl)
 
-    common_in_specs = [
-        pl.BlockSpec((dm["qbl"], dm["d_pad"]), lambda i, j, l: (i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((dm["db"], dm["tlp"], dm["d_pad"]),
-                     lambda i, j, l: (j, l, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, dm["db"] * dm["tlp"]),
-                     lambda i, j, l: (j * pl.num_programs(2) + l, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, dm["db"], dm["qbl"]), lambda i, j, l: (i, j, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, dm["db"], dm["qbl"]), lambda i, j, l: (i, j, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-
-    dq = pl.pallas_call(
-        functools.partial(_dq_kernel, db=dm["db"], tlp=dm["tlp"],
+    dq, dp = pl.pallas_call(
+        functools.partial(_dqdp_kernel, db=dm["db"], tlp=dm["tlp"],
                           precision=precision, compute_dtype=compute_dtype),
         grid=(dm["n_qb"], dm["n_db"], dm["n_lp"]),
-        in_specs=common_in_specs,
-        out_specs=pl.BlockSpec((dm["qbl"], dm["d_pad"]), lambda i, j, l: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (dm["nq_pad"] * dm["lq_pad"], dm["d_pad"]), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((dm["qbl"], dm["d_pad"]), jnp.float32)],
-        interpret=interpret,
-    )(qf, Pp, pm_t, M, W)
-
-    # pm_t slot index for the dp grid (j, l, i): same mask slot for all i
-    dp = pl.pallas_call(
-        functools.partial(_dp_kernel, db=dm["db"], tlp=dm["tlp"],
-                          precision=precision, compute_dtype=compute_dtype),
-        grid=(dm["n_db"], dm["n_lp"], dm["n_qb"]),
         in_specs=[
-            pl.BlockSpec((dm["qbl"], dm["d_pad"]), lambda j, l, i: (i, 0),
+            pl.BlockSpec((dm["qbl"], dm["d_pad"]), lambda i, j, l: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((dm["db"], dm["tlp"], dm["d_pad"]),
-                         lambda j, l, i: (j, l, 0), memory_space=pltpu.VMEM),
+                         lambda i, j, l: (j, l, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, dm["db"] * dm["tlp"]),
-                         lambda j, l, i: (j * pl.num_programs(1) + l, 0, 0),
+                         lambda i, j, l: (j * pl.num_programs(2) + l, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, dm["db"], dm["qbl"]),
-                         lambda j, l, i: (i, j, 0, 0), memory_space=pltpu.VMEM),
+                         lambda i, j, l: (i, j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, dm["db"], dm["qbl"]),
-                         lambda j, l, i: (i, j, 0, 0), memory_space=pltpu.VMEM),
+                         lambda i, j, l: (i, j, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, dm["db"], dm["tlp"], dm["d_pad"]),
-                               lambda j, l, i: (j, 0, l, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (dm["n_db"], dm["db"], dm["lp_pad"], dm["d_pad"]), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((dm["db"] * dm["tlp"], dm["d_pad"]),
-                                   jnp.float32)],
+        out_specs=(
+            pl.BlockSpec((dm["qbl"], dm["d_pad"]), lambda i, j, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dm["db"], dm["tlp"], dm["d_pad"]),
+                         lambda i, j, l: (j, 0, l, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(
+                (dm["nq_pad"] * dm["lq_pad"], dm["d_pad"]), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (dm["n_db"], dm["db"], dm["lp_pad"], dm["d_pad"]), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((dm["qbl"], dm["d_pad"]), jnp.float32)],
+        # every axis carries an accumulation (dq over j,l; dp over i)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=interpret,
     )(qf, Pp, pm_t, M, W)
 

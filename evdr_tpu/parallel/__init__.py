@@ -1,4 +1,5 @@
-from evdr_tpu.parallel.mesh import make_mesh, shard_docs, replicate
+from evdr_tpu.parallel.mesh import make_mesh, make_mesh_2d, shard_docs, replicate
 from evdr_tpu.parallel.sharded_index import ShardedIndex, build_sharded_index
 from evdr_tpu.parallel.topk import sharded_maxsim, sharded_topk
+from evdr_tpu.parallel.gspmd import gspmd_maxsim, gspmd_topk
 from evdr_tpu.parallel.train_sharded import build_sharded_train_step

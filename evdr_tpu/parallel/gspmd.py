@@ -1,0 +1,99 @@
+"""GSPMD-partitioned (shard_map-free) doc-sharded scoring + top-k.
+
+Alternative formulation of ``parallel/topk.py`` investigated for VERDICT r1
+item 7: the remote-TPU backend showed ~200x per-dispatch overhead for
+shard_map programs vs plain jit on a 1-device mesh (CLAUDE.md). Here the SAME
+two-stage top-k (local per-shard selection -> tiny global merge) is written as
+one plain jit over GLOBAL arrays with sharding constraints; XLA's SPMD
+partitioner inserts the collectives:
+
+- scores: the (B, N) MaxSim matrix computed tile-by-tile over Lp with a
+  running max — the doc axis stays sharded end-to-end (no reshape of the
+  sharded dim, which would force a gather);
+- top-k: scores reshape to (B, world, shard) with the WORLD axis sharded
+  (shard-local reshape), per-group ``lax.top_k``, then the (B, world*k)
+  candidate merge replicates (O(world*k) traffic, same as the shard_map
+  form's all_gather).
+
+Select the serving implementation with ``EVDR_TOPK_IMPL=gspmd|shard_map``
+(default shard_map) — see ``sharded_topk``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from evdr_tpu.parallel.mesh import DOC_AXIS
+from evdr_tpu.parallel.sharded_index import ShardedIndex
+
+
+def _scores_lp_tiled(Q, qmask, Pd, pmd, lp_tile: int):
+    """(B, N) masked MaxSim with the doc axis N left sharded.
+
+    Loops over Lp tiles (static Python loop -> unrolled in the jit) keeping a
+    (B, N, Lq) running max; each tile is one einsum the partitioner shards on
+    N. Memory: (B, N_loc, Lq) per device — fine for serving batch sizes.
+    """
+    nq, lq, d = Q.shape
+    nd, lp, _ = Pd.shape
+    qm = qmask.astype(jnp.float32)
+    acc = jnp.full((nq, nd, lq), -1e30, jnp.float32)
+    for s in range(0, lp, lp_tile):
+        e = min(s + lp_tile, lp)
+        sim = jnp.einsum("qnd,cmd->qcnm", Q, Pd[:, s:e],
+                         preferred_element_type=jnp.float32)
+        sim = jnp.where(pmd[None, :, None, s:e], sim, -1e30)
+        acc = jnp.maximum(acc, jnp.max(sim, axis=-1))
+    mx = jnp.where(acc > -1e29, acc, 0.0)           # all-invalid doc -> 0
+    return jnp.sum(mx * qm[:, None, :], axis=-1)    # (B, N)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "world", "shard", "lp_tile", "grp_sh"))
+def _gspmd_topk_impl(Q, qmask, Pd, pmd, k: int, world: int, shard: int,
+                     lp_tile: int, grp_sh):
+    sc = _scores_lp_tiled(Q, qmask, Pd, pmd, lp_tile)
+    valid = jnp.any(pmd, axis=-1)[None, :]
+    sc = jnp.where(valid, sc, -jnp.inf)
+    nq = sc.shape[0]
+    # (B, world, shard): splitting the sharded axis N -> (world, shard) keeps
+    # each group on its own device; constrain to make the intent explicit
+    sc3 = sc.reshape(nq, world, shard)
+    if grp_sh is not None:
+        sc3 = jax.lax.with_sharding_constraint(sc3, grp_sh)
+    k_local = min(k, shard)
+    v, i = jax.lax.top_k(sc3, k_local)              # (B, world, k_local)
+    gi = i + (jnp.arange(world, dtype=i.dtype) * shard)[None, :, None]
+    v2 = v.reshape(nq, world * k_local)
+    gi2 = gi.reshape(nq, world * k_local)
+    mv, mp = jax.lax.top_k(v2, min(k, world * k_local))  # tiny merge
+    return mv, jnp.take_along_axis(gi2, mp, axis=1)
+
+
+def gspmd_topk(Q, qmask, index: ShardedIndex, k: int, lp_tile: int = 128
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact doc-sharded top-k as one GSPMD-partitioned jit program."""
+    mesh = index.mesh
+    world = dict(mesh.shape).get(DOC_AXIS, mesh.devices.size)
+    shard = index.n_pad // world
+    grp_sh = (NamedSharding(mesh, P(None, DOC_AXIS, None))
+              if world > 1 else None)
+    return _gspmd_topk_impl(Q, qmask, index.P, index.pmask, k=min(k, index.n_pad),
+                            world=world, shard=shard, lp_tile=lp_tile,
+                            grp_sh=grp_sh)
+
+
+def gspmd_maxsim(Q, qmask, index: ShardedIndex, lp_tile: int = 128):
+    """Full (B, n_docs) scores as one GSPMD-partitioned jit program."""
+
+    @functools.partial(jax.jit, static_argnames=("lp_tile",))
+    def f(Q, qmask, Pd, pmd, lp_tile):
+        return _scores_lp_tiled(Q, qmask, Pd, pmd, lp_tile)
+
+    sc = f(Q, qmask, index.P, index.pmask, lp_tile)
+    return sc[:, : index.n_docs]

@@ -127,6 +127,14 @@ def sharded_topk(Q, qmask, index: ShardedIndex, k: int, chunk_p: int = 128,
                                         min(k, index.n_pad), chunk_p, impl,
                                         approx)
         return vals, idx
+    import os
+
+    if os.environ.get("EVDR_TOPK_IMPL") == "gspmd":
+        # GSPMD-partitioned alternative (no shard_map dispatch overhead on
+        # backends where that matters; see parallel/gspmd.py + RESULTS.md)
+        from evdr_tpu.parallel.gspmd import gspmd_topk
+
+        return gspmd_topk(Q, qmask, index, k)
     world = dict(mesh.shape).get(DOC_AXIS, mesh.devices.size)
     n_pad = index.n_pad
     shard_size = n_pad // world

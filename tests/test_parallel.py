@@ -250,3 +250,41 @@ def test_mesh_training_checkpoint_resume(tmp_path):
     run_training(TrainConfig(**base, max_steps=10))
     r = run_training(TrainConfig(**base, max_steps=20, resume=True))
     assert r["synth/mf5"]["summary/best_ndcg5"]["NDCG@5"] > 0
+
+
+def test_gspmd_topk_matches_shard_map(mesh):
+    from evdr_tpu.parallel.gspmd import gspmd_maxsim, gspmd_topk
+
+    _, Q, qmask, Pn, pmask = _corpus(seed=3, n_docs=41)
+    idx = build_sharded_index(Pn, pmask, mesh)
+    Qd = replicate(jnp.asarray(Q), mesh)
+    qmd = replicate(jnp.asarray(qmask), mesh)
+    k = 7
+    v_sm, i_sm = sharded_topk(Qd, qmd, idx, k=k)
+    v_gs, i_gs = gspmd_topk(Qd, qmd, idx, k=k)
+    np.testing.assert_allclose(np.asarray(v_gs), np.asarray(v_sm),
+                               rtol=1e-5, atol=1e-5)
+    # same docs at every rank up to score ties
+    sc_sm = np.asarray(sharded_maxsim(Qd, qmd, idx))
+    for q in range(Q.shape[0]):
+        got = set(np.asarray(i_gs[q]).tolist())
+        want = set(np.asarray(i_sm[q]).tolist())
+        if got != want:  # tie tolerance: scores must match exactly
+            diff = got ^ want
+            vals = {sc_sm[q, d] for d in diff}
+            assert len(vals) <= 1, (q, got, want)
+
+    sc_gs = np.asarray(gspmd_maxsim(Qd, qmd, idx))
+    np.testing.assert_allclose(sc_gs, sc_sm, rtol=1e-5, atol=1e-5)
+
+
+def test_gspmd_env_switch(mesh, monkeypatch):
+    _, Q, qmask, Pn, pmask = _corpus(seed=4, n_docs=19)
+    idx = build_sharded_index(Pn, pmask, mesh)
+    Qd = replicate(jnp.asarray(Q), mesh)
+    qmd = replicate(jnp.asarray(qmask), mesh)
+    v0, i0 = sharded_topk(Qd, qmd, idx, k=5)
+    monkeypatch.setenv("EVDR_TOPK_IMPL", "gspmd")
+    v1, i1 = sharded_topk(Qd, qmd, idx, k=5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                               rtol=1e-5, atol=1e-5)
