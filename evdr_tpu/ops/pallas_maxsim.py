@@ -264,3 +264,134 @@ maxsim_pallas.defvjp(_fwd, _bwd)
 def maxsim_pallas_interpret(Q, P, qmask, pmask):
     """Interpreter-mode wrapper (CPU tests)."""
     return maxsim_pallas(Q, P, qmask, pmask, jnp.float32, True)
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized index variant (serving): P stored as int8 codes + per-token
+# f32 scales (ops/quantize.py). Halves the dominant HBM stream vs bf16. The
+# scale rides the same pre-tiled row layout as the mask, with -1 marking
+# invalid tokens (a 0 scale is a VALID all-zero token and must score 0, not
+# be masked) — one `where` applies dequantization AND masking.
+# ---------------------------------------------------------------------------
+
+def _kernel_int8(qf_ref, qmf_ref, p_ref, sc_ref, out_ref, acc_ref, *, db, tlp,
+                 lq_pad, qb, out_dtype, precision, compute_dtype):
+    l = pl.program_id(2)
+    n_l = pl.num_programs(2)
+
+    @pl.when(l == 0)
+    def _init():
+        acc_ref[:] = jnp.full_like(acc_ref, NEG_INIT)
+
+    # int8 -> compute dtype convert is D-wide VPU work amortized over all QBL
+    # output columns of the matmul
+    pblk = p_ref[:].reshape(db * tlp, p_ref.shape[-1]).astype(compute_dtype)
+    simT = jax.lax.dot_general(
+        pblk, qf_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # (DB*TLP, QBL)
+    scol = jnp.transpose(sc_ref[0])  # (DB*TLP, 1): scale, or -1 if invalid
+    simT = jnp.where(scol >= 0, simT * scol, NEG_INIT)
+
+    blockmax = jnp.max(simT.reshape(db, tlp, simT.shape[-1]), axis=1)
+    acc_ref[:] = jnp.maximum(acc_ref[:], blockmax)
+
+    @pl.when(l == n_l - 1)
+    def _finish():
+        acc = acc_ref[:]
+        mx = jnp.where(acc > NEG_THRESH, acc, 0.0)
+        weighted = mx * qmf_ref[0]
+        qbl = qb * lq_pad
+        rows = jax.lax.broadcasted_iota(jnp.int32, (qbl, qb), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (qbl, qb), 1)
+        selT = (rows // lq_pad == cols).astype(jnp.float32)
+        out = jax.lax.dot_general(
+            weighted, selT,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        out_ref[0, 0] = jnp.transpose(out).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("compute_dtype", "interpret", "target_rows",
+                              "target_cols")
+)
+def maxsim_pallas_int8(Q, P_i8, scales, qmask, pmask,
+                       compute_dtype=jnp.bfloat16, interpret: bool = False,
+                       target_rows: int = 1024, target_cols: int = 2048):
+    """Fused MaxSim over an int8-quantized index.
+
+    Q (nq, Lq, D) float; P_i8 (nd, Lp, D) int8 codes; scales (nd, Lp) f32
+    per-token scales (ops/quantize.py). Scores match the dequantized-fp32
+    oracle up to compute-dtype rounding.
+    """
+    nq, lq, d = Q.shape
+    nd, lp, _ = P_i8.shape
+    qb, lq_pad, db, tlp = _pick_tiles(lq, lp, target_rows, target_cols)
+
+    nq_pad = _round_up(max(nq, qb), qb)
+    nd_pad = _round_up(max(nd, db), db)
+    lp_pad = _round_up(lp, tlp)
+    d_pad = _round_up(d, 128)
+
+    def padded(x, shape, dtype, fill=0):
+        x = x.astype(dtype)
+        if x.shape == shape:
+            return x
+        return jnp.full(shape, fill, dtype).at[
+            tuple(slice(0, s) for s in x.shape)].set(x)
+
+    Qp = padded(Q, (nq_pad, lq_pad, d_pad), compute_dtype)
+    Pp = padded(P_i8, (nd_pad, lp_pad, d_pad), jnp.int8)
+    qm = padded(qmask, (nq_pad, lq_pad), jnp.float32)
+    # sentinel layout: valid token -> its scale (>= 0), invalid/pad -> -1
+    sct = jnp.where(pmask, scales.astype(jnp.float32), -1.0)
+    sct = padded(sct, (nd_pad, lp_pad), jnp.float32, fill=-1.0)
+
+    qbl = qb * lq_pad
+    qf = Qp.reshape(nq_pad * lq_pad, d_pad)
+    n_qb, n_db, n_lp = nq_pad // qb, nd_pad // db, lp_pad // tlp
+    qmf = qm.reshape(n_qb, 1, qbl)
+    sc_t = (sct.reshape(n_db, db, n_lp, tlp).transpose(0, 2, 1, 3)
+            .reshape(n_db * n_lp, 1, db * tlp))
+
+    precision = (jax.lax.Precision.HIGHEST
+                 if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    kernel = functools.partial(
+        _kernel_int8, db=db, tlp=tlp, lq_pad=lq_pad, qb=qb,
+        out_dtype=jnp.float32, precision=precision, compute_dtype=compute_dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_qb, n_db, n_lp),
+        in_specs=[
+            pl.BlockSpec((qbl, d_pad), lambda i, j, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, qbl), lambda i, j, l: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((db, tlp, d_pad), lambda i, j, l: (j, l, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, db * tlp),
+                         lambda i, j, l: (j * pl.num_programs(2) + l, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, qb, db), lambda i, j, l: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_qb, n_db, qb, db), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((db, qbl), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (nq_pad * lq_pad) * (nd_pad * lp_pad) * d_pad,
+            bytes_accessed=qf.size * qf.dtype.itemsize
+            + Pp.size * 1 * n_qb + nq_pad * nd_pad * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(qf, qmf, Pp, sc_t)
+    scores = out.transpose(0, 2, 1, 3).reshape(nq_pad, nd_pad)
+    return scores[:nq, :nd]

@@ -19,11 +19,14 @@ from evdr_tpu.parallel.mesh import shard_docs
 
 @dataclass
 class ShardedIndex:
-    P: jnp.ndarray          # (N_pad, Lp, D) sharded on dim 0
+    P: jnp.ndarray          # (N_pad, Lp, D) sharded on dim 0 (float or int8)
     pmask: jnp.ndarray      # (N_pad, Lp) sharded on dim 0
     n_docs: int             # valid docs (<= N_pad)
     docids: Optional[np.ndarray] = None
     mesh: Optional[Mesh] = None
+    # int8-quantized indexes: per-token f32 scales (N_pad, Lp), sharded on
+    # dim 0; None for float indexes (see ops/quantize.py)
+    scales: Optional[jnp.ndarray] = None
 
     @property
     def n_pad(self) -> int:
@@ -40,7 +43,12 @@ def build_sharded_index(P, pmask, mesh: Mesh, docids=None, dtype=None,
     re-pads on device.
     """
     P = np.asarray(P)
-    if dtype is not None:
+    scales = None
+    if dtype == "int8":
+        from evdr_tpu.ops.quantize import quantize_tokens_int8
+
+        P, scales = quantize_tokens_int8(P, pmask)
+    elif dtype is not None:
         import ml_dtypes  # numpy bf16 support
 
         np_dtype = np.dtype(dtype) if dtype != "bfloat16" else ml_dtypes.bfloat16
@@ -56,10 +64,14 @@ def build_sharded_index(P, pmask, mesh: Mesh, docids=None, dtype=None,
     if n_pad != n:
         P = np.pad(P, ((0, n_pad - n), (0, 0), (0, 0)))
         pmask = np.pad(pmask, ((0, n_pad - n), (0, 0)))
+        if scales is not None:
+            scales = np.pad(scales, ((0, n_pad - n), (0, 0)))
     return ShardedIndex(
         P=shard_docs(jnp.asarray(P), mesh),
         pmask=shard_docs(jnp.asarray(pmask), mesh),
         n_docs=n,
         docids=docids,
         mesh=mesh,
+        scales=(shard_docs(jnp.asarray(scales), mesh)
+                if scales is not None else None),
     )

@@ -22,7 +22,16 @@ from evdr_tpu.parallel.mesh import DOC_AXIS, DP_AXIS
 from evdr_tpu.parallel.sharded_index import ShardedIndex
 
 
-def _local_scores(Q, qmask, P_loc, pm_loc, chunk_p: int, impl: str):
+def _local_scores(Q, qmask, P_loc, pm_loc, chunk_p: int, impl: str,
+                  scales=None):
+    if scales is not None:
+        # int8-quantized index (ops/quantize.py)
+        if impl == "pallas":
+            from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int8
+
+            return maxsim_pallas_int8(Q, P_loc, scales, qmask, pm_loc)
+        Pf = P_loc.astype(jnp.float32) * scales[..., None]
+        return maxsim_xla(Q, Pf, qmask, pm_loc, chunk_p=chunk_p)
     if impl == "pallas":
         from evdr_tpu.ops.pallas_maxsim import maxsim_pallas
 
@@ -67,6 +76,11 @@ def _single_device_scores(Q, qmask, P_loc, pm_loc, chunk_p, impl):
     return _local_scores(Q, qmask, P_loc, pm_loc, chunk_p, impl)
 
 
+@functools.partial(jax.jit, static_argnames=("chunk_p", "impl"))
+def _single_device_scores_q(Q, qmask, P_loc, pm_loc, scales, chunk_p, impl):
+    return _local_scores(Q, qmask, P_loc, pm_loc, chunk_p, impl, scales)
+
+
 def _select_topk(sc, k: int, approx: bool):
     """k-selection: exact lax.top_k for small k; hardware approx_max_k for
     large k (exact top_k compiles a sorting network whose build time explodes
@@ -85,6 +99,15 @@ def _single_device_topk(Q, qmask, P_loc, pm_loc, k, chunk_p, impl,
     return _select_topk(sc, k, approx)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "chunk_p", "impl", "approx"))
+def _single_device_topk_q(Q, qmask, P_loc, pm_loc, scales, k, chunk_p, impl,
+                          approx=False):
+    sc = _local_scores(Q, qmask, P_loc, pm_loc, chunk_p, impl, scales)
+    valid_doc = jnp.any(pm_loc, axis=-1)[None, :]
+    sc = jnp.where(valid_doc, sc, -jnp.inf)
+    return _select_topk(sc, k, approx)
+
+
 def sharded_maxsim(Q, qmask, index: ShardedIndex, chunk_p: int = 128,
                    impl: str = "xla") -> jnp.ndarray:
     """Full (Q, N) scores, sharded over (dp-groups x doc shards)."""
@@ -92,21 +115,31 @@ def sharded_maxsim(Q, qmask, index: ShardedIndex, chunk_p: int = 128,
     if mesh.devices.size == 1:
         # shard_map measured ~200x slower than plain jit on the remote-TPU
         # backend; a 1-device mesh needs no collectives anyway
-        sc = _single_device_scores(Q, qmask, index.P, index.pmask, chunk_p, impl)
+        if index.scales is not None:
+            sc = _single_device_scores_q(Q, qmask, index.P, index.pmask,
+                                         index.scales, chunk_p, impl)
+        else:
+            sc = _single_device_scores(Q, qmask, index.P, index.pmask,
+                                       chunk_p, impl)
         return sc[:, : index.n_docs]
     qs = _q_spec(mesh)
     row_axis = DP_AXIS if DP_AXIS in mesh.axis_names else None
+    quant = index.scales is not None
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(qs, qs, P(DOC_AXIS), P(DOC_AXIS)),
+        in_specs=((qs, qs, P(DOC_AXIS), P(DOC_AXIS), P(DOC_AXIS)) if quant
+                  else (qs, qs, P(DOC_AXIS), P(DOC_AXIS))),
         out_specs=P(row_axis, DOC_AXIS),
     )
-    def score(Qr, qmr, P_loc, pm_loc):
-        return _local_scores(Qr, qmr, P_loc, pm_loc, chunk_p, impl)
+    def score(Qr, qmr, P_loc, pm_loc, *sc_loc):
+        return _local_scores(Qr, qmr, P_loc, pm_loc, chunk_p, impl,
+                             sc_loc[0] if sc_loc else None)
 
-    scores = score(Q, qmask, index.P, index.pmask)
+    args = (Q, qmask, index.P, index.pmask) + (
+        (index.scales,) if quant else ())
+    scores = score(*args)
     return scores[:, : index.n_docs]
 
 
@@ -123,13 +156,17 @@ def sharded_topk(Q, qmask, index: ShardedIndex, k: int, chunk_p: int = 128,
     """
     mesh = index.mesh
     if mesh.devices.size == 1:
+        if index.scales is not None:
+            return _single_device_topk_q(Q, qmask, index.P, index.pmask,
+                                         index.scales, min(k, index.n_pad),
+                                         chunk_p, impl, approx)
         vals, idx = _single_device_topk(Q, qmask, index.P, index.pmask,
                                         min(k, index.n_pad), chunk_p, impl,
                                         approx)
         return vals, idx
     import os
 
-    if os.environ.get("EVDR_TOPK_IMPL") == "gspmd":
+    if os.environ.get("EVDR_TOPK_IMPL") == "gspmd" and index.scales is None:
         # GSPMD-partitioned alternative (no shard_map dispatch overhead on
         # backends where that matters; see parallel/gspmd.py + RESULTS.md)
         from evdr_tpu.parallel.gspmd import gspmd_topk
@@ -141,18 +178,22 @@ def sharded_topk(Q, qmask, index: ShardedIndex, k: int, chunk_p: int = 128,
     k_local = min(k, shard_size)
     qs = _q_spec(mesh)
 
+    quant = index.scales is not None
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(qs, qs, P(DOC_AXIS), P(DOC_AXIS)),
+        in_specs=((qs, qs, P(DOC_AXIS), P(DOC_AXIS), P(DOC_AXIS)) if quant
+                  else (qs, qs, P(DOC_AXIS), P(DOC_AXIS))),
         out_specs=(qs, qs),
         # outputs ARE replicated across the doc axis (identical merge on
         # every doc shard) but the varying-manual-axes checker can't infer
         # that through all_gather
         check_vma=False,
     )
-    def topk_local_merge(Qr, qmr, P_loc, pm_loc):
-        sc = _local_scores(Qr, qmr, P_loc, pm_loc, chunk_p, impl)  # (Qn, shard)
+    def topk_local_merge(Qr, qmr, P_loc, pm_loc, *sc_loc):
+        sc = _local_scores(Qr, qmr, P_loc, pm_loc, chunk_p, impl,
+                           sc_loc[0] if sc_loc else None)  # (Qn, shard)
         # padded/fully-masked docs score exactly 0; push them below any real
         # candidate so they cannot displace true results in the merge
         valid_doc = jnp.any(pm_loc, axis=-1)[None, :]
@@ -170,4 +211,5 @@ def sharded_topk(Q, qmask, index: ShardedIndex, k: int, chunk_p: int = 128,
         midx = jnp.take_along_axis(gidx_g, mpos, axis=1)
         return mvals, midx
 
-    return topk_local_merge(Q, qmask, index.P, index.pmask)
+    args = (Q, qmask, index.P, index.pmask) + ((index.scales,) if quant else ())
+    return topk_local_merge(*args)

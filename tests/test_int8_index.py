@@ -1,0 +1,115 @@
+"""int8-quantized index: quantizer, kernel parity, serving paths, quality."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evdr_tpu.ops.maxsim import maxsim_xla
+from evdr_tpu.ops.quantize import dequantize_int8, quantize_tokens_int8
+
+
+def _mk(seed=0, nd=17, lp=21, nq=5, lq=7, d=32):
+    rng = np.random.default_rng(seed)
+
+    def unit(x):
+        return x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+
+    P = unit(rng.normal(size=(nd, lp, d))).astype(np.float32)
+    pm = rng.random((nd, lp)) > 0.15
+    pm[3] = False  # fully-masked doc
+    P = P * pm[..., None]
+    Q = unit(rng.normal(size=(nq, lq, d))).astype(np.float32)
+    qm = rng.random((nq, lq)) > 0.15
+    return Q, qm, P, pm
+
+
+def test_quantize_roundtrip_error_bounded():
+    Q, qm, P, pm = _mk()
+    codes, scale = quantize_tokens_int8(P, pm)
+    assert codes.dtype == np.int8
+    Pd = dequantize_int8(codes, scale)
+    # per-token max abs error <= scale/2 (round-to-nearest)
+    err = np.abs(Pd - P).max(axis=-1)
+    assert np.all(err <= scale / 2 + 1e-7)
+    # masked tokens fully zeroed
+    assert np.all(codes[~pm] == 0) and np.all(scale[~pm] == 0)
+
+
+def test_int8_kernel_matches_dequantized_oracle():
+    from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int8
+
+    Q, qm, P, pm = _mk(seed=1)
+    codes, scale = quantize_tokens_int8(P, pm)
+    want = np.asarray(maxsim_xla(
+        jnp.asarray(Q), jnp.asarray(dequantize_int8(codes, scale)),
+        jnp.asarray(qm), jnp.asarray(pm)))
+    got = np.asarray(maxsim_pallas_int8(
+        jnp.asarray(Q), jnp.asarray(codes), jnp.asarray(scale),
+        jnp.asarray(qm), jnp.asarray(pm), compute_dtype=jnp.float32,
+        interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # fully-masked doc scores exactly 0
+    assert np.all(got[:, 3] == 0.0)
+
+
+def test_int8_zero_valid_token_scores_zero_not_masked():
+    """A valid all-zero token must participate with sim 0 (not be masked)."""
+    from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int8
+
+    Q, qm, P, pm = _mk(seed=2, nd=4, lp=3)
+    P[1] = 0.0           # doc 1: all tokens zero but VALID
+    pm[1] = True
+    qm[:] = True
+    codes, scale = quantize_tokens_int8(P, pm)
+    got = np.asarray(maxsim_pallas_int8(
+        jnp.asarray(Q), jnp.asarray(codes), jnp.asarray(scale),
+        jnp.asarray(qm), jnp.asarray(pm), compute_dtype=jnp.float32,
+        interpret=True))
+    want = np.asarray(maxsim_xla(
+        jnp.asarray(Q), jnp.asarray(P), jnp.asarray(qm), jnp.asarray(pm)))
+    np.testing.assert_allclose(got[:, 1], want[:, 1], atol=1e-6)
+
+
+def test_sharded_int8_serving_paths():
+    from evdr_tpu.parallel import (build_sharded_index, make_mesh, replicate,
+                                   sharded_maxsim, sharded_topk)
+
+    Q, qm, P, pm = _mk(seed=3, nd=33)
+    for n_dev in (1, 8):
+        mesh = make_mesh(n_dev)
+        idx8 = build_sharded_index(P, pm, mesh, dtype="int8")
+        assert idx8.scales is not None and idx8.P.dtype == jnp.int8
+        Qd = replicate(jnp.asarray(Q), mesh)
+        qmd = replicate(jnp.asarray(qm), mesh)
+        got = np.asarray(sharded_maxsim(Qd, qmd, idx8))
+        codes, scale = quantize_tokens_int8(P, pm)
+        want = np.asarray(maxsim_xla(
+            jnp.asarray(Q), jnp.asarray(dequantize_int8(codes, scale)),
+            jnp.asarray(qm), jnp.asarray(pm)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        v, i = sharded_topk(Qd, qmd, idx8, k=5)
+        for q in range(Q.shape[0]):
+            np.testing.assert_allclose(np.asarray(v[q]),
+                                       np.sort(want[q])[::-1][:5],
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_engine_int8_quality_close_to_fp32():
+    from evdr_tpu.data.packing import preprocess_queries
+    from evdr_tpu.data.synthetic import make_synthetic_corpus
+    from evdr_tpu.engine import RetrievalEngine
+
+    c = make_synthetic_corpus(n_docs=40, n_queries=16, dim=64, seed=9)
+    Q, qm = preprocess_queries(c["query"], c["query_attnmask"])
+
+    def top1(dtype):
+        eng = RetrievalEngine(dtype=dtype, impl="xla")
+        eng.build_from_ragged(c["documents"], c["doc_attnmask"],
+                              c["doc_imgmask"], docids=c["docid"])
+        _, idx = eng.search_dense(Q, qm, k=1)
+        return np.asarray(idx)[:, 0]
+
+    t_fp32, t_int8 = top1(None), top1("int8")
+    agree = float(np.mean(t_fp32 == t_int8))
+    assert agree >= 0.9, agree
