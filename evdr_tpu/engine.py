@@ -93,16 +93,27 @@ class RetrievalEngine:
         Qd = replicate(jnp.asarray(Q, dtype=jnp.float32), self.mesh)
         qmd = replicate(jnp.asarray(qmask, dtype=bool), self.mesh)
         if n_candidates and self.summary is not None:
-            from evdr_tpu.ops.pruned import rerank_candidates
-
             c = min(n_candidates, self.index.n_docs)
-            # hardware-approximate selection for candidate generation (exact
-            # top_k's compile blows up at large k; the reranker is exact)
-            _, cand = sharded_topk(Qd, qmd, self.summary, k=c,
-                                   chunk_p=self.chunk_p, impl=self.impl,
-                                   approx=True)
-            vals, idx = rerank_candidates(Qd, qmd, self.index.P,
-                                          self.index.pmask, cand, k=k)
+            if self.mesh.devices.size == 1 and self.index.scales is None:
+                # both stages fused into one dispatched program (remote
+                # backends pay ~30ms per dispatch)
+                from evdr_tpu.ops.pruned import pruned_topk_fused
+
+                vals, idx = pruned_topk_fused(
+                    Qd, qmd, self.index.P, self.index.pmask,
+                    self.summary.P, self.summary.pmask, k=k, n_cand=c,
+                    impl=self.impl)
+            else:
+                from evdr_tpu.ops.pruned import rerank_candidates
+
+                # hardware-approximate selection for candidate generation
+                # (exact top_k's compile blows up at large k; rerank is exact)
+                _, cand = sharded_topk(Qd, qmd, self.summary, k=c,
+                                       chunk_p=self.chunk_p, impl=self.impl,
+                                       approx=True)
+                vals, idx = rerank_candidates(Qd, qmd, self.index.P,
+                                              self.index.pmask, cand, k=k,
+                                              scales=self.index.scales)
         else:
             vals, idx = sharded_topk(Qd, qmd, self.index, k=k,
                                      chunk_p=self.chunk_p, impl=self.impl)

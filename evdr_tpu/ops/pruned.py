@@ -52,13 +52,17 @@ def build_summary_tokens(P: np.ndarray, pmask: np.ndarray, k_centroids: int = 4,
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def rerank_candidates(Q, qmask, P, pmask, cand_idx, k: int):
+def rerank_candidates(Q, qmask, P, pmask, cand_idx, k: int, scales=None):
     """Exact masked MaxSim over per-query candidate sets.
 
     Q (nq, Lq, D); P (N, Lp, D); cand_idx (nq, C) -> top-k (values, GLOBAL doc
-    indices) among the candidates.
+    indices) among the candidates. ``scales`` dequantizes int8 indexes
+    (ops/quantize.py) after the gather.
     """
     Pg = jnp.take(P, cand_idx, axis=0)        # (nq, C, Lp, D)
+    if scales is not None:
+        Pg = Pg.astype(jnp.float32) * jnp.take(scales, cand_idx,
+                                               axis=0)[..., None]
     pmg = jnp.take(pmask, cand_idx, axis=0)   # (nq, C, Lp)
     sim = jnp.einsum("qnd,qcmd->qcnm", Q.astype(jnp.float32),
                      Pg.astype(jnp.float32), preferred_element_type=jnp.float32)
@@ -69,6 +73,33 @@ def rerank_candidates(Q, qmask, P, pmask, cand_idx, k: int):
     scores = jnp.sum(mx, axis=-1)             # (nq, C)
     vals, pos = jax.lax.top_k(scores, min(k, scores.shape[-1]))
     return vals, jnp.take_along_axis(cand_idx, pos, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_cand", "impl"))
+def pruned_topk_fused(Q, qmask, P, pmask, S, smask, k: int, n_cand: int,
+                      impl: str = "pallas"):
+    """Both pruning stages in ONE compiled program (single-device serving).
+
+    Remote/tunneled backends pay ~30ms per dispatch; splitting candidate
+    generation and reranking across two dispatches caps throughput at
+    ~1/(2*RTT) regardless of compute. Fusing them restores the full
+    summary-index speedup.
+    """
+    if impl == "pallas":
+        from evdr_tpu.ops.pallas_maxsim import maxsim_pallas
+
+        sc = maxsim_pallas(Q, S, qmask, smask)
+    else:
+        from evdr_tpu.ops.maxsim import maxsim_xla
+
+        sc = maxsim_xla(Q, S, qmask, smask, chunk_p=128)
+    valid = jnp.any(smask, axis=-1)[None, :]
+    sc = jnp.where(valid, sc, -jnp.inf)
+    if n_cand > 128:
+        _, cand = jax.lax.approx_max_k(sc, n_cand, recall_target=0.95)
+    else:
+        _, cand = jax.lax.top_k(sc, n_cand)
+    return rerank_candidates(Q, qmask, P, pmask, cand, k=k)
 
 
 def pruned_recall(exact_idx: np.ndarray, pruned_idx: np.ndarray) -> float:

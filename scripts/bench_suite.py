@@ -192,6 +192,56 @@ def config5_million_pages(n_pages: int = 1_000_000, tokens: int = 16, d: int = 1
           n_pages=n_pages, tokens_per_page=tokens, k=k, exact_on_subsample=ok,
           devices=int(mesh.devices.size))
 
+def _gen_clustered_corpus_device(n_pages: int, tokens: int, d: int,
+                                 n_centers: int, nq: int, lq: int, seed=0):
+    """Clustered corpus + grounded queries generated ON DEVICE.
+
+    Host-side generation of a 250k-page bf16 corpus measured pathologically
+    slow (ml_dtypes conversions + GBs of f64 temporaries) and would then ship
+    4GB through the tunnel; one jitted generator per chunk builds the index
+    where it is used.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def gen_chunk(key, m):
+        kc, ka, kn = jax.random.split(key, 3)
+        centers = jax.random.normal(kc, (m, n_centers, d), jnp.float32)
+        centers = centers / (jnp.linalg.norm(centers, axis=-1, keepdims=True)
+                             + 1e-12)
+        assign = jax.random.randint(ka, (m, tokens), 0, n_centers)
+        toks = jnp.take_along_axis(centers, assign[:, :, None], axis=1)
+        toks = toks + 0.3 / np.sqrt(d) * jax.random.normal(kn, toks.shape)
+        toks = toks / (jnp.linalg.norm(toks, axis=-1, keepdims=True) + 1e-12)
+        return toks.astype(jnp.bfloat16)
+
+    key = jax.random.PRNGKey(seed)
+    chunk = 31256
+    assert n_pages % chunk == 0, "pick a chunk dividing n_pages"
+    P = jnp.concatenate(
+        [gen_chunk(jax.random.fold_in(key, i), chunk)
+         for i in range(n_pages // chunk)], axis=0)
+
+    # grounded queries: noisy copies of a target page's tokens
+    rng = np.random.default_rng(seed)
+    tgt = jnp.asarray(rng.integers(0, n_pages, size=nq))
+    take = jnp.asarray(rng.integers(0, tokens, size=(nq, lq)))
+
+    @jax.jit
+    def gen_queries(P, tgt, take, key):
+        Qt = jnp.take(P, tgt, axis=0).astype(jnp.float32)  # (nq, tokens, d)
+        Q = jnp.take_along_axis(Qt, take[:, :, None], axis=1)
+        Q = Q + 1.0 / np.sqrt(d) * jax.random.normal(key, Q.shape)
+        return Q / (jnp.linalg.norm(Q, axis=-1, keepdims=True) + 1e-12)
+
+    Q = np.asarray(gen_queries(P, tgt, take, jax.random.fold_in(key, 999)))
+    qm = rng.random((nq, lq)) > 0.15
+    return P, Q, qm
+
+
 def config5b_pruned(n_pages: int = 250_048, tokens: int = 64, d: int = 128,
                     n_centers: int = 8):
     """PLAID-style pruned retrieval at teacher-ish token counts.
@@ -201,42 +251,29 @@ def config5b_pruned(n_pages: int = 250_048, tokens: int = 64, d: int = 128,
     page's tokens) — pruning is meaningless on structureless random tokens.
     """
     import jax.numpy as jnp
-    import ml_dtypes
 
     from evdr_tpu.parallel import (build_sharded_index, make_mesh, replicate,
-                                   sharded_topk)
+                                   shard_docs, sharded_topk)
+    from evdr_tpu.parallel.sharded_index import ShardedIndex
     from evdr_tpu.ops.pruned import (build_summary_tokens, pruned_recall,
                                      rerank_candidates)
 
     mesh = make_mesh()
-    rng = np.random.default_rng(0)
-
-    def unit(x):
-        return x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
-
-    P = np.empty((n_pages, tokens, d), dtype=ml_dtypes.bfloat16)
-    chunk = 32768
-    for s in range(0, n_pages, chunk):
-        e = min(s + chunk, n_pages)
-        centers = unit(rng.normal(size=(e - s, n_centers, d)))
-        assign = rng.integers(0, n_centers, size=(e - s, tokens))
-        toks = np.take_along_axis(centers, assign[:, :, None], axis=1)
-        toks = toks + 0.3 / np.sqrt(d) * rng.normal(size=toks.shape)
-        P[s:e] = unit(toks)
-    pm = np.ones((n_pages, tokens), dtype=bool)
-
     nq, lq = 64, 32
-    tgt = rng.integers(0, n_pages, size=nq)
-    take = rng.integers(0, tokens, size=(nq, lq))
-    Q = np.asarray(P[tgt], np.float32)[np.arange(nq)[:, None], take]
-    Q = unit(Q + 1.0 / np.sqrt(d) * rng.normal(size=Q.shape)).astype(np.float32)
-    qm = rng.random((nq, lq)) > 0.15
+    print(f"[5b] generating {n_pages} pages on device", file=sys.stderr, flush=True)
+    Pdev, Q, qm = _gen_clustered_corpus_device(n_pages, tokens, d, n_centers,
+                                               nq, lq)
+    pm_dev = jnp.ones((n_pages, tokens), dtype=bool)
+    index = ShardedIndex(P=shard_docs(Pdev, mesh), pmask=shard_docs(pm_dev, mesh),
+                         n_docs=n_pages, mesh=mesh)
 
-    index = build_sharded_index(P, pm, mesh, dtype="bfloat16", pad_docs_to=64)
+    print("[5b] building kmeans summaries", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    # summaries from the DEVICE-resident index: no second corpus transfer
-    S, smask = build_summary_tokens(index.P[:n_pages], index.pmask[:n_pages],
-                                    k_centroids=4, iters=5)
+    # summaries from the DEVICE-resident index: no second corpus transfer.
+    # k_centroids=8 matches patch-embedding cluster structure; stage-1 cost
+    # is still tokens/8 = 8x below exact
+    S, smask = build_summary_tokens(index.P, index.pmask,
+                                    k_centroids=8, iters=5)
     dt_build = time.perf_counter() - t0
     summary = build_sharded_index(S, smask, mesh, dtype="bfloat16",
                                   pad_docs_to=64)
@@ -244,29 +281,61 @@ def config5b_pruned(n_pages: int = 250_048, tokens: int = 64, d: int = 128,
     qmd = replicate(jnp.asarray(qm), mesh)
     k = 10
 
-    def exact():
-        return sharded_topk(Qd, qmd, index, k=k, chunk_p=4096, impl="pallas")
+    from evdr_tpu.ops.pruned import pruned_topk_fused
+    import jax
 
-    def pruned(n_cand):
-        _, cand = sharded_topk(Qd, qmd, summary, k=n_cand, chunk_p=4096,
-                               impl="pallas", approx=True)
-        return rerank_candidates(Qd, qmd, index.P, index.pmask, cand, k=k)
+    # honest remote timing (CLAUDE.md): K applications with distinct query
+    # buffers chained in ONE jit + a forced fetch. Index-sized arrays ride as
+    # jit ARGUMENTS (closure capture would inline 4GB program constants,
+    # which remote-compile rejects)
+    K = 4
 
-    _, idx_e = exact()
+    def chain(fn):
+        def g(Qd, qmd, *arrs):
+            tot_v = jnp.float32(0)
+            idx = None
+            for i in range(K):
+                v, idx = fn(jnp.roll(Qd, i, axis=0), qmd, *arrs)
+                tot_v = tot_v + jnp.sum(v)
+            return tot_v, idx
+        return jax.jit(g)
+
+    from evdr_tpu.parallel.topk import _single_device_topk
+
+    def exact1(Qr, qmr, Pa, pma, Sa, sma):
+        return _single_device_topk(Qr, qmr, Pa, pma, k, 4096, "pallas")
+
+    def pruned1(n_cand):
+        def f(Qr, qmr, Pa, pma, Sa, sma):
+            return pruned_topk_fused(Qr, qmr, Pa, pma, Sa, sma, k=k,
+                                     n_cand=n_cand, impl="pallas")
+        return f
+
+    arrs = (index.P, index.pmask, summary.P, summary.pmask)
+
+    def timed(fn1):
+        g = chain(fn1)
+        _, idx = g(Qd, qmd, *arrs)   # compile + warm
+        _fetch(idx)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            s, idx = g(Qd, qmd, *arrs)
+            float(s)                  # forced fetch
+            best = min(best, time.perf_counter() - t0)
+        return best / K, _fetch(idx)
+
+    print("[5b] exact top-k (compile + run)", file=sys.stderr, flush=True)
+    dt_e, _ = timed(exact1)
+    _, idx_e = exact1(Qd, qmd, *arrs)  # reference indices (roll(0) = Qd)
     idx_e = _fetch(idx_e)
-    t0 = time.perf_counter()
-    _, idx_e2 = exact()
-    _fetch(idx_e2)
-    dt_e = time.perf_counter() - t0
 
     curve = []
     for n_cand in (512, 1024, 2048):
-        _, idx_p = pruned(n_cand)
-        _fetch(idx_p)
-        t0 = time.perf_counter()
-        _, idx_p2 = pruned(n_cand)
+        print(f"[5b] pruned n_cand={n_cand}", file=sys.stderr, flush=True)
+        dt_p, _ = timed(pruned1(n_cand))
+        _, idx_p2 = pruned1(n_cand)(Qd, qmd, *arrs)
         idx_p2 = _fetch(idx_p2)
-        dt_p = time.perf_counter() - t0
         curve.append({
             "n_candidates": n_cand,
             "qps": round(nq / dt_p, 1),
