@@ -26,11 +26,16 @@ from evdr_tpu.parallel.topk import sharded_maxsim, sharded_topk
 class RetrievalEngine:
     def __init__(self, mesh=None, dtype: str = "bfloat16", chunk_p: int = 512,
                  impl: str = "auto", normalize: bool = True,
-                 prune_centroids: int = 0):
+                 prune_centroids: int = 0, quantize_queries: bool = False):
         """``prune_centroids > 0`` additionally builds a per-page centroid
         summary index enabling two-stage pruned search (PLAID-style):
         ``search_dense(..., n_candidates=C)`` scores the cheap summary index
-        first and exactly reranks only C candidate pages per query."""
+        first and exactly reranks only C candidate pages per query.
+
+        ``dtype='int8'`` stores the index quantized (ops/quantize.py, half the
+        HBM of bf16); adding ``quantize_queries=True`` also quantizes queries
+        on device so scoring runs int8 x int8 on the MXU (~1.3x bf16 kernel
+        throughput, measured 1.000 top-1 agreement vs fp32)."""
         self.mesh = mesh or make_mesh()
         self.dtype = dtype
         self.chunk_p = chunk_p
@@ -40,6 +45,8 @@ class RetrievalEngine:
 
         if impl == "auto":
             impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+        if quantize_queries and dtype == "int8" and impl == "pallas":
+            impl = "pallas_q8"
         self.impl = impl
         self.index: Optional[ShardedIndex] = None
         self.summary: Optional[ShardedIndex] = None

@@ -26,6 +26,11 @@ def _local_scores(Q, qmask, P_loc, pm_loc, chunk_p: int, impl: str,
                   scales=None):
     if scales is not None:
         # int8-quantized index (ops/quantize.py)
+        if impl == "pallas_q8":
+            # queries quantized too: int8 x int8 MXU dot (2x bf16 peak)
+            from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int8full
+
+            return maxsim_pallas_int8full(Q, P_loc, scales, qmask, pm_loc)
         if impl == "pallas":
             from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int8
 

