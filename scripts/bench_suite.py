@@ -145,23 +145,36 @@ def config5_million_pages(n_pages: int = 1_000_000, tokens: int = 16, d: int = 1
     from evdr_tpu.parallel import (build_sharded_index, make_mesh, replicate,
                                    sharded_topk)
 
-    import ml_dtypes
 
     mesh = make_mesh()  # all available devices (1 real chip here; N on a pod)
     rng = np.random.default_rng(0)
 
-    # compressed student-index scale: mf~50 -> ~16 tokens/page.
-    # generated chunkwise straight into bf16 to bound host RAM at ~4GB
     def unit(x):
         return x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
 
-    P = np.empty((n_pages, tokens, d), dtype=ml_dtypes.bfloat16)
-    chunk = 65536
-    for s in range(0, n_pages, chunk):
-        e = min(s + chunk, n_pages)
-        P[s:e] = unit(rng.normal(size=(e - s, tokens, d)).astype(np.float32))
-    pm = np.ones((n_pages, tokens), dtype=bool)
-    index = build_sharded_index(P, pm, mesh, dtype="bfloat16", pad_docs_to=64)
+    # compressed student-index scale: mf~50 -> ~16 tokens/page. Generated ON
+    # DEVICE in bf16 (host generation + a 4GB tunnel transfer measured
+    # pathologically slow)
+    import functools
+
+    from evdr_tpu.parallel import shard_docs
+    from evdr_tpu.parallel.sharded_index import ShardedIndex
+
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def gen_chunk(key, m):
+        toks = jax.random.normal(key, (m, tokens, d), jnp.float32)
+        toks = toks / (jnp.linalg.norm(toks, axis=-1, keepdims=True) + 1e-12)
+        return toks.astype(jnp.bfloat16)
+
+    key = jax.random.PRNGKey(0)
+    chunk = 62500
+    assert n_pages % chunk == 0
+    Pdev = jnp.concatenate([gen_chunk(jax.random.fold_in(key, i), chunk)
+                            for i in range(n_pages // chunk)], axis=0)
+    pm_dev = jnp.ones((n_pages, tokens), dtype=bool)
+    index = ShardedIndex(P=shard_docs(Pdev, mesh),
+                         pmask=shard_docs(pm_dev, mesh),
+                         n_docs=n_pages, mesh=mesh)
 
     nq, lq = 64, 32
     Q = unit(rng.normal(size=(nq, lq, d))).astype(np.float32)
