@@ -52,7 +52,9 @@ def _timed_chained(run, args, K=8):
     """Honest timing on a tunneled TPU backend requires all of:
     - K kernel applications CHAINED INSIDE one program (per-dispatch tunnel
       RTT is ~30 ms and would otherwise dominate device time),
-    - distinct inputs per application (the client memoizes identical work),
+    - distinct inputs per application AND per timing rep (the client memoizes
+      identical dispatches — a repeated (program, args) pair can be served
+      from cache, so every rep carries a fresh rep-index argument),
     - a forced device->host fetch (block_until_ready does not reliably
       block on the experimental remote backend),
     - big arrays as jit ARGUMENTS (closure capture inlines them into the
@@ -60,18 +62,18 @@ def _timed_chained(run, args, K=8):
     import jax
     import jax.numpy as jnp
 
-    def chained(q, *rest):
+    def chained(rep, q, *rest):
         total = jnp.float32(0)
         for i in range(K):
-            total = total + jnp.sum(run(jnp.roll(q, i, axis=0), *rest))
+            total = total + jnp.sum(run(jnp.roll(q, rep * K + i, axis=0), *rest))
         return total
 
     g = jax.jit(chained)
-    float(g(*args))  # compile
+    float(g(jnp.int32(99), *args))  # compile + warm
     best = float("inf")
-    for _ in range(3):
+    for rep in range(3):
         t0 = time.perf_counter()
-        float(g(*args))
+        float(g(jnp.int32(rep), *args))
         best = min(best, time.perf_counter() - t0)
     return NQ * K / best
 
