@@ -79,11 +79,20 @@ class RetrievalEngine:
 
     @classmethod
     def from_npz(cls, npz_path, **kw) -> "RetrievalEngine":
-        payload = load_payload(npz_path)
+        """Accepts the reference's pickled-object interchange npz or the
+        packed dense format (tools/convert_packed.py, any storage dtype)."""
+        from evdr_tpu.tools.convert_packed import is_packed, load_packed_payload
+
         eng = cls(**kw)
-        eng.build_from_ragged(
-            payload["documents"], payload.get("doc_attnmask"),
-            payload.get("doc_imgmask"), docids=payload.get("docid"))
+        if is_packed(npz_path):
+            payload = load_packed_payload(npz_path)
+            eng.build(payload["P_pad"], payload["pmask"],
+                      docids=payload.get("docid"))
+        else:
+            payload = load_payload(npz_path)
+            eng.build_from_ragged(
+                payload["documents"], payload.get("doc_attnmask"),
+                payload.get("doc_imgmask"), docids=payload.get("docid"))
         return eng
 
     # ----------------------------------------------------------------- search

@@ -7,7 +7,13 @@ side + eval maps), mmap-able and sliceable per device shard without touching
 Python objects. ``load_dataset_bundle`` consumes either transparently.
 
     python -m evdr_tpu.tools.convert_packed --in_npz dump_all.npz \
-        --out_npz dump_all.packed.npz [--length_multiple 16]
+        --out_npz dump_all.packed.npz [--length_multiple 16] \
+        [--dtype float32|bfloat16|int8]
+
+Storage dtypes (docs side only; queries stay float32 — they are tiny and
+pre-normalized): ``bfloat16`` halves disk/RAM/IO for GB-scale corpora;
+``int8`` stores per-token symmetric codes + f32 scales (ops/quantize.py),
+~4x smaller than f32 with measured 0.000 nDCG@5 delta (RESULTS.md).
 """
 
 from __future__ import annotations
@@ -20,14 +26,30 @@ import numpy as np
 from evdr_tpu.data.npz_io import load_payload
 from evdr_tpu.data.packing import preprocess_docs, preprocess_queries
 
+PACKED_DTYPES = ("float32", "bfloat16", "int8")
 
-def convert_payload_to_packed(payload: dict, length_multiple: int = 1) -> dict:
+
+def convert_payload_to_packed(payload: dict, length_multiple: int = 1,
+                              dtype: str = "float32") -> dict:
+    if dtype not in PACKED_DTYPES:
+        raise ValueError(f"dtype must be one of {PACKED_DTYPES}, got {dtype!r}")
     out = {}
     if payload.get("documents") is not None:
         P, pmask, _ = preprocess_docs(
             payload["documents"], payload.get("doc_attnmask"),
             payload.get("doc_imgmask"), length_multiple=length_multiple)
-        out["P_pad"] = P.astype(np.float32)
+        if dtype == "int8":
+            from evdr_tpu.ops.quantize import quantize_tokens_int8
+
+            out["P_codes"], out["P_scale"] = quantize_tokens_int8(P, pmask)
+        elif dtype == "bfloat16":
+            import ml_dtypes
+
+            # np.load round-trips ml_dtypes arrays as raw void — store the
+            # uint16 bit pattern under a marker key instead
+            out["P_pad_bf16"] = P.astype(ml_dtypes.bfloat16).view(np.uint16)
+        else:
+            out["P_pad"] = P.astype(np.float32)
         out["pmask"] = pmask
     if payload.get("query") is not None:
         Q, qmask = preprocess_queries(
@@ -49,10 +71,24 @@ def load_packed_payload(npz_path) -> dict:
     """Packed npz -> a payload-like dict with DENSE arrays.
 
     Returns keys: P_pad/pmask, Q_norm/qmask (dense, pre-normalized), plus the
-    usual id/map keys decoded from JSON.
+    usual id/map keys decoded from JSON. bf16-stored docs are upcast to f32
+    (exact); int8-stored docs are dequantized to ``P_pad`` while the raw
+    ``P_codes``/``P_scale`` ride along for engines that consume codes
+    directly.
     """
     z = np.load(str(npz_path))  # no allow_pickle needed: that's the point
     out = {k: z[k] for k in z.files if not k.endswith("_json")}
+    if "P_pad" in out and out["P_pad"].dtype != np.float32:
+        out["P_pad"] = out["P_pad"].astype(np.float32)
+    if "P_pad_bf16" in out:
+        import ml_dtypes
+
+        out["P_pad"] = (out.pop("P_pad_bf16").view(ml_dtypes.bfloat16)
+                        .astype(np.float32))
+    if "P_codes" in out and "P_pad" not in out:
+        from evdr_tpu.ops.quantize import dequantize_int8
+
+        out["P_pad"] = dequantize_int8(out["P_codes"], out["P_scale"])
     for key in ("relevant_docs", "docidx_2_docid"):
         jk = f"{key}_json"
         if jk in z.files:
@@ -62,7 +98,8 @@ def load_packed_payload(npz_path) -> dict:
 
 def is_packed(npz_path) -> bool:
     with np.load(str(npz_path), allow_pickle=True) as z:
-        return "P_pad" in z.files or "Q_norm" in z.files
+        return ("P_pad" in z.files or "Q_norm" in z.files
+                or "P_codes" in z.files or "P_pad_bf16" in z.files)
 
 
 def main(argv=None) -> None:
@@ -71,9 +108,12 @@ def main(argv=None) -> None:
     p.add_argument("--out_npz", required=True)
     p.add_argument("--length_multiple", type=int, default=1,
                    help="round padded lengths up (e.g. 16 for kernel tiles)")
+    p.add_argument("--dtype", choices=PACKED_DTYPES, default="float32",
+                   help="doc-token storage dtype (bfloat16 halves, int8 "
+                        "quarters the file vs float32)")
     a = p.parse_args(argv)
     payload = load_payload(a.in_npz)
-    packed = convert_payload_to_packed(payload, a.length_multiple)
+    packed = convert_payload_to_packed(payload, a.length_multiple, a.dtype)
     np.savez(a.out_npz, **packed)
     shapes = {k: getattr(v, "shape", None) for k, v in packed.items()}
     print(f"[packed] {a.out_npz}: {shapes}")

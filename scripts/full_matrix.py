@@ -26,21 +26,27 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 # per-dataset synthetic profiles mirroring the registry's corpus diversity
-# (5 labeled-split + 5 full-dump datasets; sizes scaled to fit the chip while
-# keeping the reference's relative proportions: tabfquad smallest ~70 docs,
-# shift/ai/... 1000 docs)
+# (5 labeled-split + 5 full-dump datasets; doc counts follow the reference's
+# ProxyQ page counts — tabfquad 70, tatdqa 277, arxiv/docvqa/infovqa 500,
+# shift/ai/energy/gov/health 1000 — and the pseudo-query pool is 50 questions
+# per page like ProxyQ (makeQ.py --nq 50). Query pools must scale with the
+# corpus: at ~2 queries/page the student memorizes the pool (train listwise
+# loss -> 1e-4 while eval listwise stays flat) instead of generalizing.
+QUERIES_PER_PAGE = 50
 DATASET_PROFILES = {
-    "arxivqa": dict(n_docs=500, n_train_queries=2048, dim=128, noise=1.0),
-    "docvqa": dict(n_docs=500, n_train_queries=2048, dim=128, noise=1.2),
-    "infovqa": dict(n_docs=500, n_train_queries=2048, dim=128, noise=0.8),
-    "tabfquad": dict(n_docs=70, n_train_queries=1024, dim=128, noise=1.0),
-    "tatdqa": dict(n_docs=277, n_train_queries=2048, dim=128, noise=1.1),
-    "shiftproject": dict(n_docs=1000, n_train_queries=2048, dim=128, noise=1.0),
-    "syntheticDocQA_ai": dict(n_docs=1000, n_train_queries=2048, dim=128, noise=0.9),
-    "syntheticDocQA_energy": dict(n_docs=1000, n_train_queries=2048, dim=128, noise=1.0),
-    "syntheticDocQA_gov": dict(n_docs=1000, n_train_queries=2048, dim=128, noise=1.1),
-    "syntheticDocQA_health": dict(n_docs=1000, n_train_queries=2048, dim=128, noise=1.2),
+    "arxivqa": dict(n_docs=500, dim=128, noise=1.0),
+    "docvqa": dict(n_docs=500, dim=128, noise=1.2),
+    "infovqa": dict(n_docs=500, dim=128, noise=0.8),
+    "tabfquad": dict(n_docs=70, dim=128, noise=1.0),
+    "tatdqa": dict(n_docs=277, dim=128, noise=1.1),
+    "shiftproject": dict(n_docs=1000, dim=128, noise=1.0),
+    "syntheticDocQA_ai": dict(n_docs=1000, dim=128, noise=0.9),
+    "syntheticDocQA_energy": dict(n_docs=1000, dim=128, noise=1.0),
+    "syntheticDocQA_gov": dict(n_docs=1000, dim=128, noise=1.1),
+    "syntheticDocQA_health": dict(n_docs=1000, dim=128, noise=1.2),
 }
+for _prof in DATASET_PROFILES.values():
+    _prof["n_train_queries"] = QUERIES_PER_PAGE * _prof["n_docs"]
 
 
 def main():

@@ -318,3 +318,94 @@ def test_packed_values_match_interchange(tmp_path):
     np.testing.assert_array_equal(packed["pmask"], pmask)
     np.testing.assert_allclose(packed["Q_norm"], Q, rtol=1e-6)
     np.testing.assert_array_equal(packed["qmask"], qmask)
+
+
+def test_packed_storage_dtypes(tmp_path):
+    """bf16/int8-stored packed files roundtrip through npz + loader with
+    bounded error and serve through RetrievalEngine.from_npz."""
+    import ml_dtypes
+
+    from evdr_tpu.engine import RetrievalEngine
+    from evdr_tpu.ops.maxsim import maxsim_numpy
+    from evdr_tpu.tools.convert_packed import (convert_payload_to_packed,
+                                               is_packed, load_packed_payload)
+    from evdr_tpu.data.packing import l2_normalize, preprocess_docs, preprocess_queries
+
+    c = make_synthetic_corpus(n_docs=12, n_queries=6, dim=16, seed=7)
+    P, pmask, _ = preprocess_docs(c["documents"], c["doc_attnmask"],
+                                  c["doc_imgmask"])
+    Pn = np.asarray(l2_normalize(P * pmask[..., None].astype(np.float32)))
+    Q, qmask = preprocess_queries(c["query"], c["query_attnmask"])
+    ref = np.asarray(maxsim_numpy(Q, Pn, qmask, pmask))
+
+    for dtype, tol in (("bfloat16", 2e-2), ("int8", 3e-2)):
+        packed = convert_payload_to_packed(c, dtype=dtype)
+        path = tmp_path / f"dt_{dtype}.packed.npz"
+        np.savez(path, **packed)
+        assert is_packed(path)
+        rp = load_packed_payload(path)
+        assert rp["P_pad"].dtype == np.float32
+        # int8 zeroes mask-invalid tokens (inert: consumers multiply by
+        # pmask) — compare valid positions only
+        err = np.abs(rp["P_pad"] - P) * pmask[..., None]
+        assert np.max(err) < tol * max(1.0, np.max(np.abs(P)))
+        if dtype == "bfloat16":
+            with np.load(path) as z:
+                assert z["P_pad_bf16"].dtype == np.uint16
+                assert "P_pad" not in z.files
+        else:
+            with np.load(path) as z:
+                assert z["P_codes"].dtype == np.int8
+                assert "P_pad" not in z.files
+            assert rp["P_codes"].dtype == np.int8
+        # end-to-end: engine consumes the packed file directly
+        eng = RetrievalEngine.from_npz(path, dtype="float32", impl="xla")
+        sc = eng.score_all(Q, qmask)[:, :P.shape[0]]
+        assert np.max(np.abs(sc - ref)) < 0.1
+        top1_agree = np.mean(np.argmax(sc, 1) == np.argmax(ref, 1))
+        assert top1_agree >= 0.8
+
+
+# ---------------------------------------------------------------------------
+# search CLI
+# ---------------------------------------------------------------------------
+
+def test_search_cli_trec_and_json(tmp_path, capsys):
+    """evdr-search end-to-end: interchange index + query npz -> TREC run whose
+    top-1 matches brute-force fp32 scoring; JSON format round-trips."""
+    from evdr_tpu.data.packing import l2_normalize, preprocess_docs, preprocess_queries
+    from evdr_tpu.ops.maxsim import maxsim_numpy
+    from evdr_tpu.tools.search import main as search_main
+
+    c = make_synthetic_corpus(n_docs=10, n_queries=6, dim=16, seed=11)
+    idx_p = tmp_path / "sfx_dump_all.npz"
+    save_synthetic_npz(idx_p, c)
+
+    out = tmp_path / "run.trec"
+    search_main(["--index", str(idx_p), "--queries", str(idx_p),
+                 "--k", "3", "--out", str(out), "--dtype", "float32",
+                 "--impl", "xla"])
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == 6 * 3
+    # brute-force oracle
+    P, pmask, _ = preprocess_docs(c["documents"], c["doc_attnmask"],
+                                  c["doc_imgmask"])
+    Pn = np.asarray(l2_normalize(P * pmask[..., None].astype(np.float32)))
+    Q, qmask = preprocess_queries(c["query"], c["query_attnmask"])
+    ref = np.asarray(maxsim_numpy(Q, Pn, qmask, pmask))
+    docids = [str(d) for d in c["docid"]]
+    for qi in range(6):
+        qk, q0, did, rank, score, tag = lines[qi * 3].split()
+        assert (qk, q0, rank, tag) == (str(c["qid"][qi]), "Q0", "1", "evdr_tpu")
+        assert did == docids[int(np.argmax(ref[qi]))]
+        assert abs(float(score) - ref[qi].max()) < 1e-4
+
+    # JSON format to stdout
+    search_main(["--index", str(idx_p), "--queries", str(idx_p),
+                 "--k", "2", "--format", "json", "--dtype", "float32",
+                 "--impl", "xla"])
+    cap = capsys.readouterr()
+    res = json.loads(cap.out.strip())
+    assert len(res) == 6 and all(len(v) == 2 for v in res.values())
+    summary = json.loads(cap.err.strip().splitlines()[-1])
+    assert summary["n_docs"] == 10 and summary["n_queries"] == 6
