@@ -447,12 +447,19 @@ def _hardtoken_aux(cfg, total, parts, param, Ps, sc_s, sc_t, Qb, qmb,
     # (mainv3_iter_liscore_QA_hardtoken.py gap-log block)
     G = jnp.sum(jnp.abs(gap), axis=0)
     g_top = min(int(cfg.gap_topk), n)
-    gap_top_val, gap_top_idx = jax.lax.top_k(G, g_top)
+    gap_top_val, gap_top_idx = jax.lax.top_k(
+        G - jnp.arange(n, dtype=G.dtype) / (2.0 * n), g_top)
+    gap_top_val = jnp.round(gap_top_val)  # undo the tie-break penalty
     diag = {"_gap_top_val": gap_top_val, "_gap_top_idx": gap_top_idx}
 
     _, topk_idx = jax.lax.top_k(sc_t_ng, k)                    # (B, k)
     gap_topk = jnp.abs(jnp.take_along_axis(gap, topk_idx, axis=1))
-    _, aux_pos = jax.lax.top_k(gap_topk, a)                    # (B, a)
+    # rank gaps are integers so ties are common; torch.topk (the reference)
+    # returns the LOWEST position first on ties while lax.top_k does not
+    # guarantee it on all backends — subtract a sub-integer position penalty
+    # to pin the reference's tie order
+    tie = jnp.arange(k, dtype=gap_topk.dtype) / (2.0 * k)
+    _, aux_pos = jax.lax.top_k(gap_topk - tie[None, :], a)     # (B, a)
     aux_doc_idx = jnp.take_along_axis(topk_idx, aux_pos, axis=1)  # (B, a)
 
     # hard token per (query, aux doc): argmax over doc tokens of the max
