@@ -110,15 +110,17 @@ class RetrievalEngine:
         qmd = replicate(jnp.asarray(qmask, dtype=bool), self.mesh)
         if n_candidates and self.summary is not None:
             c = min(n_candidates, self.index.n_docs)
-            if self.mesh.devices.size == 1 and self.index.scales is None:
+            if self.mesh.devices.size == 1:
                 # both stages fused into one dispatched program (remote
-                # backends pay ~30ms per dispatch)
+                # backends pay ~30ms per dispatch); int8 indexes thread
+                # their per-token scales through both stages
                 from evdr_tpu.ops.pruned import pruned_topk_fused
 
                 vals, idx = pruned_topk_fused(
                     Qd, qmd, self.index.P, self.index.pmask,
                     self.summary.P, self.summary.pmask, k=k, n_cand=c,
-                    impl=self.impl)
+                    impl=self.impl, scales=self.index.scales,
+                    sscales=self.summary.scales)
             else:
                 from evdr_tpu.ops.pruned import rerank_candidates
 

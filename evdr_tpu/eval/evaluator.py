@@ -116,14 +116,20 @@ def eval_retrieval(
     scoring): it must return the full (n_queries, n_docs) score matrix for
     the CURRENT student; latency is timed around it.
     """
+    import jax
     import jax.numpy as jnp
 
-    t0 = time.perf_counter()
     if score_fn is not None:
+        t0 = time.perf_counter()
         scores = np.asarray(score_fn())
     else:
+        # student re-normalization happens OUTSIDE the timed region: the
+        # reference builds P_now before t0 and times only the scoring call
+        # (mainv2_iter_listwise.py:306-310)
         P_now = l2_normalize(
             jnp.asarray(student_param) * jnp.asarray(pmask_student)[..., None])
+        P_now = jax.block_until_ready(P_now)
+        t0 = time.perf_counter()
         # fp32 accumulation: reported metrics must not depend on bf16-rounded
         # near-tie rankings (reference evaluates in fp32)
         scores = maxsim(Q_test_norm, P_now, qmask_test, pmask_student,

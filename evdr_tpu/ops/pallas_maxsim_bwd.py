@@ -175,11 +175,15 @@ def _dqdp_kernel(qf_ref, p_ref, pm_ref, m_ref, w_ref, dq_ref, dp_ref, acc_ref,
 
     Grid (i=q-block, j=doc-block, l=lp-tile), i outermost:
     - dQ accumulates over (j, l) in a VMEM scratch, written once per i;
-    - dP's (j, l) output block is revisited once per i — initialized at i==0,
-      then read-modify-write accumulated (Pallas refetches the block on each
-      revisit, cheap here because training has n_qb == 1 q-block).
+    - dP partials go to PER-q-block output slices (i, j, l) — every output
+      block is visited exactly once, so no block is revisited after other
+      blocks were written (Pallas only supports read-modify-write
+      accumulation across CONSECUTIVE visits; a (j, l)-keyed block revisited
+      per i would see stale window contents on hardware when n_qb > 1). The
+      sum over q-blocks happens outside the kernel as one XLA reduce; at the
+      common training shape n_qb == 1 this is bit-identical and free.
     """
-    i, j, l = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    j, l = pl.program_id(1), pl.program_id(2)
     n_j, n_l = pl.num_programs(1), pl.num_programs(2)
 
     @pl.when((j == 0) & (l == 0))
@@ -194,19 +198,11 @@ def _dqdp_kernel(qf_ref, p_ref, pm_ref, m_ref, w_ref, dq_ref, dp_ref, acc_ref,
         e_t, pblk, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision)
 
-    dp_blk = jax.lax.dot_general(
+    dp_ref[:] = jax.lax.dot_general(
         e_t, qf_ref[:].astype(compute_dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=precision).reshape(1, db, tlp, qf_ref.shape[-1])
-
-    @pl.when(i == 0)
-    def _dp_set():
-        dp_ref[:] = dp_blk
-
-    @pl.when(i > 0)
-    def _dp_acc():
-        dp_ref[:] += dp_blk
+        precision=precision).reshape(1, 1, db, tlp, qf_ref.shape[-1])
 
     @pl.when((j == n_j - 1) & (l == n_l - 1))
     def _finish():
@@ -253,18 +249,19 @@ def maxsim_pallas_bwd(Q, P, qmask, pmask, M, g, compute_dtype=jnp.bfloat16,
         out_specs=(
             pl.BlockSpec((dm["qbl"], dm["d_pad"]), lambda i, j, l: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dm["db"], dm["tlp"], dm["d_pad"]),
-                         lambda i, j, l: (j, 0, l, 0),
+            pl.BlockSpec((1, 1, dm["db"], dm["tlp"], dm["d_pad"]),
+                         lambda i, j, l: (i, j, 0, l, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct(
                 (dm["nq_pad"] * dm["lq_pad"], dm["d_pad"]), jnp.float32),
             jax.ShapeDtypeStruct(
-                (dm["n_db"], dm["db"], dm["lp_pad"], dm["d_pad"]), jnp.float32),
+                (dm["n_qb"], dm["n_db"], dm["db"], dm["lp_pad"], dm["d_pad"]),
+                jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((dm["qbl"], dm["d_pad"]), jnp.float32)],
-        # every axis carries an accumulation (dq over j,l; dp over i)
+        # dq accumulates over j,l in scratch; dp blocks are write-once
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=interpret,
@@ -272,6 +269,6 @@ def maxsim_pallas_bwd(Q, P, qmask, pmask, M, g, compute_dtype=jnp.bfloat16,
 
     dQ = dq.reshape(dm["nq_pad"], dm["lq_pad"], dm["d_pad"])[
         : dm["nq"], : dm["lq"], : dm["d"]]
-    dP = dp.reshape(dm["nd_pad"], dm["lp_pad"], dm["d_pad"])[
+    dP = dp.sum(axis=0).reshape(dm["nd_pad"], dm["lp_pad"], dm["d_pad"])[
         : dm["nd"], : dm["lp"], : dm["d"]]
     return dQ, dP

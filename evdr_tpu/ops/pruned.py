@@ -68,38 +68,44 @@ def rerank_candidates(Q, qmask, P, pmask, cand_idx, k: int, scales=None):
                      Pg.astype(jnp.float32), preferred_element_type=jnp.float32)
     sim = jnp.where(pmg[:, :, None, :], sim, NEG_FILL)
     mx = jnp.max(sim, axis=-1)
-    mx = mx * jnp.any(pmg, axis=-1)[:, :, None].astype(mx.dtype)
+    any_valid = jnp.any(pmg, axis=-1)         # (nq, C)
+    mx = mx * any_valid[:, :, None].astype(mx.dtype)
     mx = mx * qmask.astype(mx.dtype)[:, None, :]
     scores = jnp.sum(mx, axis=-1)             # (nq, C)
+    # all-invalid candidates (index-padding rows, or docs with no valid
+    # token) rank LAST, matching the exact top-k path's -inf masking
+    # (parallel/topk.py) — a 0 score here could outrank real docs whose
+    # exact MaxSim is negative
+    scores = jnp.where(any_valid, scores, -jnp.inf)
     vals, pos = jax.lax.top_k(scores, min(k, scores.shape[-1]))
     return vals, jnp.take_along_axis(cand_idx, pos, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n_cand", "impl"))
 def pruned_topk_fused(Q, qmask, P, pmask, S, smask, k: int, n_cand: int,
-                      impl: str = "pallas"):
+                      impl: str = "pallas", scales=None, sscales=None):
     """Both pruning stages in ONE compiled program (single-device serving).
 
     Remote/tunneled backends pay ~30ms per dispatch; splitting candidate
     generation and reranking across two dispatches caps throughput at
     ~1/(2*RTT) regardless of compute. Fusing them restores the full
     summary-index speedup.
+
+    ``scales``/``sscales`` support int8-quantized full/summary indexes
+    (ops/quantize.py): stage 1 scores the quantized summary with the int8
+    kernels, stage 2 dequantizes only the gathered candidates.
     """
-    if impl == "pallas":
-        from evdr_tpu.ops.pallas_maxsim import maxsim_pallas
+    # same impl dispatch as the sharded layer (incl. int8 kernel variants)
+    from evdr_tpu.parallel.topk import _local_scores
 
-        sc = maxsim_pallas(Q, S, qmask, smask)
-    else:
-        from evdr_tpu.ops.maxsim import maxsim_xla
-
-        sc = maxsim_xla(Q, S, qmask, smask, chunk_p=128)
+    sc = _local_scores(Q, qmask, S, smask, 128, impl, sscales)
     valid = jnp.any(smask, axis=-1)[None, :]
     sc = jnp.where(valid, sc, -jnp.inf)
     if n_cand > 128:
         _, cand = jax.lax.approx_max_k(sc, n_cand, recall_target=0.95)
     else:
         _, cand = jax.lax.top_k(sc, n_cand)
-    return rerank_candidates(Q, qmask, P, pmask, cand, k=k)
+    return rerank_candidates(Q, qmask, P, pmask, cand, k=k, scales=scales)
 
 
 def pruned_recall(exact_idx: np.ndarray, pruned_idx: np.ndarray) -> float:

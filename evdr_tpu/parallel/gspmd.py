@@ -54,9 +54,10 @@ def _scores_lp_tiled(Q, qmask, Pd, pmd, lp_tile: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "world", "shard", "lp_tile", "grp_sh"))
+                   static_argnames=("k", "world", "shard", "lp_tile",
+                                    "grp_sh", "approx"))
 def _gspmd_topk_impl(Q, qmask, Pd, pmd, k: int, world: int, shard: int,
-                     lp_tile: int, grp_sh):
+                     lp_tile: int, grp_sh, approx: bool = False):
     sc = _scores_lp_tiled(Q, qmask, Pd, pmd, lp_tile)
     valid = jnp.any(pmd, axis=-1)[None, :]
     sc = jnp.where(valid, sc, -jnp.inf)
@@ -67,7 +68,12 @@ def _gspmd_topk_impl(Q, qmask, Pd, pmd, k: int, world: int, shard: int,
     if grp_sh is not None:
         sc3 = jax.lax.with_sharding_constraint(sc3, grp_sh)
     k_local = min(k, shard)
-    v, i = jax.lax.top_k(sc3, k_local)              # (B, world, k_local)
+    if approx and k_local > 128:
+        # hardware approximate k-selection: exact top_k's sorting network
+        # build time explodes at candidate-generation k (topk.py _select_topk)
+        v, i = jax.lax.approx_max_k(sc3, k_local, recall_target=0.95)
+    else:
+        v, i = jax.lax.top_k(sc3, k_local)          # (B, world, k_local)
     gi = i + (jnp.arange(world, dtype=i.dtype) * shard)[None, :, None]
     v2 = v.reshape(nq, world * k_local)
     gi2 = gi.reshape(nq, world * k_local)
@@ -75,9 +81,10 @@ def _gspmd_topk_impl(Q, qmask, Pd, pmd, k: int, world: int, shard: int,
     return mv, jnp.take_along_axis(gi2, mp, axis=1)
 
 
-def gspmd_topk(Q, qmask, index: ShardedIndex, k: int, lp_tile: int = 128
-               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact doc-sharded top-k as one GSPMD-partitioned jit program."""
+def gspmd_topk(Q, qmask, index: ShardedIndex, k: int, lp_tile: int = 128,
+               approx: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Doc-sharded top-k as one GSPMD-partitioned jit program (exact unless
+    ``approx`` requests hardware k-selection for candidate generation)."""
     mesh = index.mesh
     world = dict(mesh.shape).get(DOC_AXIS, mesh.devices.size)
     shard = index.n_pad // world
@@ -85,15 +92,15 @@ def gspmd_topk(Q, qmask, index: ShardedIndex, k: int, lp_tile: int = 128
               if world > 1 else None)
     return _gspmd_topk_impl(Q, qmask, index.P, index.pmask, k=min(k, index.n_pad),
                             world=world, shard=shard, lp_tile=lp_tile,
-                            grp_sh=grp_sh)
+                            grp_sh=grp_sh, approx=approx)
+
+
+@functools.partial(jax.jit, static_argnames=("lp_tile",))
+def _gspmd_scores_impl(Q, qmask, Pd, pmd, lp_tile):
+    return _scores_lp_tiled(Q, qmask, Pd, pmd, lp_tile)
 
 
 def gspmd_maxsim(Q, qmask, index: ShardedIndex, lp_tile: int = 128):
     """Full (B, n_docs) scores as one GSPMD-partitioned jit program."""
-
-    @functools.partial(jax.jit, static_argnames=("lp_tile",))
-    def f(Q, qmask, Pd, pmd, lp_tile):
-        return _scores_lp_tiled(Q, qmask, Pd, pmd, lp_tile)
-
-    sc = f(Q, qmask, index.P, index.pmask, lp_tile)
+    sc = _gspmd_scores_impl(Q, qmask, index.P, index.pmask, lp_tile)
     return sc[:, : index.n_docs]

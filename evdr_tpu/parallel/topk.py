@@ -77,12 +77,9 @@ def chunked_topk(scores, k: int, chunk: int = 4096):
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_p", "impl"))
-def _single_device_scores(Q, qmask, P_loc, pm_loc, chunk_p, impl):
-    return _local_scores(Q, qmask, P_loc, pm_loc, chunk_p, impl)
-
-
-@functools.partial(jax.jit, static_argnames=("chunk_p", "impl"))
-def _single_device_scores_q(Q, qmask, P_loc, pm_loc, scales, chunk_p, impl):
+def _single_device_scores(Q, qmask, P_loc, pm_loc, chunk_p, impl, scales=None):
+    # scales=None is an empty pytree: the float and int8-quantized paths
+    # share this one jitted entry point
     return _local_scores(Q, qmask, P_loc, pm_loc, chunk_p, impl, scales)
 
 
@@ -97,16 +94,7 @@ def _select_topk(sc, k: int, approx: bool):
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk_p", "impl", "approx"))
 def _single_device_topk(Q, qmask, P_loc, pm_loc, k, chunk_p, impl,
-                        approx=False):
-    sc = _local_scores(Q, qmask, P_loc, pm_loc, chunk_p, impl)
-    valid_doc = jnp.any(pm_loc, axis=-1)[None, :]
-    sc = jnp.where(valid_doc, sc, -jnp.inf)
-    return _select_topk(sc, k, approx)
-
-
-@functools.partial(jax.jit, static_argnames=("k", "chunk_p", "impl", "approx"))
-def _single_device_topk_q(Q, qmask, P_loc, pm_loc, scales, k, chunk_p, impl,
-                          approx=False):
+                        approx=False, scales=None):
     sc = _local_scores(Q, qmask, P_loc, pm_loc, chunk_p, impl, scales)
     valid_doc = jnp.any(pm_loc, axis=-1)[None, :]
     sc = jnp.where(valid_doc, sc, -jnp.inf)
@@ -120,12 +108,8 @@ def sharded_maxsim(Q, qmask, index: ShardedIndex, chunk_p: int = 128,
     if mesh.devices.size == 1:
         # shard_map measured ~200x slower than plain jit on the remote-TPU
         # backend; a 1-device mesh needs no collectives anyway
-        if index.scales is not None:
-            sc = _single_device_scores_q(Q, qmask, index.P, index.pmask,
-                                         index.scales, chunk_p, impl)
-        else:
-            sc = _single_device_scores(Q, qmask, index.P, index.pmask,
-                                       chunk_p, impl)
+        sc = _single_device_scores(Q, qmask, index.P, index.pmask,
+                                   chunk_p, impl, index.scales)
         return sc[:, : index.n_docs]
     qs = _q_spec(mesh)
     row_axis = DP_AXIS if DP_AXIS in mesh.axis_names else None
@@ -161,14 +145,9 @@ def sharded_topk(Q, qmask, index: ShardedIndex, k: int, chunk_p: int = 128,
     """
     mesh = index.mesh
     if mesh.devices.size == 1:
-        if index.scales is not None:
-            return _single_device_topk_q(Q, qmask, index.P, index.pmask,
-                                         index.scales, min(k, index.n_pad),
-                                         chunk_p, impl, approx)
-        vals, idx = _single_device_topk(Q, qmask, index.P, index.pmask,
-                                        min(k, index.n_pad), chunk_p, impl,
-                                        approx)
-        return vals, idx
+        return _single_device_topk(Q, qmask, index.P, index.pmask,
+                                   min(k, index.n_pad), chunk_p, impl,
+                                   approx, index.scales)
     import os
 
     if os.environ.get("EVDR_TOPK_IMPL") == "gspmd" and index.scales is None:
@@ -176,7 +155,7 @@ def sharded_topk(Q, qmask, index: ShardedIndex, k: int, chunk_p: int = 128,
         # backends where that matters; see parallel/gspmd.py + RESULTS.md)
         from evdr_tpu.parallel.gspmd import gspmd_topk
 
-        return gspmd_topk(Q, qmask, index, k)
+        return gspmd_topk(Q, qmask, index, k, approx=approx)
     world = dict(mesh.shape).get(DOC_AXIS, mesh.devices.size)
     n_pad = index.n_pad
     shard_size = n_pad // world

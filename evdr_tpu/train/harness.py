@@ -441,25 +441,23 @@ def _hardtoken_aux(cfg, total, parts, param, Ps, sc_s, sc_t, Qb, qmb,
     sc_s_ng = jax.lax.stop_gradient(sc_s)
     rank_t = jnp.argsort(jnp.argsort(-sc_t_ng, axis=-1), axis=-1)
     rank_s = jnp.argsort(jnp.argsort(-sc_s_ng, axis=-1), axis=-1)
-    gap = (rank_t - rank_s).astype(jnp.float32)
+    gap = (rank_t - rank_s).astype(jnp.int32)  # exact integer rank gaps
 
     # diagnostic: per-doc summed |rank gap|, top docs logged periodically
-    # (mainv3_iter_liscore_QA_hardtoken.py gap-log block)
-    G = jnp.sum(jnp.abs(gap), axis=0)
+    # (mainv3_iter_liscore_QA_hardtoken.py gap-log block). Integer gaps tie
+    # often and torch.topk's tie order is backend-unspecified; jnp.argsort is
+    # STABLE, so sorting the negated integer keys pins the deterministic
+    # lowest-index-first order exactly (no fp penalty to be absorbed by
+    # rounding at large G)
+    G = jnp.sum(jnp.abs(gap), axis=0)                          # (N,) int32
     g_top = min(int(cfg.gap_topk), n)
-    gap_top_val, gap_top_idx = jax.lax.top_k(
-        G - jnp.arange(n, dtype=G.dtype) / (2.0 * n), g_top)
-    gap_top_val = jnp.round(gap_top_val)  # undo the tie-break penalty
+    gap_top_idx = jnp.argsort(-G)[:g_top]
+    gap_top_val = G[gap_top_idx].astype(jnp.float32)
     diag = {"_gap_top_val": gap_top_val, "_gap_top_idx": gap_top_idx}
 
     _, topk_idx = jax.lax.top_k(sc_t_ng, k)                    # (B, k)
     gap_topk = jnp.abs(jnp.take_along_axis(gap, topk_idx, axis=1))
-    # rank gaps are integers so ties are common; torch.topk (the reference)
-    # returns the LOWEST position first on ties while lax.top_k does not
-    # guarantee it on all backends — subtract a sub-integer position penalty
-    # to pin the reference's tie order
-    tie = jnp.arange(k, dtype=gap_topk.dtype) / (2.0 * k)
-    _, aux_pos = jax.lax.top_k(gap_topk - tie[None, :], a)     # (B, a)
+    aux_pos = jnp.argsort(-gap_topk, axis=1)[:, :a]            # (B, a) stable
     aux_doc_idx = jnp.take_along_axis(topk_idx, aux_pos, axis=1)  # (B, a)
 
     # hard token per (query, aux doc): argmax over doc tokens of the max
@@ -946,9 +944,11 @@ def run_training(cfg: TrainConfig) -> Dict[str, Dict[str, Any]]:
         bundle = load_dataset_bundle(cfg, dataset,
                                      need_pos_idx=(cfg.loss == "infonce_sup"))
         # qnoise scores the teacher with the noisy queries inline each step
-        # (noisev1:305), so clean-query precomputed rows would be dead weight
+        # (noisev1:305), so clean-query precomputed rows would be dead weight;
+        # the mesh train step (build_sharded_train_step) also rescores inline
+        # per step and never reads sc_t_train
         if (cfg.precompute_teacher and cfg.loss != "infonce_sup"
-                and cfg.aug != "qnoise"):
+                and cfg.aug != "qnoise" and cfg.mesh_docs <= 1):
             bundle.sc_t_train = _precompute_teacher_scores(
                 bundle.Q_train, bundle.qmask_train, bundle.P_teacher_norm,
                 bundle.pmask_teacher, chunk_q=256, chunk_p=cfg.chunk_p,

@@ -197,8 +197,13 @@ def config5_million_pages(n_pages: int = 1_000_000, tokens: int = 16, d: int = 1
         want = set(np.argsort(-sc[q])[:k].tolist())
         ok = ok and set(idx_h[q].tolist()) == want
 
+    # distinct query buffer for the timed dispatch: a repeated identical
+    # (program, args) pair can be served from the remote client's
+    # memoization cache (CLAUDE.md timing trap)
+    Qd2 = replicate(jnp.asarray(np.roll(Q, 1, axis=0)), mesh)
+    qmd2 = replicate(jnp.asarray(np.roll(qm, 1, axis=0)), mesh)
     t0 = time.perf_counter()
-    vals2, idx2 = sharded_topk(Qd, qmd, index, k=k, chunk_p=4096, impl="pallas")
+    vals2, idx2 = sharded_topk(Qd2, qmd2, index, k=k, chunk_p=4096, impl="pallas")
     _fetch(vals2)
     dt = time.perf_counter() - t0
     _emit(config=5, metric="million_page_topk", value=round(nq / dt, 1), unit="q/s",
@@ -304,11 +309,14 @@ def config5b_pruned(n_pages: int = 250_048, tokens: int = 64, d: int = 128,
     K = 4
 
     def chain(fn):
-        def g(Qd, qmd, *arrs):
+        # rep-index argument: every timing rep dispatches distinct args (a
+        # repeated identical (program, args) pair can be served from the
+        # remote client's memoization cache — CLAUDE.md timing trap)
+        def g(rep, Qd, qmd, *arrs):
             tot_v = jnp.float32(0)
             idx = None
             for i in range(K):
-                v, idx = fn(jnp.roll(Qd, i, axis=0), qmd, *arrs)
+                v, idx = fn(jnp.roll(Qd, rep * K + i, axis=0), qmd, *arrs)
                 tot_v = tot_v + jnp.sum(v)
             return tot_v, idx
         return jax.jit(g)
@@ -328,12 +336,12 @@ def config5b_pruned(n_pages: int = 250_048, tokens: int = 64, d: int = 128,
 
     def timed(fn1):
         g = chain(fn1)
-        _, idx = g(Qd, qmd, *arrs)   # compile + warm
+        _, idx = g(jnp.int32(0), Qd, qmd, *arrs)   # compile + warm
         _fetch(idx)
         best = float("inf")
-        for _ in range(2):
+        for rep in range(1, 3):
             t0 = time.perf_counter()
-            s, idx = g(Qd, qmd, *arrs)
+            s, idx = g(jnp.int32(rep), Qd, qmd, *arrs)
             float(s)                  # forced fetch
             best = min(best, time.perf_counter() - t0)
         return best / K, _fetch(idx)

@@ -66,3 +66,47 @@ def test_pruned_search_high_recall(corpus):
     v_all, i_all = eng.search_dense(Q, qmask, k=5, n_candidates=30)
     for q in range(Q.shape[0]):
         assert set(np.asarray(i_all)[q].tolist()) == set(np.asarray(i_exact)[q].tolist())
+
+
+def test_pruned_int8_engine_uses_fused_path(corpus):
+    """int8 engines run the single-dispatch fused pruned path with scales
+    threaded through both stages; results match the fp32 pruned path."""
+    from evdr_tpu.data.packing import preprocess_queries
+    from evdr_tpu.ops.pruned import pruned_recall
+
+    Q, qmask = preprocess_queries(corpus["query"], corpus["query_attnmask"])
+    eng8 = RetrievalEngine(dtype="int8", impl="xla", prune_centroids=4)
+    eng8.build_from_ragged(corpus["documents"], corpus["doc_attnmask"],
+                           corpus["doc_imgmask"], docids=corpus["docid"])
+    assert eng8.index.scales is not None and eng8.summary.scales is not None
+    engf = RetrievalEngine(dtype=None, impl="xla", prune_centroids=4)
+    engf.build_from_ragged(corpus["documents"], corpus["doc_attnmask"],
+                           corpus["doc_imgmask"], docids=corpus["docid"])
+    _, i8 = eng8.search_dense(Q, qmask, k=5, n_candidates=12)
+    _, iff = engf.search_dense(Q, qmask, k=5, n_candidates=12)
+    assert pruned_recall(iff[:, :1], i8[:, :1]) >= 0.9
+
+
+def test_rerank_never_returns_padded_docs():
+    """All-invalid candidates (index-padding rows) rank LAST: a 0 score for
+    them could outrank real docs whose exact MaxSim is negative."""
+    import jax.numpy as jnp
+
+    from evdr_tpu.ops.pruned import rerank_candidates
+
+    rng = np.random.default_rng(0)
+    n, lp, d = 5, 4, 16
+    # anti-correlated docs -> genuinely negative MaxSim scores
+    Q = rng.normal(size=(2, 3, d)).astype(np.float32)
+    P = -np.repeat(Q.mean(axis=1, keepdims=True), lp, axis=1)[:1]
+    P = np.concatenate([np.broadcast_to(P, (n, lp, d)),
+                        np.zeros((3, lp, d), np.float32)]).astype(np.float32)
+    pmask = np.ones((n + 3, lp), bool)
+    pmask[n:] = False  # 3 padding docs
+    qmask = np.ones((2, 3), bool)
+    cand = np.broadcast_to(np.arange(n + 3, dtype=np.int32), (2, n + 3)).copy()
+    vals, idx = rerank_candidates(jnp.asarray(Q), jnp.asarray(qmask),
+                                  jnp.asarray(P), jnp.asarray(pmask),
+                                  jnp.asarray(cand), k=n)
+    assert np.asarray(idx).max() < n, "padded doc leaked into top-k"
+    assert np.all(np.asarray(vals) > -np.inf)

@@ -67,6 +67,27 @@ def test_fused_bwd_with_fully_masked_doc():
     assert np.abs(np.asarray(dp)[2]).max() == 0.0
 
 
+def test_fused_bwd_multiple_query_blocks():
+    """n_qb > 1 (full-batch regime): dP partials are written to per-q-block
+    output slices and reduced outside the kernel — a (j, l)-keyed dP block
+    revisited per i would see stale window contents on real hardware (Pallas
+    only supports consecutive-visit accumulation)."""
+    # lq_pad=16 -> qb=64 in the bwd's 1024-row tiling; 72 queries -> n_qb=2
+    Q, P, qmask, pmask = _inputs(seed=7, n_docs=6, n_queries=72, dim=32)
+    assert Q.shape[0] > 64
+    rng = np.random.default_rng(2)
+    g = jnp.asarray(rng.normal(size=(Q.shape[0], P.shape[0])).astype(np.float32))
+
+    _, vjp = jax.vjp(lambda q, p: maxsim_xla(q, p, qmask, pmask, chunk_p=4), Q, P)
+    dq_want, dp_want = vjp(g)
+    _, M = maxsim_pallas_fwd_train(Q, P, qmask, pmask, jnp.float32, True)
+    dq, dp = maxsim_pallas_bwd(Q, P, qmask, pmask, M, g, jnp.float32, True)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_want),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_want),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_custom_vjp_end_to_end_interpret():
     from evdr_tpu.ops.pallas_maxsim import maxsim_pallas
 

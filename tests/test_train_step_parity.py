@@ -321,9 +321,10 @@ def test_one_hardtoken_liscore_step_matches_reference():
         kk = min(k, sc_t.shape[1])
         topk_idx = torch.topk(sc_t, k=kk, dim=-1).indices
         gap_topk = gap.gather(1, topk_idx).abs()
-        # deterministic lowest-position-first tie order (see docstring)
-        tie = torch.arange(kk, dtype=gap_topk.dtype) / (2.0 * kk)
-        aux_pos = torch.topk(gap_topk - tie[None, :], k=aux_docs, dim=1).indices
+        # deterministic lowest-position-first tie order (see docstring):
+        # stable descending argsort, same as the harness's stable jnp.argsort
+        aux_pos = torch.argsort(gap_topk, dim=1, descending=True,
+                                stable=True)[:, :aux_docs]
         aux_doc_idx_q = topk_idx.gather(1, aux_pos)
     qv_list = []
     with torch.no_grad():
