@@ -197,18 +197,54 @@ def config5_million_pages(n_pages: int = 1_000_000, tokens: int = 16, d: int = 1
         want = set(np.argsort(-sc[q])[:k].tolist())
         ok = ok and set(idx_h[q].tolist()) == want
 
-    # distinct query buffer for the timed dispatch: a repeated identical
-    # (program, args) pair can be served from the remote client's
-    # memoization cache (CLAUDE.md timing trap)
-    Qd2 = replicate(jnp.asarray(np.roll(Q, 1, axis=0)), mesh)
-    qmd2 = replicate(jnp.asarray(np.roll(qm, 1, axis=0)), mesh)
-    t0 = time.perf_counter()
-    vals2, idx2 = sharded_topk(Qd2, qmd2, index, k=k, chunk_p=4096, impl="pallas")
-    _fetch(vals2)
-    dt = time.perf_counter() - t0
-    _emit(config=5, metric="million_page_topk", value=round(nq / dt, 1), unit="q/s",
-          n_pages=n_pages, tokens_per_page=tokens, k=k, exact_on_subsample=ok,
-          devices=int(mesh.devices.size))
+    def _timed_topk(idx_obj, nq_t, tag, impl):
+        """One timed dispatch with distinct query buffers (a repeated
+        identical (program, args) pair can be served from the remote
+        client's memoization cache — CLAUDE.md timing trap)."""
+        Qb = unit(rng.normal(size=(nq_t, lq, d))).astype(np.float32)
+        qmb = rng.random((nq_t, lq)) > 0.15
+        Qw = replicate(jnp.asarray(Qb), mesh)
+        qmw = replicate(jnp.asarray(qmb), mesh)
+        _fetch(sharded_topk(Qw, qmw, idx_obj, k=k, chunk_p=4096,
+                            impl=impl)[0])  # warm/compile at this batch
+        Q2 = replicate(jnp.asarray(np.roll(Qb, 1, axis=0)), mesh)
+        qm2 = replicate(jnp.asarray(np.roll(qmb, 1, axis=0)), mesh)
+        t0 = time.perf_counter()
+        v2, _ = sharded_topk(Q2, qm2, idx_obj, k=k, chunk_p=4096, impl=impl)
+        _fetch(v2)
+        dt = time.perf_counter() - t0
+        _emit(config=5, metric="million_page_topk", value=round(nq_t / dt, 1),
+              unit="q/s", n_pages=n_pages, tokens_per_page=tokens, k=k,
+              exact_on_subsample=ok, devices=int(mesh.devices.size),
+              variant=tag, batch=nq_t)
+        return nq_t / dt
+
+    _timed_topk(index, 64, "bf16", "pallas")
+    # larger serving batches amortize the per-dispatch tunnel RTT and raise
+    # arithmetic intensity
+    _timed_topk(index, 256, "bf16", "pallas")
+
+    # int8-index variant: half the HBM stream, 2x MXU peak; per-token
+    # symmetric quantization computed ON DEVICE
+    @jax.jit
+    def quant(P):
+        a = jnp.max(jnp.abs(P.astype(jnp.float32)), axis=-1)
+        s = a / 127.0
+        safe = jnp.where(s > 0, s, 1.0)
+        codes = jnp.clip(jnp.round(P.astype(jnp.float32) / safe[..., None]),
+                         -127, 127).astype(jnp.int8)
+        return codes, s.astype(jnp.float32)
+
+    codes, scales = quant(Pdev)
+    index8 = ShardedIndex(P=shard_docs(codes, mesh),
+                          pmask=shard_docs(pm_dev, mesh),
+                          n_docs=n_pages, mesh=mesh,
+                          scales=shard_docs(scales, mesh))
+    del Pdev, index
+    # int8 index + float queries (maxsim_pallas_int8): halves the HBM stream
+    # — the lever for this 16-token/page HBM-bound corpus (the full-int8
+    # kernel's MFU-tuned tiles overflow VMEM at this shape)
+    _timed_topk(index8, 256, "int8", "pallas")
 
 def _gen_clustered_corpus_device(n_pages: int, tokens: int, d: int,
                                  n_centers: int, nq: int, lq: int, seed=0):
