@@ -409,3 +409,55 @@ def test_search_cli_trec_and_json(tmp_path, capsys):
     assert len(res) == 6 and all(len(v) == 2 for v in res.values())
     summary = json.loads(cap.err.strip().splitlines()[-1])
     assert summary["n_docs"] == 10 and summary["n_queries"] == 6
+
+
+def test_eval_run_cli_matches_direct_metrics(tmp_path, capsys):
+    """evdr-search -> evdr-eval reproduces the in-process evaluator's
+    metrics for the same scores, for both npz and TREC qrels inputs."""
+    from evdr_tpu.data.packing import l2_normalize, preprocess_docs, preprocess_queries
+    from evdr_tpu.eval.metrics import compute_retrieval_metrics
+    from evdr_tpu.ops.maxsim import maxsim_numpy
+    from evdr_tpu.tools.eval_run import main as eval_main
+    from evdr_tpu.tools.search import main as search_main
+
+    c = make_synthetic_corpus(n_docs=12, n_queries=8, dim=16, seed=21)
+    idx_p = tmp_path / "efx_dump_all.npz"
+    save_synthetic_npz(idx_p, c)
+    run_p = tmp_path / "run.trec"
+    # k = n_docs so the run is deep enough for the cutoffs under test
+    search_main(["--index", str(idx_p), "--queries", str(idx_p),
+                 "--k", "12", "--out", str(run_p), "--dtype", "float32",
+                 "--impl", "xla"])
+
+    # npz qrels are query-string keyed; the run is qid keyed -> --queries
+    # provides the remap (the reference's qsidx_2_query convention)
+    eval_main(["--run", str(run_p), "--qrels", str(idx_p),
+               "--queries", str(idx_p), "--k", "1", "5"])
+    got = json.loads(capsys.readouterr().out)
+
+    # oracle: brute-force scores -> direct metric computation
+    P, pmask, _ = preprocess_docs(c["documents"], c["doc_attnmask"],
+                                  c["doc_imgmask"])
+    Pn = np.asarray(l2_normalize(P * pmask[..., None].astype(np.float32)))
+    Q, qmask = preprocess_queries(c["query"], c["query_attnmask"])
+    sc = np.asarray(maxsim_numpy(Q, Pn, qmask, pmask))
+    docids = [str(d) for d in c["docid"]]
+    results = {str(c["qsidx_2_query"][qi]): {docids[di]: float(sc[qi, di])
+                                             for di in range(12)}
+               for qi in range(8)}
+    want = compute_retrieval_metrics(c["relevant_docs"], results, k_values=[1, 5])
+    assert want["NDCG"]["NDCG@5"] > 0.5  # sanity: eval is not vacuous
+    assert got["NDCG"]["NDCG@5"] == pytest.approx(want["NDCG"]["NDCG@5"], abs=1e-4)
+    assert got["Recall"]["Recall@1"] == pytest.approx(want["Recall"]["Recall@1"], abs=1e-4)
+    assert got["n_queries"] == 8 and got["n_queries_missing_from_run"] == 0
+
+    # TREC-format qrels (qid-keyed, whitespace-free) agree without a remap
+    qr_p = tmp_path / "qrels.txt"
+    qid_of = {str(s): str(i) for i, s in zip(c["qid"], c["qsidx_2_query"])}
+    with open(qr_p, "w") as fh:
+        for q, docs in c["relevant_docs"].items():
+            for d, r in docs.items():
+                fh.write(f"{qid_of[q]} 0 {d} {r}\n")
+    eval_main(["--run", str(run_p), "--qrels", str(qr_p), "--k", "1", "5"])
+    got2 = json.loads(capsys.readouterr().out)
+    assert got2["NDCG"] == got["NDCG"] and got2["Recall"] == got["Recall"]
