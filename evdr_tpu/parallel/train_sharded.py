@@ -91,6 +91,25 @@ def _mse_global(s_loc, t_loc, valid_loc, axis_name, halved=False):
     return 0.5 * loss if halved else loss
 
 
+def _mse_std_global(s_loc, t_loc, valid_loc, axis_name, eps=1e-6):
+    """score_preserving_std_loss over a sharded doc axis: per-query global
+    mean/std via psum (valid docs only), then MSE of the standardized rows
+    (losses/distill.py: score_preserving_std_loss)."""
+    v = valid_loc[None, :].astype(jnp.float32)
+    count = jax.lax.psum(jnp.sum(v, axis=-1), axis_name)          # (B,)
+
+    def std_rows(x):
+        mu = jax.lax.psum(jnp.sum(x * v, axis=-1), axis_name) / count
+        var = jax.lax.psum(
+            jnp.sum(((x - mu[:, None]) ** 2) * v, axis=-1), axis_name) / count
+        return (x - mu[:, None]) / (jnp.sqrt(var)[:, None] + eps)
+
+    d2 = jnp.where(valid_loc[None, :],
+                   (std_rows(s_loc) - std_rows(t_loc)) ** 2, 0.0)
+    total = jax.lax.psum(jnp.sum(d2), axis_name)
+    return total / (count[0] * s_loc.shape[0])
+
+
 def build_sharded_train_step(cfg: TrainConfig, mesh: Mesh, *, pmask_student,
                              P_teacher, pmask_teacher, n_docs: int
                              ) -> Tuple[Callable, optax.GradientTransformation]:
@@ -127,6 +146,11 @@ def build_sharded_train_step(cfg: TrainConfig, mesh: Mesh, *, pmask_student,
                 l_score = _mse_global(s_loc, t_loc, valid_loc, DOC_AXIS)
                 total = cfg.lambda_list * l_list + cfg.lambda_score * l_score
                 parts = {"listwise": l_list, "score": l_score}
+            elif loss_name == "liscore_std":
+                l_list = _listwise_global(s_m, t_m, kk, temp, DOC_AXIS)
+                l_score = _mse_std_global(s_loc, t_loc, valid_loc, DOC_AXIS)
+                total = cfg.lambda_list * l_list + cfg.lambda_score * l_score
+                parts = {"listwise": l_list, "score_std": l_score}
             elif loss_name == "listwise":
                 l_list = _listwise_global(s_m, t_m, kk, temp, DOC_AXIS)
                 total, parts = l_list, {"listwise": l_list}

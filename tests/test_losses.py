@@ -174,3 +174,38 @@ def test_losses_jittable():
         else:
             val = jax.jit(fn)(jnp.asarray(s), jnp.asarray(t))
         assert np.isfinite(float(val)), name
+
+
+def test_score_std_scale_and_offset_invariant():
+    """Beyond-reference score_std: invariant to per-query affine transforms
+    of either side; zero when rankings/structures coincide up to scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from evdr_tpu.losses.distill import (combined_loss,
+                                         score_preserving_std_loss)
+
+    rng = np.random.default_rng(0)
+    sc_t = jnp.asarray(rng.normal(size=(4, 9)).astype(np.float32))
+    sc_s = jnp.asarray(rng.normal(size=(4, 9)).astype(np.float32))
+
+    base = float(score_preserving_std_loss(sc_s, sc_t))
+    scaled = float(score_preserving_std_loss(0.05 * sc_s + 3.0, 7.0 * sc_t - 1.0))
+    np.testing.assert_allclose(scaled, base, rtol=1e-4)
+    # identical structure at a different scale -> ~0 (plain MSE would be big)
+    near0 = float(score_preserving_std_loss(0.1 * sc_t + 5.0, sc_t))
+    assert near0 < 1e-6
+
+    # gradient flows to the student only
+    g_s, g_t = jax.grad(
+        lambda s, t: score_preserving_std_loss(s, t), argnums=(0, 1))(sc_s, sc_t)
+    assert float(jnp.abs(g_s).max()) > 0
+    assert float(jnp.abs(g_t).max()) == 0.0
+
+    # combined recipe wires the weights like liscore
+    total, parts = combined_loss("liscore_std", sc_s, sc_t,
+                                 {"lambda_list": 1.0, "lambda_score": 0.5,
+                                  "k": 4, "temperature": 0.1})
+    np.testing.assert_allclose(
+        float(total), float(parts["listwise"]) + 0.5 * float(parts["score_std"]),
+        rtol=1e-6)

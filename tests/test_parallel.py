@@ -75,8 +75,8 @@ def test_sharded_topk_excludes_padded_docs(mesh):
     assert int(np.asarray(gidx).max()) < 21
 
 
-@pytest.mark.parametrize("loss", ["liscore", "listwise", "infonce_distill",
-                                  "score", "spl", "ranknet"])
+@pytest.mark.parametrize("loss", ["liscore", "liscore_std", "listwise",
+                                  "infonce_distill", "score", "spl", "ranknet"])
 def test_sharded_train_step_matches_unsharded(mesh, loss):
     c, Q, qmask, Pn, pmask = _corpus(seed=3, n_docs=19)
     init = pooled_init_index(c, mf=4, seed=3)
