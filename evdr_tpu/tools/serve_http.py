@@ -1,0 +1,140 @@
+"""evdr-serve — minimal HTTP retrieval server over a saved index.
+
+Online counterpart of the batch ``evdr-search`` CLI: load an index npz once
+(interchange or packed, any storage dtype), warm the scoring program, then
+answer search requests over HTTP. Stdlib-only (ThreadingHTTPServer); device
+dispatch is serialized through a lock (one scoring program in flight per
+chip).
+
+    evdr-serve --index features/dump_all.npz --port 8080 \
+        [--dtype int8] [--prune_centroids 8] [--quantize_queries]
+
+API:
+- ``GET /healthz`` -> ``{"status": "ok", "n_docs": N, ...}``
+- ``POST /search`` with JSON body
+  ``{"queries": [[[...dim floats...] per token] per query],
+     "attnmask": [[bool per token] per query]   (optional),
+     "k": 10                                    (optional),
+     "n_candidates": 512                        (optional, pruned engines)}``
+  -> ``{"docids": [[...] per query], "scores": [[...] per query],
+        "latency_ms_per_query": ...}``
+
+The reference repo has no serving path at all (scoring happens inline in
+training scripts, evaluator/retrieval.py); this is a beyond-reference
+deployment component built on the same engine the benches measure.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
+                default_k: int = 10, default_candidates: int = 0):
+    """Build a ThreadingHTTPServer wired to a built RetrievalEngine."""
+    from evdr_tpu.data.packing import preprocess_queries
+
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _reply(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                return self._reply(404, {"error": "unknown path"})
+            self._reply(200, {
+                "status": "ok", "n_docs": engine.n_docs,
+                "dtype": engine.dtype, "impl": engine.impl,
+                "pruned": engine.summary is not None,
+            })
+
+        def do_POST(self):
+            if self.path != "/search":
+                return self._reply(404, {"error": "unknown path"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                queries = req["queries"]
+                if not queries:
+                    return self._reply(400, {"error": "empty queries"})
+                qobj = np.empty(len(queries), dtype=object)
+                for i, q in enumerate(queries):
+                    qobj[i] = np.asarray(q, dtype=np.float32)
+                am = req.get("attnmask")
+                amobj = None
+                if am is not None:
+                    amobj = np.empty(len(am), dtype=object)
+                    for i, m in enumerate(am):
+                        amobj[i] = np.asarray(m, dtype=bool)
+                Q, qmask = preprocess_queries(qobj, amobj)
+                k = int(req.get("k", default_k))
+                n_cand = int(req.get("n_candidates", default_candidates)) or None
+                t0 = time.perf_counter()
+                with lock:  # one device dispatch in flight
+                    vals, idx = engine.search_dense(Q, qmask, k=k,
+                                                    n_candidates=n_cand)
+                ms = (time.perf_counter() - t0) * 1000.0 / len(queries)
+                if engine.index.docids is not None:
+                    ids = [[str(engine.index.docids[j]) for j in row]
+                           for row in np.asarray(idx)]
+                else:
+                    ids = [[str(j) for j in row] for row in np.asarray(idx)]
+                self._reply(200, {"docids": ids,
+                                  "scores": np.asarray(vals).tolist(),
+                                  "latency_ms_per_query": round(ms, 3)})
+            except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--index", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--dtype", choices=("float32", "bfloat16", "int8"),
+                   default="bfloat16")
+    p.add_argument("--impl", default="auto")
+    p.add_argument("--chunk_p", type=int, default=512)
+    p.add_argument("--prune_centroids", type=int, default=0)
+    p.add_argument("--n_candidates", type=int, default=0)
+    p.add_argument("--quantize_queries", action="store_true")
+    a = p.parse_args(argv)
+
+    from evdr_tpu.engine import RetrievalEngine
+
+    print(f"[serve] loading index {a.index}", flush=True)
+    eng = RetrievalEngine.from_npz(
+        a.index, dtype=a.dtype, impl=a.impl, chunk_p=a.chunk_p,
+        prune_centroids=a.prune_centroids, quantize_queries=a.quantize_queries)
+    # warm the scoring program so the first request does not pay the compile
+    d = int(eng.index.P.shape[-1])
+    warm = np.zeros((1, 4, d), np.float32)
+    eng.search_dense(warm, np.ones((1, 4), bool), k=min(a.k, eng.n_docs),
+                     n_candidates=a.n_candidates or None)
+    srv = make_server(eng, a.host, a.port, default_k=a.k,
+                      default_candidates=a.n_candidates)
+    print(f"[serve] {eng.n_docs} docs ready on http://{a.host}:{a.port}",
+          flush=True)
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,8 @@ def main():
     p.add_argument("--max_steps", type=int, default=23460)
     p.add_argument("--mfs", type=int, nargs="+", default=[5, 10, 25, 50])
     p.add_argument("--losses", type=str, nargs="+", default=["liscore"])
+    p.add_argument("--aug", type=str, default="none",
+                   help="mainv3 augmentation family: qnoise|mixup|hardtoken")
     p.add_argument("--datasets", type=str, nargs="+",
                    default=list(DATASET_PROFILES))
     p.add_argument("--out", type=str, default="/tmp/evdr_matrix")
@@ -88,11 +90,12 @@ def main():
 
     t_all = time.time()
     for loss in a.losses:
+        name = loss if a.aug == "none" else f"{loss}_{a.aug}"
         cfg = TrainConfig(
             datasets=list(a.datasets), query_root=str(data_root),
             teacher_root=str(data_root), init_root=str(data_root / "S3E_init"),
-            mfs=list(a.mfs), out_root=str(out / "results"), name=loss,
-            loss=loss, temp=0.1, k=40, max_steps=a.max_steps,
+            mfs=list(a.mfs), out_root=str(out / "results"), name=name,
+            loss=loss, aug=a.aug, temp=0.1, k=40, max_steps=a.max_steps,
             eval_every=a.eval_every, print_every=2048, q_batch=32, lr=1e-3,
             chunk_p=128, steps_per_dispatch=a.steps_per_dispatch,
             seed=a.seed)

@@ -461,3 +461,60 @@ def test_eval_run_cli_matches_direct_metrics(tmp_path, capsys):
     eval_main(["--run", str(run_p), "--qrels", str(qr_p), "--k", "1", "5"])
     got2 = json.loads(capsys.readouterr().out)
     assert got2["NDCG"] == got["NDCG"] and got2["Recall"] == got["Recall"]
+
+
+def test_http_server_search_and_health(tmp_path):
+    """evdr-serve end-to-end on localhost: health check, ragged-query search
+    whose top-1 matches the brute-force oracle, and input validation."""
+    import threading
+    import urllib.request
+
+    from evdr_tpu.data.packing import l2_normalize, preprocess_docs, preprocess_queries
+    from evdr_tpu.engine import RetrievalEngine
+    from evdr_tpu.ops.maxsim import maxsim_numpy
+    from evdr_tpu.tools.serve_http import make_server
+
+    c = make_synthetic_corpus(n_docs=10, n_queries=5, dim=16, seed=31)
+    eng = RetrievalEngine(dtype="float32", impl="xla")
+    eng.build_from_ragged(c["documents"], c["doc_attnmask"], c["doc_imgmask"],
+                          docids=c["docid"])
+    srv = make_server(eng, port=0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz") as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["n_docs"] == 10
+
+        body = json.dumps({
+            "queries": [np.asarray(q, np.float32).tolist() for q in c["query"]],
+            "attnmask": [np.asarray(m, bool).tolist()
+                         for m in c["query_attnmask"]],
+            "k": 3,
+        }).encode()
+        req = urllib.request.Request(f"{base}/search", data=body,
+                                     headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            res = json.loads(r.read())
+        assert len(res["docids"]) == 5 and len(res["scores"][0]) == 3
+
+        P, pmask, _ = preprocess_docs(c["documents"], c["doc_attnmask"],
+                                      c["doc_imgmask"])
+        Pn = np.asarray(l2_normalize(P * pmask[..., None].astype(np.float32)))
+        Q, qmask = preprocess_queries(c["query"], c["query_attnmask"])
+        ref = np.asarray(maxsim_numpy(Q, Pn, qmask, pmask))
+        docids = [str(d) for d in c["docid"]]
+        for qi in range(5):
+            assert res["docids"][qi][0] == docids[int(np.argmax(ref[qi]))]
+
+        # malformed request -> 400, not a crash
+        bad = urllib.request.Request(f"{base}/search", data=b"{}",
+                                     headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
