@@ -85,6 +85,8 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=("xla", "pallas", "auto"))
     p.add_argument("--no_precompute_teacher", action="store_true")
     p.add_argument("--checkpoint_every", type=int, default=defaults.checkpoint_every)
+    p.add_argument("--checkpoint_backend", default=defaults.checkpoint_backend,
+                   choices=("npz", "orbax"))
     p.add_argument("--resume", action="store_true")
     p.add_argument("--mesh_docs", type=int, default=defaults.mesh_docs,
                    help="shard the doc axis over an N-device mesh (multi-chip "

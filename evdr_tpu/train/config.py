@@ -93,6 +93,7 @@ class TrainConfig:
     eval_impl: str = "auto"
     precompute_teacher: bool = True        # teacher is frozen: score the pool once
     checkpoint_every: int = 0              # 0 = only best-npz artifacts
+    checkpoint_backend: str = "npz"        # "npz" (single file) | "orbax"
     resume: bool = False
     # multi-device training: shard the student/teacher doc axis over an
     # N-device mesh (global-softmax losses via XLA collectives,

@@ -612,7 +612,21 @@ def save_best_npz(out_dir: Path, fname: str, *, cfg: TrainConfig, dataset: str,
 # checkpoint / resume (full train state — beyond the reference's artifacts)
 # =============================================================================
 
-def save_checkpoint(path: Path, param, opt_state, step: int, best_r1, best_nd5) -> None:
+def save_checkpoint(path: Path, param, opt_state, step: int, best_r1, best_nd5,
+                    backend: str = "npz") -> None:
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        path = Path(path).resolve()
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path, {"param": param, "opt_state": opt_state},
+                       force=True)
+        # best trackers are small nested dicts of floats — a JSON sidecar
+        # avoids pinning their exact pytree structure in the orbax metadata
+        Path(str(path) + ".meta.json").write_text(json.dumps(
+            {"step": step, "best_r1": best_r1, "best_nd5": best_nd5}))
+        return
     leaves, treedef = jax.tree_util.tree_flatten((param, opt_state))
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     meta = {"step": step, "best_r1": best_r1, "best_nd5": best_nd5,
@@ -622,7 +636,17 @@ def save_checkpoint(path: Path, param, opt_state, step: int, best_r1, best_nd5) 
     np.savez(path, meta=np.array(meta, dtype=object), **arrays)
 
 
-def load_checkpoint(path: Path, param, opt_state):
+def load_checkpoint(path: Path, param, opt_state, backend: str = "npz"):
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        template = {"param": param, "opt_state": opt_state}
+        with ocp.PyTreeCheckpointer() as ckptr:
+            state = ckptr.restore(Path(path).resolve(), item=template)
+        meta = json.loads(Path(str(Path(path).resolve()) + ".meta.json")
+                          .read_text())
+        return (state["param"], state["opt_state"], int(meta["step"]),
+                meta["best_r1"], meta["best_nd5"])
     z = np.load(path, allow_pickle=True)
     meta = z["meta"].item()
     leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(meta["n_leaves"])]
@@ -756,10 +780,11 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
     last_metrics = metrics0
 
     step0 = 0
-    ckpt_path = out_dir / "ckpt.npz"
+    ckpt_path = out_dir / ("ckpt.orbax" if cfg.checkpoint_backend == "orbax"
+                           else "ckpt.npz")
     if cfg.resume and ckpt_path.exists():
         param, opt_state, step0, best_r1, best_nd5 = load_checkpoint(
-            ckpt_path, param, opt_state)
+            ckpt_path, param, opt_state, backend=cfg.checkpoint_backend)
         if mesh is not None:
             from evdr_tpu.parallel import replicate as _rep
             from evdr_tpu.parallel import shard_docs as _shard
@@ -918,7 +943,8 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
                               doc_attn_in=doc_attn_in, doc_img_in=doc_img_in)
 
         if checkpoint_every and step % checkpoint_every == 0:
-            save_checkpoint(ckpt_path, param, opt_state, step, best_r1, best_nd5)
+            save_checkpoint(ckpt_path, param, opt_state, step, best_r1,
+                            best_nd5, backend=cfg.checkpoint_backend)
 
     summary = {
         "summary/latency": float(last_metrics.get("latency", 0.0)),

@@ -142,6 +142,44 @@ def test_checkpoint_resume(fixture_root, tmp_path):
     run_training(cfg2)
 
 
+def test_checkpoint_resume_orbax(fixture_root, tmp_path):
+    """Orbax checkpoint backend: full train state round-trips and resume
+    continues bit-for-bit like the npz backend (same restored pytree)."""
+    import jax.numpy as jnp
+
+    from evdr_tpu.train.harness import load_checkpoint
+
+    cfg = _cfg(fixture_root, tmp_path, max_steps=10, eval_every=5,
+               checkpoint_every=5, name="cko", checkpoint_backend="orbax")
+    run_training(cfg)
+    out_dir = Path(cfg.out_root) / "cko" / "mf5" / "synth"
+    assert (out_dir / "ckpt.orbax").exists()  # orbax writes a directory
+    cfg2 = _cfg(fixture_root, tmp_path, max_steps=12, eval_every=6,
+                checkpoint_every=5, name="cko", resume=True,
+                checkpoint_backend="orbax")
+    run_training(cfg2)
+
+    # npz and orbax backends restore identical state from identical runs
+    cfgn = _cfg(fixture_root, tmp_path, max_steps=10, eval_every=5,
+                checkpoint_every=5, name="ckn")
+    run_training(cfgn)
+    import optax
+
+    from evdr_tpu.train.harness import init_student, load_dataset_bundle
+
+    bundle = load_dataset_bundle(cfg, "synth")
+    param, pmask_s, _ = init_student(cfg, "synth", bundle, 5)
+    opt = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+    opt_state = opt.init(param)
+    po, oo, so, *_ = load_checkpoint(out_dir / "ckpt.orbax", param, opt_state,
+                                     backend="orbax")
+    pn, nn, sn, *_ = load_checkpoint(
+        Path(cfgn.out_root) / "ckn" / "mf5" / "synth" / "ckpt.npz",
+        param, opt_state)
+    assert so == sn == 10
+    np.testing.assert_array_equal(np.asarray(po), np.asarray(pn))
+
+
 def test_cli_roundtrip(fixture_root, tmp_path):
     from evdr_tpu.train.cli import build_argparser, config_from_args
 
