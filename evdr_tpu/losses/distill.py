@@ -168,6 +168,10 @@ COMBINED_RECIPES: Dict[str, Tuple[Tuple[str, str], ...]] = {
     # beyond-reference: liscore with the scale-invariant score term (fixes
     # the mf25 collapse; see score_preserving_std_loss)
     "liscore_std": (("listwise", "lambda_list"), ("score_std", "lambda_score")),
+    # beyond-reference: 3-term recipe combining the two strongest settings
+    # of the matrix study (lipairwise's pairwise term + the std score term)
+    "lipairscore_std": (("listwise", "lambda_list"), ("ranknet", "lambda_pair"),
+                        ("score_std", "lambda_score")),
     "lipairwise": (("listwise", "lambda_list"), ("ranknet", "lambda_pair")),
     "linfo": (("listwise", "lambda_list"), ("infonce_distill", "lambda_info")),
     "pairscore": (("ranknet", "lambda_pair"), ("score", "lambda_score")),

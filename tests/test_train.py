@@ -92,7 +92,8 @@ def test_training_improves_metrics_and_logs(fixture_root, tmp_path):
 
 @pytest.mark.parametrize("loss", ["listwise", "infonce_distill", "score",
                                   "ranknet", "lambda", "ranknce", "spl",
-                                  "lipairwise", "linfo", "pairscore"])
+                                  "lipairwise", "linfo", "pairscore",
+                                  "liscore_std", "lipairscore_std"])
 def test_all_losses_run(fixture_root, tmp_path, loss):
     cfg = _cfg(fixture_root, tmp_path, loss=loss, max_steps=4, eval_every=4,
                name=f"loss_{loss}")
