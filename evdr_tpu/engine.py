@@ -137,16 +137,19 @@ class RetrievalEngine:
                                      chunk_p=self.chunk_p, impl=self.impl)
         return np.asarray(vals), np.asarray(idx)
 
+    def ids_for(self, idx) -> List[List[str]]:
+        """Doc-index matrix -> per-query docid string lists."""
+        idx = np.asarray(idx)
+        if self.index is not None and self.index.docids is not None:
+            return [[str(self.index.docids[j]) for j in row] for row in idx]
+        return [[str(j) for j in row] for row in idx]
+
     def search(self, queries, query_attnmask=None, k: int = 10
                ) -> Tuple[List[List[str]], np.ndarray]:
         """Ragged query token arrays -> (per-query docid lists, scores)."""
         Q, qmask = preprocess_queries(queries, query_attnmask)
         vals, idx = self.search_dense(Q, qmask, k=k)
-        if self.index.docids is not None:
-            ids = [[str(self.index.docids[j]) for j in row] for row in idx]
-        else:
-            ids = [[str(j) for j in row] for row in idx]
-        return ids, vals
+        return self.ids_for(idx), vals
 
     def score_all(self, Q: np.ndarray, qmask: np.ndarray) -> np.ndarray:
         """Full (nq, N) score matrix (eval / reranking use)."""

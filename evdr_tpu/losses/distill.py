@@ -60,8 +60,10 @@ def score_preserving_std_loss(score_s, score_t, eps: float = 1e-6) -> jnp.ndarra
     signal but removes the unreachable scale/offset."""
     def _std(x):
         mu = jnp.mean(x, axis=-1, keepdims=True)
-        sd = jnp.std(x, axis=-1, keepdims=True)
-        return (x - mu) / (sd + eps)
+        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+        # eps INSIDE the sqrt: sqrt(var)+eps has a 0/0 NaN gradient at
+        # var==0 (e.g. a fully-masked query's identically-zero score row)
+        return (x - mu) / jnp.sqrt(var + eps * eps)
 
     return jnp.mean((_std(score_s) - _std(_sg(score_t))) ** 2)
 

@@ -102,7 +102,9 @@ def _mse_std_global(s_loc, t_loc, valid_loc, axis_name, eps=1e-6):
         mu = jax.lax.psum(jnp.sum(x * v, axis=-1), axis_name) / count
         var = jax.lax.psum(
             jnp.sum(((x - mu[:, None]) ** 2) * v, axis=-1), axis_name) / count
-        return (x - mu[:, None]) / (jnp.sqrt(var)[:, None] + eps)
+        # eps inside the sqrt: matches the unsharded loss and keeps the
+        # gradient finite at var==0 (fully-masked query rows)
+        return (x - mu[:, None]) / jnp.sqrt(var + eps * eps)[:, None]
 
     d2 = jnp.where(valid_loc[None, :],
                    (std_rows(s_loc) - std_rows(t_loc)) ** 2, 0.0)

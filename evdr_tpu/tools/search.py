@@ -70,10 +70,7 @@ def run_search(index_path, queries_path, k: int = 10, dtype: str = "bfloat16",
     vals, idx = eng.search_dense(Q, qmask, k=min(k, eng.n_docs),
                                  n_candidates=n_candidates or None)
     latency_ms = (time.time() - t0) * 1000.0 / max(1, Q.shape[0])
-    if eng.index.docids is not None:
-        ids = [[str(eng.index.docids[j]) for j in row] for row in idx]
-    else:
-        ids = [[str(j) for j in row] for row in idx]
+    ids = eng.ids_for(idx)
     summary = {"n_queries": int(Q.shape[0]), "n_docs": int(eng.n_docs),
                "k": int(vals.shape[1]), "latency_ms_per_query":
                round(latency_ms, 4), "dtype": dtype, "impl": eng.impl,

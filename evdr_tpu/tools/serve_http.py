@@ -82,22 +82,20 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
                     for i, m in enumerate(am):
                         amobj[i] = np.asarray(m, dtype=bool)
                 Q, qmask = preprocess_queries(qobj, amobj)
-                k = int(req.get("k", default_k))
+                # clamp to the real doc count: beyond it top-k would surface
+                # index-padding rows (-inf scores, out-of-range docids)
+                k = min(int(req.get("k", default_k)), engine.n_docs)
                 n_cand = int(req.get("n_candidates", default_candidates)) or None
                 t0 = time.perf_counter()
                 with lock:  # one device dispatch in flight
                     vals, idx = engine.search_dense(Q, qmask, k=k,
                                                     n_candidates=n_cand)
                 ms = (time.perf_counter() - t0) * 1000.0 / len(queries)
-                if engine.index.docids is not None:
-                    ids = [[str(engine.index.docids[j]) for j in row]
-                           for row in np.asarray(idx)]
-                else:
-                    ids = [[str(j) for j in row] for row in np.asarray(idx)]
-                self._reply(200, {"docids": ids,
+                self._reply(200, {"docids": engine.ids_for(idx),
                                   "scores": np.asarray(vals).tolist(),
                                   "latency_ms_per_query": round(ms, 3)})
-            except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
+            except (KeyError, ValueError, TypeError, IndexError,
+                    json.JSONDecodeError) as e:
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 
     return ThreadingHTTPServer((host, port), Handler)

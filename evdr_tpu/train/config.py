@@ -124,6 +124,16 @@ class TrainConfig:
             raise ValueError(f"unknown trainer {self.trainer!r}")
         if self.opt != "adamw":
             raise ValueError("only adamw is supported (reference utils/utils.py:78-80)")
+        if self.checkpoint_backend not in ("npz", "orbax"):
+            raise ValueError(f"unknown checkpoint_backend {self.checkpoint_backend!r}")
+        if self.checkpoint_backend == "orbax":
+            # fail fast at config time, not at the first mid-training save
+            import importlib.util
+
+            if importlib.util.find_spec("orbax") is None:
+                raise ValueError(
+                    "checkpoint_backend='orbax' needs orbax-checkpoint "
+                    "(pip install 'evdr-tpu[ckpt]')")
         if self.mesh_docs > 1:
             if self.aug != "none":
                 raise ValueError("mesh_docs>1 supports aug='none' only")

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import time
 from dataclasses import dataclass
 from pathlib import Path
@@ -623,9 +624,14 @@ def save_checkpoint(path: Path, param, opt_state, step: int, best_r1, best_nd5,
             ckptr.save(path, {"param": param, "opt_state": opt_state},
                        force=True)
         # best trackers are small nested dicts of floats — a JSON sidecar
-        # avoids pinning their exact pytree structure in the orbax metadata
-        Path(str(path) + ".meta.json").write_text(json.dumps(
+        # avoids pinning their exact pytree structure in the orbax metadata.
+        # tmp + atomic rename: a crash between the orbax save and the meta
+        # write must not pair new weights with stale (or missing) meta
+        meta_path = Path(str(path) + ".meta.json")
+        tmp = meta_path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(
             {"step": step, "best_r1": best_r1, "best_nd5": best_nd5}))
+        os.replace(tmp, meta_path)
         return
     leaves, treedef = jax.tree_util.tree_flatten((param, opt_state))
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}

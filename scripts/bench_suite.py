@@ -197,10 +197,13 @@ def config5_million_pages(n_pages: int = 1_000_000, tokens: int = 16, d: int = 1
         want = set(np.argsort(-sc[q])[:k].tolist())
         ok = ok and set(idx_h[q].tolist()) == want
 
-    def _timed_topk(idx_obj, nq_t, tag, impl):
+    def _timed_topk(idx_obj, nq_t, tag, impl, exact_field=None):
         """One timed dispatch with distinct query buffers (a repeated
         identical (program, args) pair can be served from the remote
-        client's memoization cache — CLAUDE.md timing trap)."""
+        client's memoization cache — CLAUDE.md timing trap).
+        ``exact_field`` reports the brute-force subsample check, which was
+        run against the bf16 index only — omit it for variants whose
+        results can legitimately differ (int8 quantization)."""
         Qb = unit(rng.normal(size=(nq_t, lq, d))).astype(np.float32)
         qmb = rng.random((nq_t, lq)) > 0.15
         Qw = replicate(jnp.asarray(Qb), mesh)
@@ -213,16 +216,16 @@ def config5_million_pages(n_pages: int = 1_000_000, tokens: int = 16, d: int = 1
         v2, _ = sharded_topk(Q2, qm2, idx_obj, k=k, chunk_p=4096, impl=impl)
         _fetch(v2)
         dt = time.perf_counter() - t0
+        extra = {} if exact_field is None else {"exact_on_subsample": exact_field}
         _emit(config=5, metric="million_page_topk", value=round(nq_t / dt, 1),
               unit="q/s", n_pages=n_pages, tokens_per_page=tokens, k=k,
-              exact_on_subsample=ok, devices=int(mesh.devices.size),
-              variant=tag, batch=nq_t)
+              devices=int(mesh.devices.size), variant=tag, batch=nq_t, **extra)
         return nq_t / dt
 
-    _timed_topk(index, 64, "bf16", "pallas")
+    _timed_topk(index, 64, "bf16", "pallas", exact_field=ok)
     # larger serving batches amortize the per-dispatch tunnel RTT and raise
     # arithmetic intensity
-    _timed_topk(index, 256, "bf16", "pallas")
+    _timed_topk(index, 256, "bf16", "pallas", exact_field=ok)
 
     # int8-index variant: half the HBM stream, 2x MXU peak; per-token
     # symmetric quantization computed ON DEVICE

@@ -44,9 +44,14 @@ def main():
     out = pathlib.Path(a.out)
     data_root = out / "data"
     data_root.mkdir(parents=True, exist_ok=True)
-    key = f"scale{a.n_docs}"
+    # key encodes every arg that changes the fixture contents, so a re-run
+    # with different --mf / --queries_per_page / --seed regenerates instead
+    # of silently reusing a mismatched on-disk fixture
+    key = f"scale{a.n_docs}x{a.mf}q{a.queries_per_page}s{a.seed}"
     t0 = time.time()
-    if not (data_root / f"{key}_test_dump_all.npz").exists():
+    init_npz = data_root / "S3E_init" / f"mf{a.mf}" / f"{key}_test.npz"
+    if not ((data_root / f"{key}_test_dump_all.npz").exists()
+            and init_npz.exists()):
         print(f"[scale] generating {a.n_docs}-page fixture", file=sys.stderr,
               flush=True)
         write_dataset_fixture(

@@ -209,3 +209,9 @@ def test_score_std_scale_and_offset_invariant():
     np.testing.assert_allclose(
         float(total), float(parts["listwise"]) + 0.5 * float(parts["score_std"]),
         rtol=1e-6)
+
+    # zero-variance row (e.g. a fully-masked query's identically-zero score
+    # row): the gradient must stay finite — eps outside the sqrt gives 0/0
+    sc_s0 = sc_s.at[0].set(0.0)
+    g = jax.grad(lambda s: score_preserving_std_loss(s, sc_t))(sc_s0)
+    assert np.isfinite(np.asarray(g)).all()

@@ -508,6 +508,17 @@ def test_http_server_search_and_health(tmp_path):
         for qi in range(5):
             assert res["docids"][qi][0] == docids[int(np.argmax(ref[qi]))]
 
+        # k beyond n_docs is clamped: no padded-index docids leak
+        body_big_k = json.loads(body)
+        body_big_k["k"] = 50
+        req2 = urllib.request.Request(
+            f"{base}/search", data=json.dumps(body_big_k).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req2) as r:
+            res2 = json.loads(r.read())
+        assert len(res2["docids"][0]) == 10  # clamped to n_docs
+        assert set(res2["docids"][0]) <= {str(d) for d in c["docid"]}
+
         # malformed request -> 400, not a crash
         bad = urllib.request.Request(f"{base}/search", data=b"{}",
                                      headers={"Content-Type": "application/json"})
