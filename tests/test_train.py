@@ -279,3 +279,49 @@ def test_steps_per_dispatch_matches_single(fixture_root, tmp_path):
     b4 = r4["synth/mf5"]["summary/best_ndcg5"]
     assert b1["NDCG@5"] == b4["NDCG@5"]
     assert b1["Recall@1"] == b4["Recall@1"]
+
+
+# ---------------------------------------------------------------------------
+# epoch-trainer families (mainv1 / mainv2 epoch scripts)
+# ---------------------------------------------------------------------------
+
+def test_epoch_trainer_family_b(fixture_root, tmp_path):
+    """Family B (mainv2_distill_infonce.py etc.): epoch trainer over the
+    ProxyQ pool — per-epoch eval cadence by default, improves from init,
+    summary line parses."""
+    cfg = _cfg(fixture_root, tmp_path, trainer="epoch", epochs=60,
+               eval_every=0, loss="listwise", name="epB", lr=3e-3,
+               max_steps=0)
+    res = run_training(cfg)
+    log = (Path(cfg.out_root) / "epB" / "mf5" / "synth" / "train.log").read_text()
+    lines = log.splitlines()
+    first = json.loads(lines[0][lines[0].index("{"):])
+    last = [l for l in lines if "summary/best_ndcg5" in l][-1]
+    summary = json.loads(last[last.index("{"):])
+    assert summary["summary/best_ndcg5"]["NDCG@5"] > first["eval/NDCG@5"] + 0.05
+
+
+def test_mainv1_family_a_full_batch_labeled_split(fixture_root, tmp_path):
+    """Family A (mainv1.py): SPL loss, ONE full-batch step per epoch, teacher
+    + train queries from the labeled train npz, eval on the test npz."""
+    from evdr_tpu.data.registry import register_dataset
+    from evdr_tpu.tools.split_data import split_query_npz
+
+    # labeled split: query-axis 75/25 split of the dump (docs duplicated)
+    split_query_npz(fixture_root / "synth_test_dump_all.npz",
+                    fixture_root, test_ratio=0.25, shuffle=True, seed=3)
+    register_dataset("synthsplit", "synth_test", has_split=True, mfs=(5,))
+
+    cfg = _cfg(fixture_root, tmp_path, datasets=["synthsplit"],
+               trainer="epoch", epochs=120, eval_every=0, loss="spl",
+               full_batch=True, use_labeled_split=True, name="epA", lr=3e-3,
+               max_steps=0)
+    run_training(cfg)
+    log = (Path(cfg.out_root) / "epA" / "mf5" / "synthsplit" / "train.log"
+           ).read_text()
+    lines = log.splitlines()
+    first = json.loads(lines[0][lines[0].index("{"):])
+    last = [l for l in lines if "summary/best_ndcg5" in l][-1]
+    summary = json.loads(last[last.index("{"):])
+    # full-batch SPL on the tiny fixture: must run end-to-end and not regress
+    assert summary["summary/best_ndcg5"]["NDCG@5"] >= first["eval/NDCG@5"]
