@@ -134,14 +134,9 @@ class TrainConfig:
                 raise ValueError(
                     "checkpoint_backend='orbax' needs orbax-checkpoint "
                     "(pip install 'evdr-tpu[ckpt]')")
-        if self.mesh_docs > 1:
-            if self.aug != "none":
-                raise ValueError("mesh_docs>1 supports aug='none' only")
-            if self.loss == "infonce_sup":
-                raise ValueError("mesh_docs>1 does not support infonce_sup "
-                                 "(label-indexed positives are not doc-sharded)")
-            if self.steps_per_dispatch > 1:
-                raise ValueError("mesh_docs>1 requires steps_per_dispatch=1")
+        # mesh_docs > 1 composes with every loss (collective or row-gather
+        # fallback), every aug, infonce_sup, and steps_per_dispatch —
+        # parallel/train_sharded.py. No restrictions remain.
         return self
 
     def to_json(self) -> str:

@@ -123,10 +123,11 @@ def test_sharded_train_step_matches_unsharded(mesh, loss):
     pm_s_sh = shard_docs(jnp.asarray(padded(pm_s)), mesh)
     step2, opt2 = build_sharded_train_step(
         cfg, mesh, pmask_student=pm_s_sh, P_teacher=teacher_idx.P,
-        pmask_teacher=teacher_idx.pmask, n_docs=n)
+        pmask_teacher=teacher_idx.pmask, n_docs=n,
+        Q_all=replicate(jnp.asarray(Q), mesh),
+        qm_all=replicate(jnp.asarray(qmask), mesh))
     st2 = opt2.init(p2)
-    p2b, _, parts2 = step2(p2, st2, replicate(jnp.asarray(Q), mesh),
-                           replicate(jnp.asarray(qmask), mesh))
+    p2b, _, parts2 = step2(p2, st2, idx_b, jax.random.PRNGKey(0))
 
     np.testing.assert_allclose(float(parts2["total_loss"]),
                                float(parts1["total_loss"]), rtol=1e-5, atol=1e-5)
@@ -288,3 +289,289 @@ def test_gspmd_env_switch(mesh, monkeypatch):
     v1, i1 = sharded_topk(Qd, qmd, idx, k=5)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_infonce_sup_matches_unsharded(mesh):
+    """Supervised InfoNCE with GLOBAL label indices over the sharded doc axis
+    (the owning shard psums the label's score)."""
+    c, Q, qmask, Pn, pmask = _corpus(seed=5, n_docs=19)
+    from evdr_tpu.data.align import align_by_docid
+    from evdr_tpu.data.synthetic import pooled_init_index
+    from evdr_tpu.train.harness import DatasetBundle, build_train_step
+
+    init = pooled_init_index(c, mf=4, seed=5)
+    (docs, attn, img), ok = align_by_docid(c["docid"], init["docid"],
+                                           init["documents"], init["doc_attnmask"],
+                                           init["doc_imgmask"])
+    assert ok
+    Ps_raw, pm_s, _ = preprocess_docs(docs, attn, img)
+    param0 = (Ps_raw * pm_s[..., None]).astype(np.float32)
+    rng = np.random.default_rng(5)
+    pos = rng.integers(0, Pn.shape[0], size=Q.shape[0]).astype(np.int64)
+
+    cfg = TrainConfig(loss="infonce_sup", temp=0.05, lr=1e-3, chunk_p=8)
+    bundle = DatasetBundle(
+        dataset="x", Q_train=jnp.asarray(Q), qmask_train=jnp.asarray(qmask),
+        pos_idx=pos, Q_test=jnp.asarray(Q), qmask_test=jnp.asarray(qmask),
+        P_teacher_norm=jnp.asarray(Pn), pmask_teacher=jnp.asarray(pmask),
+        docid_teacher=c["docid"], relevant_docs_test={}, docidx_2_docid_test={},
+        qsidx_2_query_test=None,
+    )
+    optimizer = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+    p1 = jnp.asarray(param0)
+    step1 = build_train_step(cfg, bundle, jnp.asarray(pm_s), optimizer)
+    idx_b = jnp.arange(Q.shape[0], dtype=jnp.int32)
+    p1b, _, parts1 = step1(p1, optimizer.init(p1), idx_b, jax.random.PRNGKey(0))
+
+    n = Pn.shape[0]
+    n_pad = ((n + 7) // 8) * 8
+
+    def padded(x):
+        return np.pad(x, ((0, n_pad - n),) + ((0, 0),) * (x.ndim - 1))
+
+    teacher_idx = build_sharded_index(Pn, pmask, mesh)
+    p2 = shard_docs(jnp.asarray(padded(param0)), mesh)
+    pm_s_sh = shard_docs(jnp.asarray(padded(pm_s)), mesh)
+    step2, opt2 = build_sharded_train_step(
+        cfg, mesh, pmask_student=pm_s_sh, P_teacher=teacher_idx.P,
+        pmask_teacher=teacher_idx.pmask, n_docs=n,
+        Q_all=replicate(jnp.asarray(Q), mesh),
+        qm_all=replicate(jnp.asarray(qmask), mesh),
+        pos_all=replicate(jnp.asarray(pos, dtype=jnp.int32), mesh))
+    p2b, _, parts2 = step2(p2, opt2.init(p2), idx_b, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(parts2["total_loss"]),
+                               float(parts1["total_loss"]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p2b)[:n], np.asarray(p1b),
+                               rtol=1e-4, atol=2e-5)
+
+
+def _mesh_vs_single_step(mesh, cfg, seed=7, n_docs=24, n_queries=6):
+    """One train step through both paths with identical PRNG keys; returns
+    (parts_single, parts_mesh, p_single, p_mesh_valid)."""
+    c, Q, qmask, Pn, pmask = _corpus(seed=seed, n_docs=n_docs,
+                                     n_queries=n_queries)
+    from evdr_tpu.data.align import align_by_docid
+    from evdr_tpu.data.synthetic import pooled_init_index
+    from evdr_tpu.train.harness import DatasetBundle, build_train_step
+
+    init = pooled_init_index(c, mf=4, seed=seed)
+    (docs, attn, img), ok = align_by_docid(c["docid"], init["docid"],
+                                           init["documents"], init["doc_attnmask"],
+                                           init["doc_imgmask"])
+    assert ok
+    Ps_raw, pm_s, _ = preprocess_docs(docs, attn, img)
+    param0 = (Ps_raw * pm_s[..., None]).astype(np.float32)
+    bundle = DatasetBundle(
+        dataset="x", Q_train=jnp.asarray(Q), qmask_train=jnp.asarray(qmask),
+        pos_idx=None, Q_test=jnp.asarray(Q), qmask_test=jnp.asarray(qmask),
+        P_teacher_norm=jnp.asarray(Pn), pmask_teacher=jnp.asarray(pmask),
+        docid_teacher=c["docid"], relevant_docs_test={}, docidx_2_docid_test={},
+        qsidx_2_query_test=None,
+    )
+    optimizer = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+    p1 = jnp.asarray(param0)
+    step1 = build_train_step(cfg, bundle, jnp.asarray(pm_s), optimizer)
+    idx_b = jnp.arange(Q.shape[0], dtype=jnp.int32)
+    key = jax.random.PRNGKey(3)
+    p1b, _, parts1 = step1(p1, optimizer.init(p1), idx_b, key)
+
+    n = Pn.shape[0]
+    world = dict(mesh.shape)["docs"]
+    assert n % world == 0, "parity fixtures use an evenly-divisible doc count"
+    teacher_idx = build_sharded_index(Pn, pmask, mesh)
+    p2 = shard_docs(jnp.asarray(param0), mesh)
+    pm_s_sh = shard_docs(jnp.asarray(pm_s), mesh)
+    step2, opt2 = build_sharded_train_step(
+        cfg, mesh, pmask_student=pm_s_sh, P_teacher=teacher_idx.P,
+        pmask_teacher=teacher_idx.pmask, n_docs=n,
+        Q_all=replicate(jnp.asarray(Q), mesh),
+        qm_all=replicate(jnp.asarray(qmask), mesh))
+    p2b, _, parts2 = step2(p2, opt2.init(p2), idx_b, key)
+    return parts1, parts2, np.asarray(p1b), np.asarray(p2b)[:n]
+
+
+def test_mesh_qnoise_matches_unsharded(mesh):
+    """qnoise is shard-consistent (same key on replicated queries): mesh ==
+    single-device bitwise-in-tolerance even at 8 shards."""
+    cfg = TrainConfig(loss="liscore_std", aug="qnoise", q_noise_std=0.05,
+                      k=6, temp=0.3, lr=1e-3, chunk_p=8)
+    parts1, parts2, p1, p2 = _mesh_vs_single_step(mesh, cfg)
+    np.testing.assert_allclose(float(parts2["total_loss"]),
+                               float(parts1["total_loss"]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(p2, p1, rtol=1e-4, atol=2e-5)
+
+
+def test_mesh_hardtoken_matches_unsharded(mesh):
+    """hardtoken under mesh computes EXACT global candidate ranks + psum
+    hard-token gather: matches single-device (double-argsort ranks) on
+    tie-free data even at 8 shards."""
+    cfg = TrainConfig(loss="liscore_std", aug="hardtoken", aux_docs=2, k=6,
+                      temp=0.3, lr=1e-3, chunk_p=8, virt_noise_std=0.05)
+    parts1, parts2, p1, p2 = _mesh_vs_single_step(mesh, cfg)
+    np.testing.assert_allclose(float(parts2["aux"]), float(parts1["aux"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(parts2["total_loss"]),
+                               float(parts1["total_loss"]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(p2, p1, rtol=1e-4, atol=2e-5)
+
+
+def test_mesh_mixup_matches_unsharded_at_one_shard():
+    """mixup permutes shard-locally; at world=1 (no padding) that equals the
+    reference's global permutation draw with the same key."""
+    mesh1 = make_mesh(1)
+    cfg = TrainConfig(loss="liscore_std", aug="mixup", mixup_alpha=0.2,
+                      k=6, temp=0.3, lr=1e-3, chunk_p=8)
+    parts1, parts2, p1, p2 = _mesh_vs_single_step(mesh1, cfg)
+    np.testing.assert_allclose(float(parts2["total_loss"]),
+                               float(parts1["total_loss"]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(p2, p1, rtol=1e-4, atol=2e-5)
+
+
+def test_mesh_mixup_runs_multi_shard(mesh):
+    """At 8 shards mixup pairs shard-locally (distribution differs from the
+    global permutation; must train finitely with padded partners excluded)."""
+    cfg = TrainConfig(loss="liscore_std", aug="mixup", k=6, temp=0.3,
+                      lr=1e-3, chunk_p=8)
+    _, parts2, _, p2 = _mesh_vs_single_step(mesh, cfg)
+    assert np.isfinite(float(parts2["total_loss"]))
+    assert np.isfinite(float(parts2["score_mix"]))
+    assert np.isfinite(p2).all()
+
+
+def test_mesh_k_step_dispatch_matches_unsharded(mesh):
+    """steps_per_dispatch>1 under mesh: the fused K-step scan reproduces the
+    single-device fused trajectory."""
+    cfg = TrainConfig(loss="liscore_std", k=6, temp=0.3, lr=1e-3, chunk_p=8,
+                      steps_per_dispatch=2)
+    c, Q, qmask, Pn, pmask = _corpus(seed=9, n_docs=24, n_queries=8)
+    from evdr_tpu.data.align import align_by_docid
+    from evdr_tpu.data.synthetic import pooled_init_index
+    from evdr_tpu.train.harness import DatasetBundle, build_train_step
+
+    init = pooled_init_index(c, mf=4, seed=9)
+    (docs, attn, img), ok = align_by_docid(c["docid"], init["docid"],
+                                           init["documents"], init["doc_attnmask"],
+                                           init["doc_imgmask"])
+    assert ok
+    Ps_raw, pm_s, _ = preprocess_docs(docs, attn, img)
+    param0 = (Ps_raw * pm_s[..., None]).astype(np.float32)
+    bundle = DatasetBundle(
+        dataset="x", Q_train=jnp.asarray(Q), qmask_train=jnp.asarray(qmask),
+        pos_idx=None, Q_test=jnp.asarray(Q), qmask_test=jnp.asarray(qmask),
+        P_teacher_norm=jnp.asarray(Pn), pmask_teacher=jnp.asarray(pmask),
+        docid_teacher=c["docid"], relevant_docs_test={}, docidx_2_docid_test={},
+        qsidx_2_query_test=None,
+    )
+    optimizer = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+    p1 = jnp.asarray(param0)
+    step1 = build_train_step(cfg, bundle, jnp.asarray(pm_s), optimizer)
+    idx_blk = jnp.stack([jnp.arange(4, dtype=jnp.int32),
+                         jnp.arange(4, 8, dtype=jnp.int32)])
+    key = jax.random.PRNGKey(11)
+    p1b, _, parts1 = step1(p1, optimizer.init(p1), idx_blk, key)
+
+    n = Pn.shape[0]
+    teacher_idx = build_sharded_index(Pn, pmask, mesh)
+    p2 = shard_docs(jnp.asarray(param0), mesh)
+    pm_s_sh = shard_docs(jnp.asarray(pm_s), mesh)
+    step2, opt2 = build_sharded_train_step(
+        cfg, mesh, pmask_student=pm_s_sh, P_teacher=teacher_idx.P,
+        pmask_teacher=teacher_idx.pmask, n_docs=n,
+        Q_all=replicate(jnp.asarray(Q), mesh),
+        qm_all=replicate(jnp.asarray(qmask), mesh))
+    p2b, _, parts2 = step2(p2, opt2.init(p2), idx_blk, key)
+    np.testing.assert_allclose(float(parts2["total_loss_sum"]),
+                               float(parts1["total_loss_sum"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p2b)[:n], np.asarray(p1b),
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_sharded_teacher_precompute_matches_inline(mesh):
+    """Precomputed per-shard teacher rows reproduce the inline-rescore step
+    exactly, and the table itself matches dense MaxSim."""
+    from evdr_tpu.parallel.train_sharded import precompute_teacher_scores_sharded
+
+    c, Q, qmask, Pn, pmask = _corpus(seed=11, n_docs=24, n_queries=6)
+    teacher_idx = build_sharded_index(Pn, pmask, mesh)
+    Qd = replicate(jnp.asarray(Q), mesh)
+    qmd = replicate(jnp.asarray(qmask), mesh)
+    sct = precompute_teacher_scores_sharded(Qd, qmd, teacher_idx.P,
+                                            teacher_idx.pmask, mesh,
+                                            chunk_q=4, chunk_p=8)
+    want = np.asarray(maxsim_xla(jnp.asarray(Q), jnp.asarray(Pn),
+                                 jnp.asarray(qmask), jnp.asarray(pmask)))
+    got = np.asarray(sct)[:, :Pn.shape[0]]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    from evdr_tpu.data.align import align_by_docid
+    from evdr_tpu.data.synthetic import pooled_init_index
+
+    init = pooled_init_index(c, mf=4, seed=11)
+    (docs, attn, img), ok = align_by_docid(c["docid"], init["docid"],
+                                           init["documents"], init["doc_attnmask"],
+                                           init["doc_imgmask"])
+    Ps_raw, pm_s, _ = preprocess_docs(docs, attn, img)
+    param0 = (Ps_raw * pm_s[..., None]).astype(np.float32)
+    cfg = TrainConfig(loss="liscore_std", k=6, temp=0.3, lr=1e-3, chunk_p=8)
+    n = Pn.shape[0]
+    p_base = shard_docs(jnp.asarray(param0), mesh)
+    pm_s_sh = shard_docs(jnp.asarray(pm_s), mesh)
+    idx_b = jnp.arange(Q.shape[0], dtype=jnp.int32)
+    key = jax.random.PRNGKey(0)
+    outs = {}
+    for tag, sct_arg in (("inline", None), ("precomputed", sct)):
+        stepf, optf = build_sharded_train_step(
+            cfg, mesh, pmask_student=pm_s_sh, P_teacher=teacher_idx.P,
+            pmask_teacher=teacher_idx.pmask, n_docs=n, Q_all=Qd, qm_all=qmd,
+            sct_all=sct_arg)
+        p = p_base + 0.0
+        pb, _, parts = stepf(p, optf.init(p), idx_b, key)
+        outs[tag] = (np.asarray(pb), float(parts["total_loss"]))
+    np.testing.assert_allclose(outs["precomputed"][1], outs["inline"][1],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(outs["precomputed"][0], outs["inline"][0],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_eval_loss_no_host_transfers(mesh):
+    """build_sharded_eval_loss computes the eval loss entirely on device:
+    under jax.transfer_guard('disallow') no implicit host transfer may fire
+    (VERDICT r2 item 1 — the old path gathered the whole index per eval)."""
+    from evdr_tpu.losses.distill import combined_loss
+    from evdr_tpu.parallel.train_sharded import build_sharded_eval_loss
+
+    c, Q, qmask, Pn, pmask = _corpus(seed=13, n_docs=24, n_queries=6)
+    from evdr_tpu.data.align import align_by_docid
+    from evdr_tpu.data.synthetic import pooled_init_index
+
+    init = pooled_init_index(c, mf=4, seed=13)
+    (docs, attn, img), _ = align_by_docid(c["docid"], init["docid"],
+                                          init["documents"], init["doc_attnmask"],
+                                          init["doc_imgmask"])
+    Ps_raw, pm_s, _ = preprocess_docs(docs, attn, img)
+    param0 = (Ps_raw * pm_s[..., None]).astype(np.float32)
+
+    cfg = TrainConfig(loss="liscore_std", k=6, temp=0.3, chunk_p=8)
+    n = Pn.shape[0]
+    teacher_idx = build_sharded_index(Pn, pmask, mesh)
+    p2 = shard_docs(jnp.asarray(param0), mesh)
+    pm_s_sh = shard_docs(jnp.asarray(pm_s), mesh)
+    Qd = replicate(jnp.asarray(Q), mesh)
+    qmd = replicate(jnp.asarray(qmask), mesh)
+    ev = build_sharded_eval_loss(cfg, mesh, n)
+    # warm (compile) outside the guard, then assert the steady-state call
+    # makes zero implicit transfers
+    ev(p2, pm_s_sh, teacher_idx.P, teacher_idx.pmask, Qd, qmd)
+    with jax.transfer_guard("disallow"):
+        total_d, parts_d = ev(p2, pm_s_sh, teacher_idx.P, teacher_idx.pmask,
+                              Qd, qmd)
+    total = float(total_d)
+
+    # value parity vs the dense single-device loss
+    Ps = l2_normalize(jnp.asarray(param0) * jnp.asarray(pm_s)[..., None].astype(jnp.float32))
+    sc_s = maxsim_xla(jnp.asarray(Q), Ps, jnp.asarray(qmask), jnp.asarray(pm_s))
+    sc_t = maxsim_xla(jnp.asarray(Q), jnp.asarray(Pn), jnp.asarray(qmask),
+                      jnp.asarray(pmask))
+    want, _ = combined_loss("liscore_std", sc_s, sc_t, cfg.loss_hp())
+    np.testing.assert_allclose(total, float(want), rtol=1e-5, atol=1e-6)

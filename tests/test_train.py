@@ -325,3 +325,92 @@ def test_mainv1_family_a_full_batch_labeled_split(fixture_root, tmp_path):
     summary = json.loads(last[last.index("{"):])
     # full-batch SPL on the tiny fixture: must run end-to-end and not regress
     assert summary["summary/best_ndcg5"]["NDCG@5"] >= first["eval/NDCG@5"]
+
+
+def test_evaluation_loss_chunking_covers_combined_pairwise_recipes():
+    """The chunking guard derives from COMBINED_RECIPES membership: any recipe
+    containing a pairwise component (ranknet/lambda/ranknce) chunks >600-query
+    eval sets — a hand-listed set once missed lipairscore_std (VERDICT r2)."""
+    from evdr_tpu.train.harness import _needs_query_chunking
+
+    for loss in ("ranknet", "lambda", "ranknce", "lipairwise", "pairscore",
+                 "lipairscore_std"):
+        assert _needs_query_chunking(loss), loss
+    for loss in ("listwise", "liscore", "liscore_std", "score", "spl",
+                 "infonce_distill", "linfo"):
+        assert not _needs_query_chunking(loss), loss
+
+
+def test_evaluation_loss_chunked_lipairscore_std_matches_unchunked():
+    """>600-query eval loss for the 3-term recipe: chunked == unchunked."""
+    import jax.numpy as jnp
+
+    from evdr_tpu.data.packing import l2_normalize
+    from evdr_tpu.ops.maxsim import maxsim_xla
+    from evdr_tpu.train.harness import (DatasetBundle, evaluation_loss,
+                                        make_loss_fn)
+
+    rng = np.random.default_rng(1)
+    nq, lq, n, lp, ls, d = 610, 3, 7, 10, 4, 8
+
+    def unit(x):
+        return x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+
+    Q = unit(rng.normal(size=(nq, lq, d))).astype(np.float32)
+    qm = rng.random((nq, lq)) > 0.1
+    P_t = unit(rng.normal(size=(n, lp, d))).astype(np.float32)
+    pm_t = rng.random((n, lp)) > 0.1
+    pm_s = rng.random((n, ls)) > 0.1
+    param = (rng.normal(size=(n, ls, d)) * pm_s[..., None]).astype(np.float32)
+
+    cfg = TrainConfig(loss="lipairscore_std", chunk_p=4)
+    bundle = DatasetBundle(
+        dataset="x",
+        Q_train=jnp.asarray(Q[:4]), qmask_train=jnp.asarray(qm[:4]),
+        pos_idx=None,
+        Q_test=jnp.asarray(Q), qmask_test=jnp.asarray(qm),
+        P_teacher_norm=jnp.asarray(P_t), pmask_teacher=jnp.asarray(pm_t),
+        docid_teacher=np.array(["d"] * n, dtype=object),
+        relevant_docs_test={}, docidx_2_docid_test={}, qsidx_2_query_test=None,
+    )
+    out = evaluation_loss(cfg, bundle, jnp.asarray(param), jnp.asarray(pm_s))
+
+    Ps = l2_normalize(jnp.asarray(param) * jnp.asarray(pm_s)[..., None].astype(jnp.float32))
+    sc_s = maxsim_xla(jnp.asarray(Q), Ps, jnp.asarray(qm), jnp.asarray(pm_s), chunk_p=4)
+    sc_t = maxsim_xla(jnp.asarray(Q), jnp.asarray(P_t), jnp.asarray(qm),
+                      jnp.asarray(pm_t), chunk_p=4)
+    total, _ = make_loss_fn(cfg)(sc_s, sc_t, None)
+    # the 3 components are per-query means, so chunk-weighted averaging is
+    # exact up to fp noise... EXCEPT listwise/std are also linear per query
+    assert abs(out["total_loss"] - float(total)) < 1e-4
+
+
+def test_npz_checkpoint_atomic_on_crash(tmp_path, monkeypatch):
+    """A crash mid-save must leave the previous checkpoint intact (tmp +
+    os.replace); resume after the failed save reads the OLD state."""
+    import jax.numpy as jnp
+
+    from evdr_tpu.train.harness import load_checkpoint, save_checkpoint
+
+    param = jnp.arange(6.0).reshape(2, 3)
+    opt_state = {"m": jnp.zeros((2, 3))}
+    path = tmp_path / "ckpt.npz"
+    save_checkpoint(path, param, opt_state, 7, {"Recall@1": 0.5}, {"NDCG@5": 0.6})
+
+    real_savez = np.savez
+
+    def crashing_savez(file, *args, **kw):
+        # simulate a mid-write crash: leave a partial tmp file behind
+        Path(file).write_bytes(b"PK\x03\x04 partial garbage")
+        raise RuntimeError("simulated crash")
+
+    monkeypatch.setattr(np, "savez", crashing_savez)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        save_checkpoint(path, param, opt_state, 8, {}, {})
+    monkeypatch.setattr(np, "savez", real_savez)
+
+    p2, o2, step, br1, bnd5 = load_checkpoint(path, param, opt_state)
+    assert step == 7 and br1["Recall@1"] == 0.5
+    np.testing.assert_array_equal(np.asarray(p2), np.asarray(param))
+    # the failed save's tmp file was cleaned up
+    assert not list(tmp_path.glob("*.tmp.npz"))
