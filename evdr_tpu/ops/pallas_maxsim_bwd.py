@@ -209,10 +209,49 @@ def _dqdp_kernel(qf_ref, p_ref, pm_ref, m_ref, w_ref, dq_ref, dp_ref, acc_ref,
         dq_ref[:] = acc_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
+# dP partials are materialized per q-block: (n_qb, nd_pad, lp_pad, d_pad) f32
+# in HBM, i.e. n_qb x the index gradient size (required for correct
+# accumulation on hardware — see _dqdp_kernel). Above this many q-blocks the
+# backward chunks the query axis outside the kernel so the partials buffer
+# stays bounded at _MAX_QB_BLOCKS x |dP| regardless of batch size.
+_MAX_QB_BLOCKS = 8
+
+
 def maxsim_pallas_bwd(Q, P, qmask, pmask, M, g, compute_dtype=jnp.bfloat16,
                       interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused VJP: returns (dQ, dP) for upstream gradient g (nq, nd)."""
+    """Fused VJP: returns (dQ, dP) for upstream gradient g (nq, nd).
+
+    Memory note: the kernel writes per-q-block dP partials (reduced in XLA),
+    so peak HBM for the partials is ``min(n_qb, _MAX_QB_BLOCKS) * nd_pad *
+    lp_pad * d_pad * 4`` bytes; larger batches (full-batch SPL runs) are
+    chunked along the query axis at q-block granularity, which is exact
+    (dP sums over query blocks; dQ rows are independent).
+    """
+    nq, lq, d = Q.shape
+    qb, lq_pad, _, _ = _pick_tiles(lq, P.shape[1], 1024, 1024)
+    n_qb = _round_up(max(nq, qb), qb) // qb
+    if n_qb > _MAX_QB_BLOCKS:
+        rows = _MAX_QB_BLOCKS * qb
+        dQs, dP = [], None
+        for qs in range(0, nq, rows):
+            qe = min(qs + rows, nq)
+            dq_c, dp_c = _maxsim_pallas_bwd_impl(
+                Q[qs:qe], P, qmask[qs:qe], pmask,
+                M[qs // qb: -(-qe // qb)], g[qs:qe],
+                compute_dtype=compute_dtype, interpret=interpret)
+            dQs.append(dq_c)
+            dP = dp_c if dP is None else dP + dp_c
+        return jnp.concatenate(dQs, axis=0), dP
+    return _maxsim_pallas_bwd_impl(Q, P, qmask, pmask, M, g,
+                                   compute_dtype=compute_dtype,
+                                   interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
+def _maxsim_pallas_bwd_impl(Q, P, qmask, pmask, M, g,
+                            compute_dtype=jnp.bfloat16,
+                            interpret: bool = False
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     qf, qmf, Pp, pm_t, pm, dm = _prep(Q, P, qmask, pmask, compute_dtype,
                                       1024, 1024)
     fp32 = compute_dtype == jnp.float32

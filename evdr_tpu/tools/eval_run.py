@@ -105,9 +105,22 @@ def main(argv=None) -> None:
     qrels = load_qrels(a.qrels)
     if a.queries:
         remap = _qid_to_qkey(a.queries)
-        results = {remap.get(q, q) if q not in qrels else q: docs
-                   for q, docs in results.items()}
+        remapped: Dict[str, Dict[str, float]] = {}
+        for q, docs in results.items():
+            key = remap.get(q, q) if q not in qrels else q
+            if key in remapped:
+                # two run qids collapsing onto one qrels key would silently
+                # drop one query's results — refuse rather than under-report
+                raise SystemExit(
+                    f"error: run qids collide on qrels key {key!r} "
+                    "(duplicate qid->query mapping in --queries?)")
+            remapped[key] = docs
+        results = remapped
     missing = [q for q in qrels if q not in results]
+    if missing and len(missing) == len(qrels):
+        print("warning: NO run query matches any qrels key — metrics will be "
+              "~0. npz qrels are keyed by query string; pass --queries to "
+              "remap run qids.", file=sys.stderr)
     metrics = compute_retrieval_metrics(qrels, results, k_values=list(a.k))
     out = dict(metrics)
     out["n_queries"] = len(qrels)

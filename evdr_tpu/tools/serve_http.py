@@ -35,12 +35,37 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
+def _batch_bucket(n: int) -> int:
+    """Smallest power-of-two >= n: request batch sizes snap to a handful of
+    shapes so the jit cache stays small (a fresh compile costs 40s-3min over
+    a remote-TPU tunnel and would stall every in-flight request)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+def bucket_queries(Q, qmask):
+    """Pad (nq, Lq, D) queries up the batch axis to the power-of-two bucket.
+
+    Padded rows are fully masked (qmask False) so they are inert in the
+    scoring kernel; callers slice results back to the true nq."""
+    nq = Q.shape[0]
+    nb = _batch_bucket(nq)
+    if nb > nq:
+        Q = np.pad(Q, ((0, nb - nq), (0, 0), (0, 0)))
+        qmask = np.pad(qmask, ((0, nb - nq), (0, 0)))
+    return Q, qmask
+
+
 def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
-                default_k: int = 10, default_candidates: int = 0):
+                default_k: int = 10, default_candidates: int = 0,
+                max_body_mb: int = 256, length_multiple: int = 8):
     """Build a ThreadingHTTPServer wired to a built RetrievalEngine."""
     from evdr_tpu.data.packing import preprocess_queries
 
     lock = threading.Lock()
+    max_body = max_body_mb * (1 << 20)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -68,6 +93,9 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
                 return self._reply(404, {"error": "unknown path"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > max_body:
+                    return self._reply(413, {
+                        "error": f"body {n} bytes exceeds {max_body} cap"})
                 req = json.loads(self.rfile.read(n))
                 queries = req["queries"]
                 if not queries:
@@ -81,7 +109,11 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
                     amobj = np.empty(len(am), dtype=object)
                     for i, m in enumerate(am):
                         amobj[i] = np.asarray(m, dtype=bool)
-                Q, qmask = preprocess_queries(qobj, amobj)
+                # snap request shapes to buckets (batch -> power of two,
+                # token axis -> multiple) so they hit the warm compile cache
+                Q, qmask = preprocess_queries(
+                    qobj, amobj, length_multiple=length_multiple)
+                Q, qmask = bucket_queries(Q, qmask)
                 # clamp to the real doc count: beyond it top-k would surface
                 # index-padding rows (-inf scores, out-of-range docids)
                 k = min(int(req.get("k", default_k)), engine.n_docs)
@@ -90,6 +122,7 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
                 with lock:  # one device dispatch in flight
                     vals, idx = engine.search_dense(Q, qmask, k=k,
                                                     n_candidates=n_cand)
+                vals, idx = vals[: len(queries)], idx[: len(queries)]
                 ms = (time.perf_counter() - t0) * 1000.0 / len(queries)
                 self._reply(200, {"docids": engine.ids_for(idx),
                                   "scores": np.asarray(vals).tolist(),
@@ -97,6 +130,9 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
             except (KeyError, ValueError, TypeError, IndexError,
                     json.JSONDecodeError) as e:
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:  # XLA/runtime errors: JSON 500, keep the
+                self._reply(500, {  # connection alive instead of dropping it
+                    "error": f"{type(e).__name__}: {e}"})
 
     return ThreadingHTTPServer((host, port), Handler)
 
@@ -114,6 +150,13 @@ def main(argv=None) -> None:
     p.add_argument("--prune_centroids", type=int, default=0)
     p.add_argument("--n_candidates", type=int, default=0)
     p.add_argument("--quantize_queries", action="store_true")
+    p.add_argument("--max_body_mb", type=int, default=256)
+    p.add_argument("--length_multiple", type=int, default=8,
+                   help="query token axis pads to a multiple of this")
+    p.add_argument("--warm", default="1,8,32",
+                   help="comma list of batch buckets to pre-compile; requests "
+                        "snap to power-of-two batches, so warmed buckets "
+                        "answer without paying a 40s-3min remote compile")
     a = p.parse_args(argv)
 
     from evdr_tpu.engine import RetrievalEngine
@@ -122,13 +165,20 @@ def main(argv=None) -> None:
     eng = RetrievalEngine.from_npz(
         a.index, dtype=a.dtype, impl=a.impl, chunk_p=a.chunk_p,
         prune_centroids=a.prune_centroids, quantize_queries=a.quantize_queries)
-    # warm the scoring program so the first request does not pay the compile
+    # warm the scoring program per batch bucket so a request at any warmed
+    # shape never pays the compile while holding the dispatch lock
     d = int(eng.index.P.shape[-1])
-    warm = np.zeros((1, 4, d), np.float32)
-    eng.search_dense(warm, np.ones((1, 4), bool), k=min(a.k, eng.n_docs),
-                     n_candidates=a.n_candidates or None)
+    for b in sorted({int(x) for x in a.warm.split(",") if x.strip()}):
+        warm = np.zeros((b, a.length_multiple, d), np.float32)
+        wm = np.zeros((b, a.length_multiple), bool)
+        wm[:, 0] = True  # one valid token: exercises the real masked path
+        eng.search_dense(warm, wm, k=min(a.k, eng.n_docs),
+                         n_candidates=a.n_candidates or None)
+        print(f"[serve] warmed batch bucket {b}", flush=True)
     srv = make_server(eng, a.host, a.port, default_k=a.k,
-                      default_candidates=a.n_candidates)
+                      default_candidates=a.n_candidates,
+                      max_body_mb=a.max_body_mb,
+                      length_multiple=a.length_multiple)
     print(f"[serve] {eng.n_docs} docs ready on http://{a.host}:{a.port}",
           flush=True)
     srv.serve_forever()

@@ -135,3 +135,34 @@ def test_fwd_bwd_shape_sweep_interpret(shape):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_want), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_bwd_query_chunking_matches_unchunked(monkeypatch):
+    """Above _MAX_QB_BLOCKS q-blocks the backward chunks the query axis
+    outside the kernel (bounds the per-q-block dP partials buffer, ADVICE
+    r2); chunked == unchunked exactly (dP sums over q-blocks, dQ rows are
+    independent). Long queries (lq=120 -> qb=8) make 20 queries span 3
+    q-blocks so the chunk loop genuinely runs."""
+    import evdr_tpu.ops.pallas_maxsim_bwd as bwd_mod
+    from evdr_tpu.ops.pallas_maxsim import _pick_tiles
+
+    rng = np.random.default_rng(2)
+    nq, lq, nd, lp, d = 20, 120, 5, 9, 32
+    Q = jnp.asarray(rng.normal(size=(nq, lq, d)).astype(np.float32))
+    P = jnp.asarray(rng.normal(size=(nd, lp, d)).astype(np.float32))
+    qmask = jnp.asarray(rng.random((nq, lq)) > 0.2)
+    pmask = jnp.asarray(rng.random((nd, lp)) > 0.2)
+    qb = _pick_tiles(lq, lp, 1024, 1024)[0]
+    assert nq > 2 * qb, "fixture must span >2 q-blocks"
+
+    g = jnp.asarray(rng.normal(size=(nq, nd)).astype(np.float32))
+    _, M = maxsim_pallas_fwd_train(Q, P, qmask, pmask, jnp.float32, True)
+    dq_ref, dp_ref = bwd_mod._maxsim_pallas_bwd_impl(
+        Q, P, qmask, pmask, M, g, jnp.float32, True)
+
+    monkeypatch.setattr(bwd_mod, "_MAX_QB_BLOCKS", 1)
+    dq, dp = maxsim_pallas_bwd(Q, P, qmask, pmask, M, g, jnp.float32, True)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_ref),
+                               rtol=1e-6, atol=1e-6)

@@ -529,3 +529,31 @@ def test_http_server_search_and_health(tmp_path):
             assert e.code == 400
     finally:
         srv.shutdown()
+
+
+def test_serve_bucket_queries_inert():
+    """Batch bucketing pads with fully-masked query rows — scoring results
+    for the real rows must be identical (ADVICE r2: shape buckets keep the
+    serve jit cache warm)."""
+    import jax.numpy as jnp
+
+    from evdr_tpu.ops.maxsim import maxsim_xla
+    from evdr_tpu.tools.serve_http import _batch_bucket, bucket_queries
+
+    assert [_batch_bucket(n) for n in (1, 2, 3, 5, 8, 9, 33)] == \
+        [1, 2, 4, 8, 8, 16, 64]
+    rng = np.random.default_rng(0)
+    Q = rng.normal(size=(5, 4, 16)).astype(np.float32)
+    qm = rng.random((5, 4)) > 0.2
+    P = rng.normal(size=(6, 8, 16)).astype(np.float32)
+    pm = rng.random((6, 8)) > 0.2
+    Qb, qmb = bucket_queries(Q, qm)
+    assert Qb.shape[0] == 8 and not qmb[5:].any()
+    sc = maxsim_xla(jnp.asarray(Qb), jnp.asarray(P), jnp.asarray(qmb),
+                    jnp.asarray(pm), chunk_p=4)
+    sc_ref = maxsim_xla(jnp.asarray(Q), jnp.asarray(P), jnp.asarray(qm),
+                        jnp.asarray(pm), chunk_p=4)
+    np.testing.assert_allclose(np.asarray(sc)[:5], np.asarray(sc_ref),
+                               rtol=1e-6, atol=1e-6)
+    # padded rows score exactly 0 (all tokens masked)
+    assert np.all(np.asarray(sc)[5:] == 0.0)
