@@ -151,7 +151,18 @@ def measure_cpu_qps() -> float:
 
 
 def main() -> None:
-    tpu_qps, bf16_qps = measure_tpu_qps()
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the measured "
+                         "section into DIR (perfetto/tensorboard-loadable)")
+    args = ap.parse_args()
+
+    from evdr_tpu.utils.timing import trace_ctx
+
+    with trace_ctx(args.trace):
+        tpu_qps, bf16_qps = measure_tpu_qps()
     try:
         cpu_qps = measure_cpu_qps()
         vs = tpu_qps / cpu_qps

@@ -53,17 +53,28 @@ class RetrievalEngine:
 
     # ------------------------------------------------------------------ build
     def build(self, P: np.ndarray, pmask: np.ndarray,
-              docids: Optional[Sequence[str]] = None) -> "RetrievalEngine":
-        """Index dense padded page embeddings ``(N, Lp, D)`` + bool mask."""
-        P = np.asarray(P, dtype=np.float32)
-        pmask = np.asarray(pmask, dtype=bool)
+              docids: Optional[Sequence[str]] = None,
+              streaming: bool = False) -> "RetrievalEngine":
+        """Index dense padded page embeddings ``(N, Lp, D)`` + bool mask.
+
+        ``streaming=True`` device-puts shard by shard without a full host
+        copy (requires pre-normalized input — ``normalize=False`` — and no
+        pruning summary; pairs with mmap-backed arrays for GB-scale files).
+        """
+        if streaming and not (self.normalize is False
+                              and self.prune_centroids == 0):
+            raise ValueError("streaming build needs normalize=False and "
+                             "prune_centroids=0 (both touch the full array)")
+        if not streaming:
+            P = np.asarray(P, dtype=np.float32)
+            pmask = np.asarray(pmask, dtype=bool)
         if self.normalize:
             P = np.asarray(l2_normalize(P * pmask[..., None].astype(np.float32)),
                            dtype=np.float32)
         self.index = build_sharded_index(
             P, pmask, self.mesh,
             docids=np.asarray(docids, dtype=object) if docids is not None else None,
-            dtype=self.dtype, pad_docs_to=64)
+            dtype=self.dtype, pad_docs_to=64, streaming=streaming)
         if self.prune_centroids > 0:
             from evdr_tpu.ops.pruned import build_summary_tokens
 
@@ -72,22 +83,63 @@ class RetrievalEngine:
                                                dtype=self.dtype, pad_docs_to=64)
         return self
 
+    def build_from_codes(self, codes, scales, pmask,
+                         docids: Optional[Sequence[str]] = None,
+                         streaming: bool = False) -> "RetrievalEngine":
+        """Index pre-quantized int8 codes + per-token scales DIRECTLY — no
+        dequantize/renormalize/requantize round trip. Codes must come from
+        normalized embeddings (packed files written with --normalize); with
+        ``streaming=True`` an mmap-backed file streams shard-by-shard to the
+        devices with bounded host RSS."""
+        if self.dtype != "int8":
+            raise ValueError("build_from_codes requires dtype='int8'")
+        self.index = build_sharded_index(
+            codes, pmask, self.mesh,
+            docids=np.asarray(docids, dtype=object) if docids is not None else None,
+            dtype="int8", scales=scales, pad_docs_to=64, streaming=streaming)
+        return self
+
     def build_from_ragged(self, documents_obj, doc_attnmask=None, doc_imgmask=None,
                           docids=None) -> "RetrievalEngine":
         P, pmask, _ = preprocess_docs(documents_obj, doc_attnmask, doc_imgmask)
         return self.build(P, pmask, docids)
 
     @classmethod
-    def from_npz(cls, npz_path, **kw) -> "RetrievalEngine":
+    def from_npz(cls, npz_path, mmap: bool = False, **kw) -> "RetrievalEngine":
         """Accepts the reference's pickled-object interchange npz or the
-        packed dense format (tools/convert_packed.py, any storage dtype)."""
+        packed dense format (tools/convert_packed.py, any storage dtype).
+
+        ``mmap=True`` (packed files): doc arrays memory-map from disk and
+        stream shard-by-shard to the devices — peak anonymous host RSS stays
+        bounded for GB-scale indexes. Requires a ``--normalize``-written file
+        (otherwise the host-side renormalization touches everything and the
+        flag quietly degrades to an ordinary load). int8 files additionally
+        skip the dequantize->requantize round trip (codes consumed directly).
+        """
         from evdr_tpu.tools.convert_packed import is_packed, load_packed_payload
 
         eng = cls(**kw)
         if is_packed(npz_path):
-            payload = load_packed_payload(npz_path)
-            eng.build(payload["P_pad"], payload["pmask"],
-                      docids=payload.get("docid"))
+            payload = load_packed_payload(npz_path, mmap_docs=mmap)
+            normalized = bool(payload.get("doc_normalized", False))
+            docids = payload.get("docid")
+            if (eng.dtype == "int8" and "P_codes" in payload and normalized
+                    and eng.prune_centroids == 0):
+                return eng.build_from_codes(
+                    payload["P_codes"], payload["P_scale"], payload["pmask"],
+                    docids=docids, streaming=mmap)
+            if "P_pad" not in payload:
+                # mmap int8 without the --normalize marker: dequantize here
+                # (the bounded-RSS guarantee needs a normalized file)
+                from evdr_tpu.ops.quantize import dequantize_int8
+
+                payload["P_pad"] = dequantize_int8(payload["P_codes"],
+                                                   payload["P_scale"])
+            if normalized:
+                eng.normalize = False  # stored normalized: skip the renorm
+            eng.build(payload["P_pad"], payload["pmask"], docids=docids,
+                      streaming=(mmap and normalized
+                                 and eng.prune_centroids == 0))
         else:
             payload = load_payload(npz_path)
             eng.build_from_ragged(
@@ -144,11 +196,16 @@ class RetrievalEngine:
             return [[str(self.index.docids[j]) for j in row] for row in idx]
         return [[str(j) for j in row] for row in idx]
 
-    def search(self, queries, query_attnmask=None, k: int = 10
+    def search(self, queries, query_attnmask=None, k: int = 10,
+               n_candidates: Optional[int] = None
                ) -> Tuple[List[List[str]], np.ndarray]:
-        """Ragged query token arrays -> (per-query docid lists, scores)."""
+        """Ragged query token arrays -> (per-query docid lists, scores).
+
+        ``n_candidates`` (on a prune-enabled engine) routes through the
+        two-stage pruned search, same as ``search_dense``.
+        """
         Q, qmask = preprocess_queries(queries, query_attnmask)
-        vals, idx = self.search_dense(Q, qmask, k=k)
+        vals, idx = self.search_dense(Q, qmask, k=k, n_candidates=n_candidates)
         return self.ids_for(idx), vals
 
     def score_all(self, Q: np.ndarray, qmask: np.ndarray) -> np.ndarray:

@@ -33,34 +33,75 @@ class ShardedIndex:
         return int(self.P.shape[0])
 
 
+def _shard_docs_streamed(x, mesh: Mesh, n_pad: int, cast=None):
+    """device_put one doc shard at a time (1D doc mesh).
+
+    The host working set per transfer is ONE shard slice — combined with an
+    np.memmap-backed ``x`` (tools/convert_packed.py: load_packed_payload
+    mmap_docs=True) a GB-scale index streams file -> page cache -> device
+    with bounded anonymous RSS (no full-array host copy, no np.pad copy)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    devs = list(mesh.devices.flat)
+    world = len(devs)
+    shard = n_pad // world
+    spec = PartitionSpec("docs", *([None] * (x.ndim - 1)))
+    pieces = []
+    for i, dev in enumerate(devs):
+        sl = np.asarray(x[i * shard: min((i + 1) * shard, x.shape[0])])
+        if cast is not None and sl.dtype != cast:
+            sl = sl.astype(cast)
+        if sl.shape[0] < shard:  # only trailing shards pad
+            sl = np.pad(sl, ((0, shard - sl.shape[0]),)
+                        + ((0, 0),) * (x.ndim - 1))
+        pieces.append(jax.device_put(sl, dev))
+    return jax.make_array_from_single_device_arrays(
+        (n_pad,) + tuple(x.shape[1:]), NamedSharding(mesh, spec), pieces)
+
+
 def build_sharded_index(P, pmask, mesh: Mesh, docids=None, dtype=None,
-                        pad_docs_to: int = 1) -> ShardedIndex:
+                        pad_docs_to: int = 1, scales=None,
+                        streaming: bool = False) -> ShardedIndex:
     """Shard an index across the mesh's doc axis.
 
     ``dtype`` stores the index in a narrower type (bf16 halves HBM for
     serving); ``pad_docs_to`` additionally rounds the doc axis up to a
     multiple (e.g. the scoring kernel's doc block) so the hot path never
-    re-pads on device.
+    re-pads on device. With ``dtype='int8'`` pass pre-quantized ``P`` (int8
+    codes) + ``scales`` to skip requantization (packed files written with
+    --normalize). ``streaming=True`` transfers shard-by-shard without a full
+    host copy (pairs with mmap-backed inputs; 1D doc mesh only).
     """
-    P = np.asarray(P)
-    scales = None
-    if dtype == "int8":
+    P = np.asarray(P) if not streaming else P
+    if dtype == "int8" and scales is None:
         from evdr_tpu.ops.quantize import quantize_tokens_int8
 
-        P, scales = quantize_tokens_int8(P, pmask)
-    elif dtype is not None:
+        P, scales = quantize_tokens_int8(np.asarray(P), pmask)
+    elif dtype is not None and dtype != "int8":
         import ml_dtypes  # numpy bf16 support
 
         np_dtype = np.dtype(dtype) if dtype != "bfloat16" else ml_dtypes.bfloat16
         if P.dtype != np_dtype:
-            P = P.astype(np_dtype)
-    pmask = np.asarray(pmask, dtype=bool)
+            P = np.asarray(P).astype(np_dtype)
     n = P.shape[0]
     # shard count = size of the DOC axis (a 2D dp x docs mesh replicates the
     # index across dp groups); each local shard a multiple of pad_docs_to
     n_shards = dict(mesh.shape).get("docs", mesh.devices.size)
     quantum = n_shards * max(1, int(pad_docs_to))
     n_pad = ((n + quantum - 1) // quantum) * quantum
+
+    if streaming and "dp" not in mesh.axis_names:
+        return ShardedIndex(
+            P=_shard_docs_streamed(P, mesh, n_pad),
+            pmask=_shard_docs_streamed(pmask, mesh, n_pad, cast=bool),
+            n_docs=n, docids=docids, mesh=mesh,
+            scales=(_shard_docs_streamed(scales, mesh, n_pad)
+                    if scales is not None else None))
+
+    pmask = np.asarray(pmask, dtype=bool)
+    if scales is not None:
+        scales = np.asarray(scales)
     if n_pad != n:
         P = np.pad(P, ((0, n_pad - n), (0, 0), (0, 0)))
         pmask = np.pad(pmask, ((0, n_pad - n), (0, 0)))

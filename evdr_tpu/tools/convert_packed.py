@@ -30,7 +30,13 @@ PACKED_DTYPES = ("float32", "bfloat16", "int8")
 
 
 def convert_payload_to_packed(payload: dict, length_multiple: int = 1,
-                              dtype: str = "float32") -> dict:
+                              dtype: str = "float32",
+                              normalize: bool = False) -> dict:
+    """``normalize=True`` stores doc tokens masked + L2-normalized (the form
+    every consumer ends up computing anyway — harness and engine re-normalize
+    idempotently) and marks the file, which lets int8 serving consume
+    ``P_codes`` DIRECTLY (zero-copy mmap end-to-end, single quantization)
+    instead of dequantize -> normalize -> requantize."""
     if dtype not in PACKED_DTYPES:
         raise ValueError(f"dtype must be one of {PACKED_DTYPES}, got {dtype!r}")
     out = {}
@@ -38,6 +44,13 @@ def convert_payload_to_packed(payload: dict, length_multiple: int = 1,
         P, pmask, _ = preprocess_docs(
             payload["documents"], payload.get("doc_attnmask"),
             payload.get("doc_imgmask"), length_multiple=length_multiple)
+        if normalize:
+            from evdr_tpu.data.packing import l2_normalize
+
+            P = np.asarray(
+                l2_normalize(P * pmask[..., None].astype(np.float32)),
+                dtype=np.float32)
+            out["doc_normalized"] = np.asarray(True)
         if dtype == "int8":
             from evdr_tpu.ops.quantize import quantize_tokens_int8
 
@@ -67,7 +80,38 @@ def convert_payload_to_packed(payload: dict, length_multiple: int = 1,
     return out
 
 
-def load_packed_payload(npz_path) -> dict:
+def _npz_member_memmap(npz_path, name: str) -> np.ndarray:
+    """Zero-copy np.memmap view of one STORED member of an (uncompressed)
+    npz. ``np.savez`` writes members with ZIP_STORED, so the raw .npy bytes
+    sit contiguously in the outer file; we parse the zip local header + npy
+    header to find the data offset and map it directly — GB-scale indexes
+    load without a host RAM copy (pages stream from the OS cache)."""
+    import zipfile
+
+    member = name if name.endswith(".npy") else name + ".npy"
+    with zipfile.ZipFile(str(npz_path)) as zf:
+        info = zf.getinfo(member)
+        if info.compress_type != zipfile.ZIP_STORED:
+            raise ValueError(
+                f"{npz_path}:{member} is compressed; mmap needs np.savez "
+                "(uncompressed), not savez_compressed")
+        with zf.open(info) as m:
+            version = np.lib.format.read_magic(m)
+            if version == (1, 0):
+                shape, fortran, dtype = np.lib.format.read_array_header_1_0(m)
+            else:
+                shape, fortran, dtype = np.lib.format.read_array_header_2_0(m)
+            npy_header = m.tell()
+    with open(str(npz_path), "rb") as f:
+        f.seek(info.header_offset + 26)
+        nlen = int.from_bytes(f.read(2), "little")
+        elen = int.from_bytes(f.read(2), "little")
+    data_off = info.header_offset + 30 + nlen + elen + npy_header
+    return np.memmap(str(npz_path), dtype=dtype, mode="r", offset=data_off,
+                     shape=shape, order="F" if fortran else "C")
+
+
+def load_packed_payload(npz_path, mmap_docs: bool = False) -> dict:
     """Packed npz -> a payload-like dict with DENSE arrays.
 
     Returns keys: P_pad/pmask, Q_norm/qmask (dense, pre-normalized), plus the
@@ -75,9 +119,21 @@ def load_packed_payload(npz_path) -> dict:
     (exact); int8-stored docs are dequantized to ``P_pad`` while the raw
     ``P_codes``/``P_scale`` ride along for engines that consume codes
     directly.
+
+    ``mmap_docs=True`` returns the doc-axis arrays (P_pad / P_codes /
+    P_scale / pmask) as zero-copy np.memmap views sliceable per device shard
+    — peak host RSS stays bounded for GB-scale corpora. Note bf16- and
+    int8-stored files still materialize the upcast/dequantized ``P_pad``; to
+    stay mapped end-to-end, consume ``P_codes`` directly (RetrievalEngine
+    does for dtype='int8').
     """
     z = np.load(str(npz_path))  # no allow_pickle needed: that's the point
-    out = {k: z[k] for k in z.files if not k.endswith("_json")}
+    mmap_keys = {"P_pad", "P_codes", "P_scale", "pmask"} if mmap_docs else set()
+    out = {}
+    for k in z.files:
+        if k.endswith("_json"):
+            continue
+        out[k] = _npz_member_memmap(npz_path, k) if k in mmap_keys else z[k]
     if "P_pad" in out and out["P_pad"].dtype != np.float32:
         out["P_pad"] = out["P_pad"].astype(np.float32)
     if "P_pad_bf16" in out:
@@ -85,7 +141,10 @@ def load_packed_payload(npz_path) -> dict:
 
         out["P_pad"] = (out.pop("P_pad_bf16").view(ml_dtypes.bfloat16)
                         .astype(np.float32))
-    if "P_codes" in out and "P_pad" not in out:
+    if "P_codes" in out and "P_pad" not in out and not mmap_docs:
+        # mmap mode leaves codes undequantized (a dequantize materializes
+        # the full f32 tensor, defeating the bounded-RSS point); consumers
+        # that need floats (harness) use the default eager load
         from evdr_tpu.ops.quantize import dequantize_int8
 
         out["P_pad"] = dequantize_int8(out["P_codes"], out["P_scale"])
@@ -111,9 +170,13 @@ def main(argv=None) -> None:
     p.add_argument("--dtype", choices=PACKED_DTYPES, default="float32",
                    help="doc-token storage dtype (bfloat16 halves, int8 "
                         "quarters the file vs float32)")
+    p.add_argument("--normalize", action="store_true",
+                   help="store doc tokens masked + L2-normalized (enables "
+                        "direct int8-code serving without requantization)")
     a = p.parse_args(argv)
     payload = load_payload(a.in_npz)
-    packed = convert_payload_to_packed(payload, a.length_multiple, a.dtype)
+    packed = convert_payload_to_packed(payload, a.length_multiple, a.dtype,
+                                       normalize=a.normalize)
     np.savez(a.out_npz, **packed)
     shapes = {k: getattr(v, "shape", None) for k, v in packed.items()}
     print(f"[packed] {a.out_npz}: {shapes}")

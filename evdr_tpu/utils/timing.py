@@ -65,3 +65,22 @@ def device_memory_report() -> Dict[str, float]:
         except Exception:
             out[str(d)] = {}
     return out
+
+
+def trace_ctx(trace_dir=None):
+    """jax.profiler trace context (SURVEY §5 profiling hook).
+
+    With a directory, captures a perfetto/tensorboard-loadable trace of
+    everything run inside the context (``tensorboard --logdir DIR`` or
+    ui.perfetto.dev on the .trace.json.gz); with None it is a no-op, so call
+    sites can wrap their hot section unconditionally:
+
+        with trace_ctx(args.trace):
+            run_benchmark()
+    """
+    import contextlib
+
+    if not trace_dir:
+        return contextlib.nullcontext()
+    os.makedirs(trace_dir, exist_ok=True)
+    return jax.profiler.trace(str(trace_dir))

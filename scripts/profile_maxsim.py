@@ -76,21 +76,25 @@ def main():
                    default=[512, 1024, 2048])
     p.add_argument("--cols", type=int, nargs="+",
                    default=[512, 1024, 2048, 3072])
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the baseline "
+                        "measurement into DIR")
     a = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from evdr_tpu.ops.pallas_maxsim import _maxsim_pallas_fwd
-    from evdr_tpu.utils.timing import enable_persistent_cache
+    from evdr_tpu.utils.timing import enable_persistent_cache, trace_ctx
 
     enable_persistent_cache()
     Q, P, qm, pm = _data()
     Qd, Pd, qmd, pmd = map(jnp.asarray, (Q, P, qm, pm))
 
-    base = timed_tflops(
-        lambda q, p_, qm_, pm_: _maxsim_pallas_fwd(q, p_, qm_, pm_),
-        Qd, Pd, qmd, pmd)
+    with trace_ctx(a.trace):
+        base = timed_tflops(
+            lambda q, p_, qm_, pm_: _maxsim_pallas_fwd(q, p_, qm_, pm_),
+            Qd, Pd, qmd, pmd)
     print(f"baseline (1024r x 2048c): {base:.1f} TFLOP/s", flush=True)
 
     if a.sweep:

@@ -163,3 +163,61 @@ def test_int8full_ranking_quality():
         jnp.asarray(qm), jnp.asarray(pm), interpret=True))
     agree = np.mean(np.argmax(got, 1) == np.argmax(exact, 1))
     assert agree >= 0.95, agree
+
+
+def test_packed_mmap_and_direct_codes(tmp_path):
+    """--normalize packed files: (a) f32 mmap load returns memmap views whose
+    scores match the eager load; (b) int8 + mmap consumes codes DIRECTLY
+    (no dequantize/requantize) and matches the eager engine's top-1."""
+    import jax.numpy as jnp
+
+    from evdr_tpu.data.packing import preprocess_queries
+    from evdr_tpu.data.synthetic import make_synthetic_corpus
+    from evdr_tpu.engine import RetrievalEngine
+    from evdr_tpu.tools.convert_packed import (
+        convert_payload_to_packed, load_packed_payload)
+
+    c = make_synthetic_corpus(n_docs=20, n_queries=8, dim=32, seed=3)
+    Q, qmask = preprocess_queries(c["query"], c["query_attnmask"])
+
+    for dtype in ("float32", "int8"):
+        packed = convert_payload_to_packed(c, dtype=dtype, normalize=True)
+        pth = tmp_path / f"norm_{dtype}.packed.npz"
+        np.savez(pth, **packed)
+
+        pl = load_packed_payload(pth, mmap_docs=True)
+        if dtype == "float32":
+            assert isinstance(pl["P_pad"], np.memmap)
+            assert isinstance(pl["pmask"], np.memmap)
+        else:
+            assert isinstance(pl["P_codes"], np.memmap)
+            assert "P_pad" not in pl  # mmap mode: no eager dequantize
+
+        eng_m = RetrievalEngine.from_npz(
+            pth, mmap=True, dtype=("int8" if dtype == "int8" else None),
+            impl="xla")
+        eng_e = RetrievalEngine.from_npz(
+            pth, dtype=("int8" if dtype == "int8" else None), impl="xla")
+        v_m, i_m = eng_m.search_dense(Q, qmask, k=5)
+        v_e, i_e = eng_e.search_dense(Q, qmask, k=5)
+        np.testing.assert_array_equal(np.asarray(i_m)[:, 0],
+                                      np.asarray(i_e)[:, 0])
+        np.testing.assert_allclose(np.asarray(v_m), np.asarray(v_e),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_streamed_shard_build_matches_plain():
+    """_shard_docs_streamed produces the same sharded index contents as the
+    one-shot device_put path (8-device mesh, padded trailing shard)."""
+    import jax
+    from evdr_tpu.parallel import build_sharded_index, make_mesh
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    P = rng.normal(size=(21, 6, 16)).astype(np.float32)
+    pm = rng.random((21, 6)) > 0.2
+    a = build_sharded_index(P, pm, mesh)
+    b = build_sharded_index(P, pm, mesh, streaming=True)
+    assert a.n_pad == b.n_pad
+    np.testing.assert_array_equal(np.asarray(a.P), np.asarray(b.P))
+    np.testing.assert_array_equal(np.asarray(a.pmask), np.asarray(b.pmask))

@@ -93,3 +93,19 @@ def test_evaluator_k_values_match_reference_defaults():
     m = ev.compute_mteb_metrics({"q": {"d": 1}}, {"q": {"d": 1.0}})
     assert set(m) == {"NDCG", "mAP", "Recall", "Precision", "mRR"}
     assert "NDCG@70" in m["NDCG"]
+
+
+def test_trace_ctx_writes_profile(tmp_path):
+    """--trace hook (SURVEY §5): trace_ctx captures a loadable profile."""
+    import jax
+    import jax.numpy as jnp
+
+    from evdr_tpu.utils.timing import trace_ctx
+
+    with trace_ctx(str(tmp_path / "tr")):
+        jax.block_until_ready(jnp.sum(jnp.arange(1000.0) ** 2))
+    files = [p for p in (tmp_path / "tr").rglob("*") if p.is_file()]
+    assert files, "profiler trace produced no files"
+    # no-op form
+    with trace_ctx(None):
+        pass
