@@ -1,0 +1,248 @@
+"""Full-trajectory golden parity vs the reference itself (VERDICT r2 item 2).
+
+Runs the reference's OWN flagship script — ``/root/reference/
+mainv2_iter_liscore.py:main()`` on torch CPU, with mteb stubbed by a
+RetrievalEvaluator backed by our metric engine (eval/metrics.py implements
+the identical trec_eval conventions) — on a tiny shared synthetic dataset,
+records the EXACT batch sequence its shuffled DataLoader consumed, then runs
+our harness end-to-end (``train_dataset_mf`` with the recorded batches
+replayed) on the same npz files with the same hyperparameters. Compares the
+complete trajectories:
+
+- per-step train loss curve (print_every=1 on both sides),
+- per-eval eval loss / NDCG@5 / Recall@1 series,
+- final best-nDCG@5 summary.
+
+This is the strongest end-to-end parity evidence obtainable without real
+ViDoRe features: everything from npz loading through loss/optimizer numerics
+to metric computation runs through BOTH stacks for hundreds of coupled steps.
+
+    python scripts/golden_parity.py [--steps 400] [--eval_every 100]
+        [--out bench_artifacts/golden_parity.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import re
+import sys
+import tempfile
+import types
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+REF = "/root/reference"
+sys.path.insert(0, str(REPO))
+
+
+def install_mteb_stub() -> None:
+    """mteb.RetrievalEvaluator backed by our metric engine (same conventions)."""
+    from evdr_tpu.eval.metrics import compute_retrieval_metrics
+
+    class _RetrievalEvaluator:
+        @staticmethod
+        def evaluate(qrels, results, k_values, ignore_identical_ids=False):
+            m = compute_retrieval_metrics(
+                qrels, results, list(k_values),
+                ignore_identical_ids=ignore_identical_ids)
+            return m["NDCG"], m["mAP"], m["Recall"], m["Precision"], {}
+
+        @staticmethod
+        def evaluate_custom(qrels, results, k_values, metric):
+            assert metric == "mrr"
+            m = compute_retrieval_metrics(qrels, results, list(k_values))
+            return (m["mRR"],)
+
+    mteb_stub = types.ModuleType("mteb")
+    eval_mod = types.ModuleType("mteb.evaluation")
+    evals_mod = types.ModuleType("mteb.evaluation.evaluators")
+    re_mod = types.ModuleType("mteb.evaluation.evaluators.RetrievalEvaluator")
+    re_mod.RetrievalEvaluator = _RetrievalEvaluator
+    sys.modules.update({
+        "mteb": mteb_stub,
+        "mteb.evaluation": eval_mod,
+        "mteb.evaluation.evaluators": evals_mod,
+        "mteb.evaluation.evaluators.RetrievalEvaluator": re_mod,
+    })
+
+
+def parse_log(path) -> dict:
+    """train.log -> {'train': {step: loss}, 'eval': {step: {...}}, 'best': {}}."""
+    out = {"train": {}, "eval": {}, "best": None}
+    for line in pathlib.Path(path).read_text().splitlines():
+        m = re.search(r"\{.*\}", line)
+        if not m:
+            continue
+        try:
+            rec = json.loads(m.group(0))
+        except json.JSONDecodeError:
+            continue
+        if "summary/best_ndcg5" in rec:
+            out["best"] = rec["summary/best_ndcg5"]
+        elif "train/total loss" in rec:
+            out["train"][int(rec["step"])] = float(rec["train/total loss"])
+        elif "eval/NDCG@5" in rec:
+            out["eval"][int(rec["step"])] = {
+                "loss": float(rec.get("eval/eval loss", rec.get("eval/loss", 0.0))),
+                "NDCG@5": float(rec["eval/NDCG@5"]),
+                "Recall@1": float(rec["eval/Recall@1"]),
+            }
+    return out
+
+
+def run_reference(root, out_root, hp) -> list:
+    """Run the reference flagship main() on the fixture; returns the recorded
+    per-batch index lists its DataLoader consumed."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    install_mteb_stub()
+    import Qdatasets.query_tensor_dataset as qds
+    import mainv2_iter_liscore as ref_main
+
+    # route the reference's registry at our fixture files (same stems our
+    # write_dataset_fixture emits)
+    ref_main.DATASETMAP["synth"] = {
+        "split_before": "synth_test_dump_all.npz",
+        "pseudoQ": "synth_test_query.npz",
+        "mf5": "mf5/synth_test.npz",
+    }
+
+    recorded: list = []
+    orig_getitem = qds.QueryTensorDataset.__getitem__
+
+    def rec_getitem(self, idx):
+        recorded.append(int(idx))
+        return orig_getitem(self, idx)
+
+    qds.QueryTensorDataset.__getitem__ = rec_getitem
+    argv_save = sys.argv
+    sys.argv = ["mainv2_iter_liscore.py",
+                "--datasets", "synth", "--mfs", "5",
+                "--query_root", str(root), "--teacher_root", str(root),
+                "--init_root", str(root / "S3E_init"),
+                "--out_root", str(out_root), "--name", "golden",
+                "--max_steps", str(hp["steps"]),
+                "--eval_every", str(hp["eval_every"]),
+                "--q_batch", str(hp["q_batch"]), "--lr", str(hp["lr"]),
+                "--weight_decay", str(hp["wd"]), "--k", str(hp["k"]),
+                "--temp", str(hp["temp"]),
+                "--lambda_list", str(hp["lambda_list"]),
+                "--lambda_score", str(hp["lambda_score"]),
+                "--print_every", "1", "--device", "cpu",
+                "--seed", str(hp["seed"])]
+    try:
+        ref_main.main()
+    finally:
+        sys.argv = argv_save
+        qds.QueryTensorDataset.__getitem__ = orig_getitem
+
+    # group the flat per-item record into DataLoader batches (drop_last=False)
+    q_batch = hp["q_batch"]
+    batches = [np.asarray(recorded[i: i + q_batch], dtype=np.int32)
+               for i in range(0, len(recorded), q_batch)]
+    return batches
+
+
+def run_ours(root, out_root, hp, batches) -> None:
+    from evdr_tpu.train.config import TrainConfig
+    from evdr_tpu.train.harness import (
+        _precompute_teacher_scores, load_dataset_bundle, train_dataset_mf)
+    from evdr_tpu.utils.prng import set_seed
+
+    cfg = TrainConfig(
+        datasets=["synth"], query_root=str(root), teacher_root=str(root),
+        init_root=str(root / "S3E_init"), mfs=[5], out_root=str(out_root),
+        name="golden", loss="liscore", max_steps=hp["steps"],
+        eval_every=hp["eval_every"], q_batch=hp["q_batch"], lr=hp["lr"],
+        weight_decay=hp["wd"], k=hp["k"], temp=hp["temp"],
+        lambda_list=hp["lambda_list"], lambda_score=hp["lambda_score"],
+        print_every=1, seed=hp["seed"], chunk_p=32).validate()
+    set_seed(cfg.seed)
+    bundle = load_dataset_bundle(cfg, "synth")
+    bundle.sc_t_train = _precompute_teacher_scores(
+        bundle.Q_train, bundle.qmask_train, bundle.P_teacher_norm,
+        bundle.pmask_teacher, chunk_q=256, chunk_p=cfg.chunk_p, impl="xla")
+    bundle.sc_t_test = _precompute_teacher_scores(
+        bundle.Q_test, bundle.qmask_test, bundle.P_teacher_norm,
+        bundle.pmask_teacher, chunk_q=256, chunk_p=cfg.chunk_p, impl="xla")
+    train_dataset_mf(cfg, bundle, "synth", 5, batch_stream=iter(batches))
+
+
+def compare(ref, ours, steps) -> dict:
+    """Trajectory deltas; raises AssertionError on divergence."""
+    common = sorted(set(ref["train"]) & set(ours["train"]))
+    assert len(common) >= steps * 0.95, (len(common), steps)
+    tr_ref = np.array([ref["train"][s] for s in common])
+    tr_our = np.array([ours["train"][s] for s in common])
+    denom = np.maximum(np.abs(tr_ref), 1e-3)
+    train_max_rel = float(np.max(np.abs(tr_our - tr_ref) / denom))
+
+    ev_steps = sorted(set(ref["eval"]) & set(ours["eval"]))
+    assert ev_steps, "no common eval steps"
+    loss_max = max(abs(ref["eval"][s]["loss"] - ours["eval"][s]["loss"])
+                   for s in ev_steps)
+    nd5_max = max(abs(ref["eval"][s]["NDCG@5"] - ours["eval"][s]["NDCG@5"])
+                  for s in ev_steps)
+    r1_max = max(abs(ref["eval"][s]["Recall@1"] - ours["eval"][s]["Recall@1"])
+                 for s in ev_steps)
+    best_delta = abs(ref["best"]["NDCG@5"] - ours["best"]["NDCG@5"])
+    return {
+        "n_train_steps_compared": len(common),
+        "n_evals_compared": len(ev_steps),
+        "train_loss_max_rel_diff": train_max_rel,
+        "eval_loss_max_abs_diff": float(loss_max),
+        "ndcg5_max_abs_diff": float(nd5_max),
+        "recall1_max_abs_diff": float(r1_max),
+        "best_ndcg5_ref": ref["best"]["NDCG@5"],
+        "best_ndcg5_ours": ours["best"]["NDCG@5"],
+        "best_ndcg5_abs_diff": float(best_delta),
+        "ref_train_first_last": [float(tr_ref[0]), float(tr_ref[-1])],
+        "our_train_first_last": [float(tr_our[0]), float(tr_our[-1])],
+    }
+
+
+def run(steps=400, eval_every=100, q_batch=8, n_docs=16, n_train_queries=48,
+        dim=32, seed=42, workdir=None, out=None) -> dict:
+    from evdr_tpu.data.synthetic import write_dataset_fixture
+
+    hp = dict(steps=steps, eval_every=eval_every, q_batch=q_batch, lr=1e-3,
+              wd=1e-2, k=6, temp=0.1, lambda_list=1.0, lambda_score=1.0,
+              seed=seed)
+    workdir = pathlib.Path(workdir or tempfile.mkdtemp(prefix="golden_"))
+    root = workdir / "data"
+    root.mkdir(parents=True, exist_ok=True)
+    write_dataset_fixture(root, key="synth", n_docs=n_docs,
+                          n_test_queries=12, n_train_queries=n_train_queries,
+                          dim=dim, mfs=(5,), seed=seed, init_noise=2.0)
+
+    batches = run_reference(root, workdir / "ref_out", hp)
+    assert len(batches) >= steps
+    run_ours(root, workdir / "our_out", hp, batches[:steps])
+
+    ref = parse_log(workdir / "ref_out" / "golden" / "mf5" / "synth" / "train.log")
+    ours = parse_log(workdir / "our_out" / "golden" / "mf5" / "synth" / "train.log")
+    report = compare(ref, ours, steps)
+    report["hp"] = hp
+    if out:
+        pathlib.Path(out).parent.mkdir(parents=True, exist_ok=True)
+        pathlib.Path(out).write_text(json.dumps(report, indent=2))
+    return report
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--eval_every", type=int, default=100)
+    p.add_argument("--q_batch", type=int, default=8)
+    p.add_argument("--out", default="bench_artifacts/golden_parity.json")
+    a = p.parse_args()
+    report = run(steps=a.steps, eval_every=a.eval_every, q_batch=a.q_batch,
+                 out=a.out)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,34 @@
+"""Full-trajectory golden parity vs the reference's own flagship script.
+
+Drives /root/reference/mainv2_iter_liscore.py:main() end-to-end (torch CPU,
+mteb stubbed by our metric engine), replays its exact DataLoader batch
+sequence through our harness, and compares the complete trajectories
+(scripts/golden_parity.py; VERDICT r2 item 2). The 400-step version runs via
+the script and is recorded in RESULTS.md; this test uses a short budget.
+"""
+
+import pathlib
+import sys
+
+import pytest
+
+torch = pytest.importorskip("torch")
+
+if not pathlib.Path("/root/reference/mainv2_iter_liscore.py").exists():
+    pytest.skip("reference unavailable", allow_module_level=True)
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "scripts"))
+
+
+@pytest.mark.slow
+def test_full_trajectory_matches_reference(tmp_path):
+    import golden_parity
+
+    r = golden_parity.run(steps=60, eval_every=30, workdir=tmp_path)
+    # coupled 60-step trajectories: losses track to fp noise, metrics and the
+    # final best-nDCG@5 selection agree exactly
+    assert r["train_loss_max_rel_diff"] < 1e-4, r
+    assert r["eval_loss_max_abs_diff"] < 1e-4, r
+    assert r["ndcg5_max_abs_diff"] == 0.0, r
+    assert r["recall1_max_abs_diff"] == 0.0, r
+    assert r["best_ndcg5_abs_diff"] == 0.0, r
