@@ -19,8 +19,10 @@ Kernel design (TPU-first, not a translation):
   ``where`` (no in-kernel gather/reshape of masks).
 - after the last lp tile: docs whose accumulator never saw a valid token are
   zeroed (doc_has_token rule), the query mask is applied as a (QBL, 1)
-  columnwise weight, and the sum over each query's Lq tokens is computed as a
-  selector matmul S (QB, QBL) @ weighted (QBL, DB) on the MXU.
+  columnwise weight, and the sum over each query's Lq tokens runs as a
+  pure-VPU segmented sum (transpose + leading-dim reshape + reduce; see
+  ``_finish_sum`` for the epilogue study — the earlier fp32-HIGHEST selector
+  matmul capped the whole kernel at small Lp).
 
 The kernel is wrapped in ``jax.custom_vjp``: backward recomputes gradients via
 the XLA oracle (max-grad scatters to the argmax token), keeping training
@@ -62,8 +64,74 @@ def _pick_tiles(lq: int, lp: int, target_rows: int = 512, target_cols: int = 256
     return qb, lq_pad, db, tlp
 
 
+def _finish_sum(weighted, db, qb, lq_pad, epilogue):
+    """Sum each query's Lq token maxima: (DB, QBL) -> (DB, QB).
+
+    Measured on the v5e chip at the config-5 shape (Lp=16, 250k docs,
+    256q x 32t, d=128) — the shape where this epilogue dominates, because
+    it runs once per (q-block, doc-block) and Lp=16 means only ONE
+    contraction step amortizes it:
+
+    - 'sublane' (DEFAULT): pure-VPU segmented sum — one transpose (which
+      replaces the caller's output transpose), then a layout-preserving
+      leading-dim reshape + sum, the same pattern as the kernel's per-doc
+      blockmax. EXACT (max rel diff 2e-7 vs 'f32'). bf16 kernel
+      111.7 -> 138-146 TFLOP/s; int8full 111 -> 138 TFLOP/s; headline
+      (Lp=768) int8full 35.8k -> 37.0k q/s.
+    - 'f32': selector matmul in fp32 HIGHEST — exact, but HIGHEST runs the
+      MXU in multi-pass mode; at small Lp it caps BOTH kernels at
+      ~111 TFLOP/s, and Mosaic fails to compile it at target_rows=4096
+      inside the int8 kernel.
+    - 'bf16': selector matmul with bf16 inputs / DEFAULT precision — one
+      MXU pass, ~same speed as 'sublane' on the bf16 kernel but with bf16
+      rounding on the sum; Mosaic CRASHES on it inside the int8-dot kernel.
+    - 'f32d' / 'reduce': correct in interpret mode but fail to compile on
+      the TPU (Mosaic: excess-precision f32 dot / lane-axis reshape).
+    - 'none': profiling ceiling only — skips the sum (wrong results);
+      bf16 151.5, int8full 258.2 TFLOP/s. The remaining int8 gap
+      (138 vs 258) is the epilogue not overlapping the int8 MXU stream —
+      the identical epilogue costs ~12x more wall-time inside the int8
+      kernel than the bf16 one (Mosaic scheduling, not arithmetic).
+    """
+    qbl = qb * lq_pad
+    if epilogue == "none":
+        return jnp.zeros((db, qb), jnp.float32) + weighted[:, :qb]
+    if epilogue == "sublane":
+        # pure-VPU segmented sum with tokens on the SUBLANE axis: transpose
+        # once (the caller transposes the output anyway), then a
+        # layout-preserving leading-dim reshape + reduce — the same pattern
+        # as the kernel's per-doc blockmax. Returns (QB, DB), pre-transposed.
+        wT = jnp.transpose(weighted)                      # (QBL, DB)
+        return jnp.sum(wT.reshape(qb, lq_pad, db), axis=1)
+    if epilogue == "reduce":
+        # pure-VPU segmented sum: split the lane axis per query and reduce
+        return jnp.sum(weighted.reshape(db, qb, lq_pad), axis=-1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (qbl, qb), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (qbl, qb), 1)
+    sel = rows // lq_pad == cols
+    if epilogue == "bf16":
+        return jax.lax.dot_general(
+            weighted.astype(jnp.bfloat16), sel.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+    if epilogue == "f32d":
+        # f32 inputs, DEFAULT precision: one bf16 MXU pass under
+        # --xla_allow_excess_precision instead of HIGHEST's 6-pass split
+        return jax.lax.dot_general(
+            weighted, sel.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+    return jax.lax.dot_general(
+        weighted, sel.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
 def _kernel(qf_ref, qmf_ref, p_ref, pm_ref, out_ref, acc_ref, *, db, tlp, lq_pad, qb,
-            out_dtype, precision):
+            out_dtype, precision, epilogue="sublane"):
     """Transposed-similarity formulation.
 
     sim^T = Pblk (DB*TLP, D) @ Qblk^T -> (DB*TLP, QBL): with docs on the
@@ -104,30 +172,24 @@ def _kernel(qf_ref, qmf_ref, p_ref, pm_ref, out_ref, acc_ref, *, db, tlp, lq_pad
         # doc_has_token rule: all-invalid doc -> 0
         mx = jnp.where(acc > NEG_THRESH, acc, 0.0)
         weighted = mx * qmf_ref[0]  # (DB, QBL) * (1, QBL)
-        # selector S^T[c, r] = 1 iff flat token c belongs to query r
-        qbl = qb * lq_pad
-        rows = jax.lax.broadcasted_iota(jnp.int32, (qbl, qb), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (qbl, qb), 1)
-        selT = (rows // lq_pad == cols).astype(jnp.float32)
-        # always full precision: this matmul is tiny and rounding the weighted
-        # maxes to bf16 here would dominate the kernel's overall error
-        out = jax.lax.dot_general(
-            weighted, selT,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (DB, QB)
+        out = _finish_sum(weighted, db, qb, lq_pad, epilogue)  # (DB, QB)
         # store qb-major/db-minor: db is 128-aligned for long-doc tiles, so
         # the (..., qb, db) output array avoids lane padding at large N
-        out_ref[0, 0] = jnp.transpose(out).astype(out_dtype)
+        if epilogue == "sublane":  # already (QB, DB), pre-transposed
+            out_ref[0, 0] = out.astype(out_dtype)
+        else:
+            out_ref[0, 0] = jnp.transpose(out).astype(out_dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("compute_dtype", "interpret", "target_rows", "target_cols")
+    jax.jit, static_argnames=("compute_dtype", "interpret", "target_rows",
+                              "target_cols", "epilogue")
 )
 def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
                        interpret: bool = False, target_rows: int = 2048,
-                       target_cols: int = 3072):
+                       target_cols: int = 3072, epilogue: str = "sublane"):
+    if interpret and epilogue == "bf16":
+        epilogue = "f32"  # CPU interpret mode lacks bf16 x bf16 dots
     nq, lq, d = Q.shape
     nd, lp, _ = P.shape
     qb, lq_pad, db, tlp = _pick_tiles(lq, lp, target_rows, target_cols)
@@ -173,7 +235,7 @@ def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
     precision = jax.lax.Precision.HIGHEST if fp32 else jax.lax.Precision.DEFAULT
     kernel = functools.partial(
         _kernel, db=db, tlp=tlp, lq_pad=lq_pad, qb=qb, out_dtype=jnp.float32,
-        precision=precision,
+        precision=precision, epilogue=epilogue,
     )
 
     flops = 2 * (nq_pad * lq_pad) * (nd_pad * lp_pad) * d_pad
@@ -275,7 +337,8 @@ def maxsim_pallas_interpret(Q, P, qmask, pmask):
 # ---------------------------------------------------------------------------
 
 def _kernel_int8(qf_ref, qmf_ref, p_ref, sc_ref, out_ref, acc_ref, *, db, tlp,
-                 lq_pad, qb, out_dtype, precision, compute_dtype):
+                 lq_pad, qb, out_dtype, precision, compute_dtype,
+                 epilogue="sublane"):
     l = pl.program_id(2)
     n_l = pl.num_programs(2)
 
@@ -314,25 +377,20 @@ def _kernel_int8(qf_ref, qmf_ref, p_ref, sc_ref, out_ref, acc_ref, *, db, tlp,
         acc = acc_ref[:]
         mx = jnp.where(acc > NEG_THRESH, acc, 0.0)
         weighted = mx * qmf_ref[0]
-        qbl = qb * lq_pad
-        rows = jax.lax.broadcasted_iota(jnp.int32, (qbl, qb), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (qbl, qb), 1)
-        selT = (rows // lq_pad == cols).astype(jnp.float32)
-        out = jax.lax.dot_general(
-            weighted, selT,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        out_ref[0, 0] = jnp.transpose(out).astype(out_dtype)
+        out = _finish_sum(weighted, db, qb, lq_pad, epilogue)
+        if epilogue == "sublane":  # already (QB, DB), pre-transposed
+            out_ref[0, 0] = out.astype(out_dtype)
+        else:
+            out_ref[0, 0] = jnp.transpose(out).astype(out_dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "target_rows", "target_cols")
+    jax.jit, static_argnames=("interpret", "target_rows", "target_cols",
+                              "epilogue")
 )
 def maxsim_pallas_int8full(Q, P_i8, scales, qmask, pmask,
                            interpret: bool = False, target_rows: int = 4096,
-                           target_cols: int = 3072):
+                           target_cols: int = 3072, epilogue: str = "sublane"):
     """Fully-quantized MaxSim: int8 queries x int8 index on the MXU.
 
     Queries are quantized per token ON DEVICE (symmetric, like
@@ -349,16 +407,18 @@ def maxsim_pallas_int8full(Q, P_i8, scales, qmask, pmask,
     q_weight = qmask.astype(jnp.float32) * sq
     return _maxsim_int8_impl(Q_i8, q_weight, P_i8, scales, pmask,
                              compute_dtype=jnp.int8, interpret=interpret,
-                             target_rows=target_rows, target_cols=target_cols)
+                             target_rows=target_rows, target_cols=target_cols,
+                             epilogue=epilogue)
 
 
 @functools.partial(
     jax.jit, static_argnames=("compute_dtype", "interpret", "target_rows",
-                              "target_cols")
+                              "target_cols", "epilogue")
 )
 def maxsim_pallas_int8(Q, P_i8, scales, qmask, pmask,
                        compute_dtype=jnp.bfloat16, interpret: bool = False,
-                       target_rows: int = 2048, target_cols: int = 3072):
+                       target_rows: int = 2048, target_cols: int = 3072,
+                       epilogue: str = "sublane"):
     """Fused MaxSim over an int8-quantized index.
 
     Q (nq, Lq, D) float; P_i8 (nd, Lp, D) int8 codes; scales (nd, Lp) f32
@@ -368,18 +428,21 @@ def maxsim_pallas_int8(Q, P_i8, scales, qmask, pmask,
     return _maxsim_int8_impl(Q, qmask.astype(jnp.float32), P_i8, scales,
                              pmask, compute_dtype=compute_dtype,
                              interpret=interpret, target_rows=target_rows,
-                             target_cols=target_cols)
+                             target_cols=target_cols, epilogue=epilogue)
 
 
 @functools.partial(
     jax.jit, static_argnames=("compute_dtype", "interpret", "target_rows",
-                              "target_cols")
+                              "target_cols", "epilogue")
 )
 def _maxsim_int8_impl(Q, q_weight, P_i8, scales, pmask,
                       compute_dtype=jnp.bfloat16, interpret: bool = False,
-                      target_rows: int = 1024, target_cols: int = 2048):
+                      target_rows: int = 1024, target_cols: int = 2048,
+                      epilogue: str = "sublane"):
     """Shared int8-index kernel driver; Q float (bf16 dot) or int8 (int8 dot);
     ``q_weight`` is the post-max per-query-token row (mask, optionally * sq)."""
+    if interpret and epilogue == "bf16":
+        epilogue = "f32"  # CPU interpret mode lacks bf16 x bf16 dots
     nq, lq, d = Q.shape
     nd, lp, _ = P_i8.shape
     qb, lq_pad, db, tlp = _pick_tiles(lq, lp, target_rows, target_cols)
@@ -414,7 +477,8 @@ def _maxsim_int8_impl(Q, q_weight, P_i8, scales, pmask,
                  if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
     kernel = functools.partial(
         _kernel_int8, db=db, tlp=tlp, lq_pad=lq_pad, qb=qb,
-        out_dtype=jnp.float32, precision=precision, compute_dtype=compute_dtype)
+        out_dtype=jnp.float32, precision=precision, compute_dtype=compute_dtype,
+        epilogue=epilogue)
 
     out = pl.pallas_call(
         kernel,

@@ -67,6 +67,14 @@ def install_mteb_stub() -> None:
         "mteb.evaluation.evaluators": evals_mod,
         "mteb.evaluation.evaluators.RetrievalEvaluator": re_mod,
     })
+    # Reference modules imported earlier (e.g. by a test module that installed
+    # a minimal scorer-only stub at pytest collection time) have the OLD
+    # RetrievalEvaluator bound at their module scope; purge them so the next
+    # import re-binds against this full stub.
+    for name, mod in list(sys.modules.items()):
+        f = getattr(mod, "__file__", None)
+        if f and str(f).startswith(REF):
+            del sys.modules[name]
 
 
 def parse_log(path) -> dict:

@@ -24,3 +24,16 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _registry_isolation():
+    """register_dataset mutates the global DATASETMAP; tests that register
+    fixtures ('synth', 'pooledfx', ...) must not leak entries into tests that
+    assert the reference's 10-dataset registry shape."""
+    from evdr_tpu.data.registry import DATASETMAP
+
+    before = {k: dict(v) for k, v in DATASETMAP.items()}
+    yield
+    DATASETMAP.clear()
+    DATASETMAP.update(before)

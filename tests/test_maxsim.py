@@ -166,3 +166,35 @@ def test_score_single_vector(rng):
     got = score_single_vector(qs, ps)
     want = np.stack(qs) @ np.stack(ps).T
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("epilogue", ["f32", "f32d", "reduce", "sublane", "bf16"])
+def test_pallas_epilogue_variants_match_oracle(rng, epilogue):
+    """All Lq-sum epilogues (selector matmul f32/HIGHEST, f32/DEFAULT, bf16,
+    pure-VPU reduce) produce oracle scores in interpret mode; the fast
+    variants exist because at small Lp the f32-HIGHEST epilogue was measured
+    to cap the whole kernel (config-5 root cause, RESULTS.md)."""
+    import jax.numpy as jnp
+
+    from evdr_tpu.ops.maxsim import maxsim_numpy
+    from evdr_tpu.ops.pallas_maxsim import _maxsim_pallas_fwd
+    from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int8full
+    from evdr_tpu.ops.quantize import quantize_tokens_int8
+
+    nq, lq, nd, lp, d = 5, 4, 9, 16, 32
+    Q = rng.normal(size=(nq, lq, d)).astype(np.float32)
+    P = rng.normal(size=(nd, lp, d)).astype(np.float32)
+    qm = rng.random((nq, lq)) > 0.2
+    pm = rng.random((nd, lp)) > 0.2
+    want = maxsim_numpy(Q, P, qm, pm)
+
+    got = np.asarray(_maxsim_pallas_fwd(
+        jnp.asarray(Q), jnp.asarray(P), jnp.asarray(qm), jnp.asarray(pm),
+        compute_dtype=jnp.float32, interpret=True, epilogue=epilogue))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    codes, scales = quantize_tokens_int8(P * pm[..., None], pm)
+    got8 = np.asarray(maxsim_pallas_int8full(
+        jnp.asarray(Q), jnp.asarray(codes), jnp.asarray(scales),
+        jnp.asarray(qm), jnp.asarray(pm), interpret=True, epilogue=epilogue))
+    np.testing.assert_allclose(got8, want, rtol=0.05, atol=0.05)
