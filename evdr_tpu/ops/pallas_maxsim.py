@@ -336,16 +336,8 @@ def maxsim_pallas_interpret(Q, P, qmask, pmask):
 # be masked) — one `where` applies dequantization AND masking.
 # ---------------------------------------------------------------------------
 
-def _kernel_int8(qf_ref, qmf_ref, p_ref, sc_ref, out_ref, acc_ref, *, db, tlp,
-                 lq_pad, qb, out_dtype, precision, compute_dtype,
-                 epilogue="sublane"):
-    l = pl.program_id(2)
-    n_l = pl.num_programs(2)
-
-    @pl.when(l == 0)
-    def _init():
-        acc_ref[:] = jnp.full_like(acc_ref, NEG_INIT)
-
+def _int8_simT(qf_ref, p_ref, sc_ref, db, tlp, compute_dtype, precision):
+    """Masked, dequantized similarity block sim^T (DB*TLP, QBL)."""
     if qf_ref.dtype == jnp.int8:
         # full-int8 path: int8 x int8 -> int32 runs the MXU at 2x bf16 peak
         # (measured 182 vs 123 TFLOP/s on the config-2 workload); the q-side
@@ -367,8 +359,20 @@ def _kernel_int8(qf_ref, qmf_ref, p_ref, sc_ref, out_ref, acc_ref, *, db, tlp,
             precision=precision,
         )  # (DB*TLP, QBL)
     scol = jnp.transpose(sc_ref[0])  # (DB*TLP, 1): scale, or -1 if invalid
-    simT = jnp.where(scol >= 0, simT * scol, NEG_INIT)
+    return jnp.where(scol >= 0, simT * scol, NEG_INIT)
 
+
+def _kernel_int8(qf_ref, qmf_ref, p_ref, sc_ref, out_ref, acc_ref, *, db, tlp,
+                 lq_pad, qb, out_dtype, precision, compute_dtype,
+                 epilogue="sublane"):
+    l = pl.program_id(2)
+    n_l = pl.num_programs(2)
+
+    @pl.when(l == 0)
+    def _init():
+        acc_ref[:] = jnp.full_like(acc_ref, NEG_INIT)
+
+    simT = _int8_simT(qf_ref, p_ref, sc_ref, db, tlp, compute_dtype, precision)
     blockmax = jnp.max(simT.reshape(db, tlp, simT.shape[-1]), axis=1)
     acc_ref[:] = jnp.maximum(acc_ref[:], blockmax)
 
@@ -384,13 +388,57 @@ def _kernel_int8(qf_ref, qmf_ref, p_ref, sc_ref, out_ref, acc_ref, *, db, tlp,
             out_ref[0, 0] = jnp.transpose(out).astype(out_dtype)
 
 
+def _kernel_int8_defer(qf_ref, qmf_ref, p_ref, sc_ref, out_ref, acc_ref,
+                       done_ref, *, db, tlp, lq_pad, qb, out_dtype, precision,
+                       compute_dtype, n_db):
+    """Deferred-epilogue variant: doc-block j's Lq-sum epilogue is emitted at
+    the FIRST step of doc-block j+1 (grid carries one extra doc column).
+
+    Rationale: in `_kernel_int8` the epilogue depends on the same step's
+    matmul (matmul -> max -> epilogue is a serial chain), and at small Lp
+    (one contraction step) the measured epilogue cost is ~12x its cost in
+    the bf16 kernel — it does not overlap the int8 MXU stream. Emitting the
+    PREVIOUS block's epilogue makes it independent of the in-flight matmul,
+    giving Mosaic a legal MXU/VPU overlap.
+    """
+    j = pl.program_id(1)
+    l = pl.program_id(2)
+    n_l = pl.num_programs(2)
+
+    @pl.when((l == 0) & (j > 0))
+    def _emit():  # epilogue of doc-block j-1, from the saved accumulator
+        acc = done_ref[:]
+        mx = jnp.where(acc > NEG_THRESH, acc, 0.0)
+        weighted = mx * qmf_ref[0]
+        wT = jnp.transpose(weighted)  # (QBL, DB)
+        out_ref[0, 0] = jnp.sum(
+            wT.reshape(qb, lq_pad, db), axis=1).astype(out_dtype)
+
+    @pl.when(j < n_db)
+    def _compute():
+        @pl.when(l == 0)
+        def _init():
+            acc_ref[:] = jnp.full_like(acc_ref, NEG_INIT)
+
+        simT = _int8_simT(qf_ref, p_ref, sc_ref, db, tlp, compute_dtype,
+                          precision)
+        blockmax = jnp.max(simT.reshape(db, tlp, simT.shape[-1]), axis=1)
+        mx = jnp.maximum(acc_ref[:], blockmax)
+        acc_ref[:] = mx
+
+        @pl.when(l == n_l - 1)
+        def _save():
+            done_ref[:] = mx
+
+
 @functools.partial(
     jax.jit, static_argnames=("interpret", "target_rows", "target_cols",
-                              "epilogue")
+                              "epilogue", "deferred")
 )
 def maxsim_pallas_int8full(Q, P_i8, scales, qmask, pmask,
                            interpret: bool = False, target_rows: int = 4096,
-                           target_cols: int = 3072, epilogue: str = "sublane"):
+                           target_cols: int = 3072, epilogue: str = "sublane",
+                           deferred: bool = False):
     """Fully-quantized MaxSim: int8 queries x int8 index on the MXU.
 
     Queries are quantized per token ON DEVICE (symmetric, like
@@ -408,17 +456,17 @@ def maxsim_pallas_int8full(Q, P_i8, scales, qmask, pmask,
     return _maxsim_int8_impl(Q_i8, q_weight, P_i8, scales, pmask,
                              compute_dtype=jnp.int8, interpret=interpret,
                              target_rows=target_rows, target_cols=target_cols,
-                             epilogue=epilogue)
+                             epilogue=epilogue, deferred=deferred)
 
 
 @functools.partial(
     jax.jit, static_argnames=("compute_dtype", "interpret", "target_rows",
-                              "target_cols", "epilogue")
+                              "target_cols", "epilogue", "deferred")
 )
 def maxsim_pallas_int8(Q, P_i8, scales, qmask, pmask,
                        compute_dtype=jnp.bfloat16, interpret: bool = False,
                        target_rows: int = 2048, target_cols: int = 3072,
-                       epilogue: str = "sublane"):
+                       epilogue: str = "sublane", deferred: bool = False):
     """Fused MaxSim over an int8-quantized index.
 
     Q (nq, Lq, D) float; P_i8 (nd, Lp, D) int8 codes; scales (nd, Lp) f32
@@ -428,17 +476,18 @@ def maxsim_pallas_int8(Q, P_i8, scales, qmask, pmask,
     return _maxsim_int8_impl(Q, qmask.astype(jnp.float32), P_i8, scales,
                              pmask, compute_dtype=compute_dtype,
                              interpret=interpret, target_rows=target_rows,
-                             target_cols=target_cols, epilogue=epilogue)
+                             target_cols=target_cols, epilogue=epilogue,
+                             deferred=deferred)
 
 
 @functools.partial(
     jax.jit, static_argnames=("compute_dtype", "interpret", "target_rows",
-                              "target_cols", "epilogue")
+                              "target_cols", "epilogue", "deferred")
 )
 def _maxsim_int8_impl(Q, q_weight, P_i8, scales, pmask,
                       compute_dtype=jnp.bfloat16, interpret: bool = False,
                       target_rows: int = 1024, target_cols: int = 2048,
-                      epilogue: str = "sublane"):
+                      epilogue: str = "sublane", deferred: bool = False):
     """Shared int8-index kernel driver; Q float (bf16 dot) or int8 (int8 dot);
     ``q_weight`` is the post-max per-query-token row (mask, optionally * sq)."""
     if interpret and epilogue == "bf16":
@@ -475,6 +524,52 @@ def _maxsim_int8_impl(Q, q_weight, P_i8, scales, pmask,
 
     precision = (jax.lax.Precision.HIGHEST
                  if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    cost = pl.CostEstimate(
+        flops=2 * (nq_pad * lq_pad) * (nd_pad * lp_pad) * d_pad,
+        bytes_accessed=qf.size * qf.dtype.itemsize
+        + Pp.size * 1 * n_qb + nq_pad * nd_pad * 4,
+        transcendentals=0,
+    )
+    if deferred:
+        # one extra doc column; p/scale maps clamp so the duplicate prefetch
+        # is a single doc block per q-block (~1/n_db extra traffic)
+        kernel = functools.partial(
+            _kernel_int8_defer, db=db, tlp=tlp, lq_pad=lq_pad, qb=qb,
+            out_dtype=jnp.float32, precision=precision,
+            compute_dtype=compute_dtype, n_db=n_db)
+        jmax = n_db - 1
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_qb, n_db + 1, n_lp),
+            in_specs=[
+                pl.BlockSpec((qbl, d_pad), lambda i, j, l: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, qbl), lambda i, j, l: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((db, tlp, d_pad),
+                             lambda i, j, l: (jnp.minimum(j, jmax), l, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, 1, db * tlp),
+                    lambda i, j, l: (
+                        jnp.minimum(j, jmax) * pl.num_programs(2) + l, 0, 0),
+                    memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, qb, db),
+                lambda i, j, l: (i, jnp.maximum(j - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_qb, n_db, qb, db), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((db, qbl), jnp.float32),
+                            pltpu.VMEM((db, qbl), jnp.float32)],
+            cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(qf, qmf, Pp, sc_t)
+        scores = out.transpose(0, 2, 1, 3).reshape(nq_pad, nd_pad)
+        return scores[:nq, :nd]
+
     kernel = functools.partial(
         _kernel_int8, db=db, tlp=tlp, lq_pad=lq_pad, qb=qb,
         out_dtype=jnp.float32, precision=precision, compute_dtype=compute_dtype,
@@ -498,12 +593,7 @@ def _maxsim_int8_impl(Q, q_weight, P_i8, scales, pmask,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_qb, n_db, qb, db), jnp.float32),
         scratch_shapes=[pltpu.VMEM((db, qbl), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * (nq_pad * lq_pad) * (nd_pad * lp_pad) * d_pad,
-            bytes_accessed=qf.size * qf.dtype.itemsize
-            + Pp.size * 1 * n_qb + nq_pad * nd_pad * 4,
-            transcendentals=0,
-        ),
+        cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=interpret,

@@ -100,15 +100,11 @@ def _fwd_train_kernel(qf_ref, qmf_ref, p_ref, pm_ref, out_ref, m_ref, acc_ref, *
         m_ref[0, 0] = acc
         mx = jnp.where(acc > NEG_THRESH, acc, 0.0)
         weighted = mx * qmf_ref[0]
-        qbl = qb * lq_pad
-        rows = jax.lax.broadcasted_iota(jnp.int32, (qbl, qb), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (qbl, qb), 1)
-        selT = (rows // lq_pad == cols).astype(jnp.float32)
-        out = jax.lax.dot_general(
-            weighted, selT, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        out_ref[0, 0] = jnp.transpose(out)
+        # pure-VPU segmented Lq-sum (exact; see pallas_maxsim._finish_sum
+        # 'sublane' — the fp32-HIGHEST selector matmul it replaces capped
+        # the serving kernel at small Lp)
+        wT = jnp.transpose(weighted)  # (QBL, DB)
+        out_ref[0, 0] = jnp.sum(wT.reshape(qb, lq_pad, db), axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype", "interpret"))

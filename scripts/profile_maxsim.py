@@ -6,10 +6,15 @@ isolate where the non-MXU time goes:
 
 - nomask: same kernel with the mask `where` removed (VPU cost of masking)
 - nomax: matmul only, no running max (VPU cost of the segmented max)
+- --epilogue {sublane,f32,bf16,none,...}: the Lq-sum epilogue variant
+  (see ops/pallas_maxsim._finish_sum); 'none' is the epilogue-free ceiling
+- --small-lp: switch to the config-5 shape (250k docs x 16 tokens), where
+  the epilogue dominates (it runs once per q/doc block with a single
+  contraction step to amortize it)
 
 Timing uses the honest remote protocol (distinct inputs per application, K
 applications chained in ONE jit, forced fetch). Run: python
-scripts/profile_maxsim.py [--sweep] [--backward]
+scripts/profile_maxsim.py [--sweep] [--backward] [--epilogue E] [--small-lp]
 """
 
 from __future__ import annotations
@@ -26,7 +31,6 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 NQ, LQ, ND, LP, D = 256, 32, 1000, 768, 128
-FLOPS_PAD = None  # set after padding known
 
 
 def _data(seed=0):
@@ -79,7 +83,18 @@ def main():
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the baseline "
                         "measurement into DIR")
+    p.add_argument("--epilogue", default="sublane",
+                   choices=["sublane", "f32", "bf16", "f32d", "reduce", "none"],
+                   help="Lq-sum epilogue variant (ops/pallas_maxsim."
+                        "_finish_sum); 'none' = epilogue-free ceiling "
+                        "(wrong results, profiling only)")
+    p.add_argument("--small-lp", action="store_true",
+                   help="config-5 shape: 250k docs x 16 tokens/page")
     a = p.parse_args()
+
+    global ND, LP
+    if a.small_lp:
+        ND, LP = 250_000, 16
 
     import jax
     import jax.numpy as jnp
@@ -90,12 +105,13 @@ def main():
     enable_persistent_cache()
     Q, P, qm, pm = _data()
     Qd, Pd, qmd, pmd = map(jnp.asarray, (Q, P, qm, pm))
+    fwd = functools.partial(_maxsim_pallas_fwd, epilogue=a.epilogue)
 
     with trace_ctx(a.trace):
         base = timed_tflops(
-            lambda q, p_, qm_, pm_: _maxsim_pallas_fwd(q, p_, qm_, pm_),
+            lambda q, p_, qm_, pm_: fwd(q, p_, qm_, pm_),
             Qd, Pd, qmd, pmd)
-    print(f"baseline (1024r x 2048c): {base:.1f} TFLOP/s", flush=True)
+    print(f"baseline (epilogue={a.epilogue}): {base:.1f} TFLOP/s", flush=True)
 
     if a.sweep:
         results = []
@@ -103,8 +119,7 @@ def main():
             for c in a.cols:
                 try:
                     t = timed_tflops(
-                        functools.partial(_maxsim_pallas_fwd,
-                                          target_rows=r, target_cols=c),
+                        functools.partial(fwd, target_rows=r, target_cols=c),
                         Qd, Pd, qmd, pmd)
                 except Exception as e:  # VMEM overflow etc.
                     print(f"rows={r:5d} cols={c:5d}: FAIL {type(e).__name__}",

@@ -198,3 +198,35 @@ def test_pallas_epilogue_variants_match_oracle(rng, epilogue):
         jnp.asarray(Q), jnp.asarray(codes), jnp.asarray(scales),
         jnp.asarray(qm), jnp.asarray(pm), interpret=True, epilogue=epilogue))
     np.testing.assert_allclose(got8, want, rtol=0.05, atol=0.05)
+
+
+@pytest.mark.parametrize("n_docs,lp,rows", [(9, 16, 512), (40, 64, 256),
+                                            (3, 16, 512)])
+def test_pallas_int8_deferred_epilogue_matches(rng, n_docs, lp, rows):
+    """The deferred-epilogue kernel (block j's Lq-sum emitted during block
+    j+1's matmul, one extra doc grid column) must produce identical scores
+    to the in-step epilogue, across multi-doc-block and single-doc-block
+    grids."""
+    import jax.numpy as jnp
+
+    from evdr_tpu.ops.pallas_maxsim import (maxsim_pallas_int8,
+                                            maxsim_pallas_int8full)
+    from evdr_tpu.ops.quantize import quantize_tokens_int8
+
+    nq, lq, d = 5, 4, 32
+    Q = rng.normal(size=(nq, lq, d)).astype(np.float32)
+    P = rng.normal(size=(n_docs, lp, d)).astype(np.float32)
+    qm = rng.random((nq, lq)) > 0.2
+    pm = rng.random((n_docs, lp)) > 0.2
+    codes, scales = quantize_tokens_int8(P * pm[..., None], pm)
+    args = (jnp.asarray(Q), jnp.asarray(codes), jnp.asarray(scales),
+            jnp.asarray(qm), jnp.asarray(pm))
+
+    for fn in (maxsim_pallas_int8full, maxsim_pallas_int8):
+        base = np.asarray(fn(*args, interpret=True, target_rows=rows,
+                             target_cols=64))
+        got = np.asarray(fn(*args, interpret=True, target_rows=rows,
+                            target_cols=64, deferred=True))
+        # rtol only: the bf16-dot path's XLA program differs, so interpret
+        # mode may reassociate the contraction (~1e-7 rel noise)
+        np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-5)
