@@ -92,6 +92,12 @@ def _finish_sum(weighted, db, qb, lq_pad, epilogue):
       (138 vs 258) is the epilogue not overlapping the int8 MXU stream —
       the identical epilogue costs ~12x more wall-time inside the int8
       kernel than the bf16 one (Mosaic scheduling, not arithmetic).
+
+    Ruled out for the remaining int8 gap: a bf16-relayout sublane variant
+    (half the transpose bytes) measured SLOWER (140.1 vs 142.4) with 1.2%
+    top-1 disagreement — the cost is not relayout byte volume; and the
+    deferred-epilogue grid (see ``_kernel_int8_defer``) helps only at
+    target_rows=2048 (+6%) and hurts at 4096.
     """
     qbl = qb * lq_pad
     if epilogue == "none":
@@ -175,7 +181,7 @@ def _kernel(qf_ref, qmf_ref, p_ref, pm_ref, out_ref, acc_ref, *, db, tlp, lq_pad
         out = _finish_sum(weighted, db, qb, lq_pad, epilogue)  # (DB, QB)
         # store qb-major/db-minor: db is 128-aligned for long-doc tiles, so
         # the (..., qb, db) output array avoids lane padding at large N
-        if epilogue == "sublane":  # already (QB, DB), pre-transposed
+        if epilogue.startswith("sublane"):  # already (QB, DB), pre-transposed
             out_ref[0, 0] = out.astype(out_dtype)
         else:
             out_ref[0, 0] = jnp.transpose(out).astype(out_dtype)
@@ -382,7 +388,7 @@ def _kernel_int8(qf_ref, qmf_ref, p_ref, sc_ref, out_ref, acc_ref, *, db, tlp,
         mx = jnp.where(acc > NEG_THRESH, acc, 0.0)
         weighted = mx * qmf_ref[0]
         out = _finish_sum(weighted, db, qb, lq_pad, epilogue)
-        if epilogue == "sublane":  # already (QB, DB), pre-transposed
+        if epilogue.startswith("sublane"):  # already (QB, DB), pre-transposed
             out_ref[0, 0] = out.astype(out_dtype)
         else:
             out_ref[0, 0] = jnp.transpose(out).astype(out_dtype)

@@ -90,8 +90,11 @@ def parse_log(path) -> dict:
             continue
         if "summary/best_ndcg5" in rec:
             out["best"] = rec["summary/best_ndcg5"]
-        elif "train/total loss" in rec:
-            out["train"][int(rec["step"])] = float(rec["train/total loss"])
+        elif "train/total loss" in rec or "train/total_loss" in rec:
+            # mainv2 logs 'train/total loss'; the mainv3 hardtoken script
+            # logs 'train/total_loss'
+            out["train"][int(rec["step"])] = float(
+                rec.get("train/total loss", rec.get("train/total_loss")))
         elif "eval/NDCG@5" in rec:
             out["eval"][int(rec["step"])] = {
                 "loss": float(rec.get("eval/eval loss", rec.get("eval/loss", 0.0))),
@@ -101,14 +104,33 @@ def parse_log(path) -> dict:
     return out
 
 
+_SCRIPTS = {
+    # aug -> (reference module, extra reference argv, extra TrainConfig kw)
+    "none": ("mainv2_iter_liscore", [], {}),
+    # Family D flagship: deterministic given batch order once
+    # virt_noise_std=0 (the only stochastic draw in the script,
+    # mainv3_iter_liscore_QA_hardtoken.py:423)
+    "hardtoken": ("mainv3_iter_liscore_QA_hardtoken",
+                  ["--virt_noise_std", "0", "--lambda_aux", "0.3",
+                   "--aux_docs", "2"],
+                  dict(aug="hardtoken", virt_noise_std=0.0, lambda_aux=0.3,
+                       aux_docs=2)),
+}
+
+
 def run_reference(root, out_root, hp) -> list:
-    """Run the reference flagship main() on the fixture; returns the recorded
-    per-batch index lists its DataLoader consumed."""
+    """Run the reference main() (flagship or Family-D hardtoken, per
+    hp['aug']) on the fixture; returns the recorded per-batch index lists
+    its DataLoader consumed."""
     if REF not in sys.path:
         sys.path.insert(0, REF)
     install_mteb_stub()
+    import importlib
+
     import Qdatasets.query_tensor_dataset as qds
-    import mainv2_iter_liscore as ref_main
+
+    mod_name, extra_argv, _ = _SCRIPTS[hp["aug"]]
+    ref_main = importlib.import_module(mod_name)
 
     # route the reference's registry at our fixture files (same stems our
     # write_dataset_fixture emits)
@@ -127,7 +149,7 @@ def run_reference(root, out_root, hp) -> list:
 
     qds.QueryTensorDataset.__getitem__ = rec_getitem
     argv_save = sys.argv
-    sys.argv = ["mainv2_iter_liscore.py",
+    sys.argv = [mod_name + ".py",
                 "--datasets", "synth", "--mfs", "5",
                 "--query_root", str(root), "--teacher_root", str(root),
                 "--init_root", str(root / "S3E_init"),
@@ -140,7 +162,7 @@ def run_reference(root, out_root, hp) -> list:
                 "--lambda_list", str(hp["lambda_list"]),
                 "--lambda_score", str(hp["lambda_score"]),
                 "--print_every", "1", "--device", "cpu",
-                "--seed", str(hp["seed"])]
+                "--seed", str(hp["seed"])] + extra_argv
     try:
         ref_main.main()
     finally:
@@ -167,7 +189,8 @@ def run_ours(root, out_root, hp, batches) -> None:
         eval_every=hp["eval_every"], q_batch=hp["q_batch"], lr=hp["lr"],
         weight_decay=hp["wd"], k=hp["k"], temp=hp["temp"],
         lambda_list=hp["lambda_list"], lambda_score=hp["lambda_score"],
-        print_every=1, seed=hp["seed"], chunk_p=32).validate()
+        print_every=1, seed=hp["seed"], chunk_p=32,
+        **_SCRIPTS[hp["aug"]][2]).validate()
     set_seed(cfg.seed)
     bundle = load_dataset_bundle(cfg, "synth")
     bundle.sc_t_train = _precompute_teacher_scores(
@@ -213,12 +236,12 @@ def compare(ref, ours, steps) -> dict:
 
 
 def run(steps=400, eval_every=100, q_batch=8, n_docs=16, n_train_queries=48,
-        dim=32, seed=42, workdir=None, out=None) -> dict:
+        dim=32, seed=42, workdir=None, out=None, aug="none") -> dict:
     from evdr_tpu.data.synthetic import write_dataset_fixture
 
     hp = dict(steps=steps, eval_every=eval_every, q_batch=q_batch, lr=1e-3,
               wd=1e-2, k=6, temp=0.1, lambda_list=1.0, lambda_score=1.0,
-              seed=seed)
+              seed=seed, aug=aug)
     workdir = pathlib.Path(workdir or tempfile.mkdtemp(prefix="golden_"))
     root = workdir / "data"
     root.mkdir(parents=True, exist_ok=True)
@@ -245,10 +268,14 @@ def main():
     p.add_argument("--steps", type=int, default=400)
     p.add_argument("--eval_every", type=int, default=100)
     p.add_argument("--q_batch", type=int, default=8)
+    p.add_argument("--aug", default="none", choices=sorted(_SCRIPTS),
+                   help="golden-trajectory target: the flagship script "
+                        "('none' -> mainv2_iter_liscore) or the Family-D "
+                        "hardtoken script")
     p.add_argument("--out", default="bench_artifacts/golden_parity.json")
     a = p.parse_args()
     report = run(steps=a.steps, eval_every=a.eval_every, q_batch=a.q_batch,
-                 out=a.out)
+                 out=a.out, aug=a.aug)
     print(json.dumps(report, indent=2))
 
 

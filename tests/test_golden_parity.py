@@ -32,3 +32,22 @@ def test_full_trajectory_matches_reference(tmp_path):
     assert r["ndcg5_max_abs_diff"] == 0.0, r
     assert r["recall1_max_abs_diff"] == 0.0, r
     assert r["best_ndcg5_abs_diff"] == 0.0, r
+
+
+@pytest.mark.slow
+def test_full_trajectory_matches_reference_hardtoken(tmp_path):
+    """Family-D golden trajectory vs mainv3_iter_liscore_QA_hardtoken.py
+    (virt_noise_std=0 makes the script deterministic given batch order —
+    its only random draw is the virtual-query noise)."""
+    import golden_parity
+
+    r = golden_parity.run(steps=60, eval_every=30, workdir=tmp_path,
+                          aug="hardtoken")
+    # the aux virtual-query terms add fp work per step, so the loss drift
+    # tolerance is looser than the flagship's; metric trajectories and the
+    # best-nDCG@5 selection must still agree exactly
+    assert r["train_loss_max_rel_diff"] < 5e-3, r
+    assert r["eval_loss_max_abs_diff"] < 1e-3, r
+    assert r["ndcg5_max_abs_diff"] == 0.0, r
+    assert r["recall1_max_abs_diff"] == 0.0, r
+    assert r["best_ndcg5_abs_diff"] == 0.0, r
