@@ -115,7 +115,76 @@ _SCRIPTS = {
                    "--aux_docs", "2"],
                   dict(aug="hardtoken", virt_noise_std=0.0, lambda_aux=0.3,
                        aux_docs=2)),
+    # stochastic Family-D scripts: the reference's random draws are replaced
+    # by OUR harness's jax PRNG draws (a pure function of the seed — one step
+    # key per training step, the same trick as tests/test_train_step_parity),
+    # so both trajectories consume identical randomness.
+    "qnoise": ("mainv3_iter_liscore_noisev1",
+               ["--q_noise_std", "0.05"],
+               dict(aug="qnoise", q_noise_std=0.05)),
+    "mixup": ("mainv3_iter_liscore_mixup",
+              ["--mixup_alpha", "0.2", "--lambda_mix", "1.0"],
+              dict(aug="mixup", mixup_alpha=0.2, lambda_mix=1.0)),
 }
+
+
+def _install_draw_injector(aug, seed):
+    """Monkeypatch the reference's random draws (torch.randn_like /
+    np.random.beta + torch.randperm) to return OUR harness's jax draws.
+
+    The harness consumes exactly one PRNG key per training step
+    (``rngs.next()``, harness.py train loop); qnoise spends it directly on
+    ``jax.random.normal(rng, Qb.shape)`` (harness.py:339) and mixup splits it
+    into (lam, perm) keys (harness.py:363-365). The reference mirrors this
+    1:1: noisev1 calls ``torch.randn_like`` once per step (:297); mixup calls
+    ``np.random.beta`` then ``torch.randperm`` once per step (:316-317).
+    Returns a restore() callable (None if the aug needs no injection).
+
+    The reference's shuffled DataLoader ALSO calls torch.randperm (its
+    RandomSampler, once per epoch) — the mixup patch only intercepts a call
+    when a perm key is pending from the immediately preceding beta() call.
+    """
+    if aug not in ("qnoise", "mixup"):
+        return None
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from evdr_tpu.utils.prng import PRNGSequence
+
+    rngs = PRNGSequence(seed)
+
+    if aug == "qnoise":
+        orig = torch.randn_like
+        def fake_randn_like(t, **kw):
+            n = np.asarray(jax.random.normal(rngs.next(), tuple(t.shape),
+                                             jnp.float32))
+            return torch.tensor(n, dtype=t.dtype, device=t.device)
+        torch.randn_like = fake_randn_like
+        return lambda: setattr(torch, "randn_like", orig)
+
+    orig_beta = np.random.beta
+    orig_perm = torch.randperm
+    pending = {}
+
+    def fake_beta(a, b, *args, **kw):
+        lam_key, perm_key = jax.random.split(rngs.next())
+        pending["perm"] = perm_key
+        return float(jax.random.beta(lam_key, a, b))
+
+    def fake_randperm(n, *args, **kw):
+        if "perm" in pending:
+            perm = np.asarray(jax.random.permutation(pending.pop("perm"), n))
+            return torch.tensor(perm, dtype=torch.long)
+        return orig_perm(n, *args, **kw)
+
+    np.random.beta = fake_beta
+    torch.randperm = fake_randperm
+
+    def restore():
+        np.random.beta = orig_beta
+        torch.randperm = orig_perm
+    return restore
 
 
 def run_reference(root, out_root, hp) -> list:
@@ -148,6 +217,7 @@ def run_reference(root, out_root, hp) -> list:
         return orig_getitem(self, idx)
 
     qds.QueryTensorDataset.__getitem__ = rec_getitem
+    restore_draws = _install_draw_injector(hp["aug"], hp["seed"])
     argv_save = sys.argv
     sys.argv = [mod_name + ".py",
                 "--datasets", "synth", "--mfs", "5",
@@ -168,6 +238,8 @@ def run_reference(root, out_root, hp) -> list:
     finally:
         sys.argv = argv_save
         qds.QueryTensorDataset.__getitem__ = orig_getitem
+        if restore_draws is not None:
+            restore_draws()
 
     # group the flat per-item record into DataLoader batches (drop_last=False)
     q_batch = hp["q_batch"]

@@ -35,6 +35,23 @@ def test_full_trajectory_matches_reference(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("aug", ["qnoise", "mixup"])
+def test_full_trajectory_matches_reference_stochastic_aug(tmp_path, aug):
+    """Stochastic Family-D golden trajectories: the reference's random draws
+    (torch.randn_like / np.random.beta + torch.randperm) are replaced by OUR
+    harness's jax PRNG draws so both stacks consume identical randomness
+    (scripts/golden_parity._install_draw_injector)."""
+    import golden_parity
+
+    r = golden_parity.run(steps=60, eval_every=30, workdir=tmp_path, aug=aug)
+    assert r["train_loss_max_rel_diff"] < 1e-4, r
+    assert r["eval_loss_max_abs_diff"] < 1e-4, r
+    assert r["ndcg5_max_abs_diff"] == 0.0, r
+    assert r["recall1_max_abs_diff"] == 0.0, r
+    assert r["best_ndcg5_abs_diff"] == 0.0, r
+
+
+@pytest.mark.slow
 def test_full_trajectory_matches_reference_hardtoken(tmp_path):
     """Family-D golden trajectory vs mainv3_iter_liscore_QA_hardtoken.py
     (virt_noise_std=0 makes the script deterministic given batch order —
