@@ -90,6 +90,8 @@ def parse_log(path) -> dict:
             continue
         if "summary/best_ndcg5" in rec:
             out["best"] = rec["summary/best_ndcg5"]
+        elif "step" not in rec:
+            continue  # epoch-keyed records (parsed by _parse_epoch_log)
         elif "train/total loss" in rec or "train/total_loss" in rec:
             # mainv2 logs 'train/total loss'; the mainv3 hardtoken script
             # logs 'train/total_loss'
@@ -335,6 +337,264 @@ def run(steps=400, eval_every=100, q_batch=8, n_docs=16, n_train_queries=48,
     return report
 
 
+# =============================================================================
+# Family A: mainv1.py (full-batch SPL on a labeled train/test split)
+# =============================================================================
+
+def _parse_epoch_log(path, step_equals_epoch=False) -> dict:
+    """Epoch-keyed series. mainv1 logs one epoch-keyed record per epoch
+    ('train/avg_loss' + eval keys, mainv1.py:356-368, plus an epoch-0 init
+    eval); our epoch trainer logs step-keyed records where, with
+    full_batch=True, step == epoch (one full-batch step per epoch)."""
+    out = {}
+    for line in pathlib.Path(path).read_text().splitlines():
+        m = re.search(r"\{.*\}", line)
+        if not m:
+            continue
+        try:
+            rec = json.loads(m.group(0))
+        except json.JSONDecodeError:
+            continue
+        ep = rec.get("epoch", rec.get("step") if step_equals_epoch else None)
+        if ep is None:
+            continue
+        row = out.setdefault(int(ep), {"train": float("nan")})
+        # our harness logs train and eval on SEPARATE step-keyed lines;
+        # mainv1 merges both into one epoch-keyed record
+        tr = rec.get("train/avg_loss", rec.get("train/total loss"))
+        if tr is not None:
+            row["train"] = float(tr)
+        if "eval/NDCG@5" in rec:
+            row["loss"] = float(rec.get("eval/loss",
+                                        rec.get("eval/eval loss", 0.0)))
+            row["NDCG@5"] = float(rec["eval/NDCG@5"])
+            row["Recall@1"] = float(rec["eval/Recall@1"])
+    return {e: r for e, r in out.items() if "NDCG@5" in r}
+
+
+def run_family_a(epochs=120, n_docs=16, n_queries=48, dim=32, seed=42,
+                 workdir=None, out=None) -> dict:
+    """Golden trajectory vs /root/reference/mainv1.py (Family A): full-batch
+    SPL on a labeled query split — deterministic on both sides (no DataLoader,
+    no random draws), so no batch replay is needed."""
+    from evdr_tpu.data.registry import register_dataset
+    from evdr_tpu.data.synthetic import write_dataset_fixture
+    from evdr_tpu.tools.split_data import split_query_npz
+
+    workdir = pathlib.Path(workdir or tempfile.mkdtemp(prefix="goldenA_"))
+    root = workdir / "data"
+    root.mkdir(parents=True, exist_ok=True)
+    write_dataset_fixture(root, key="synth", n_docs=n_docs,
+                          n_test_queries=12, n_train_queries=n_queries,
+                          dim=dim, mfs=(5,), seed=seed, init_noise=2.0)
+    split_query_npz(root / "synth_test_dump_all.npz", root, test_ratio=0.25,
+                    shuffle=True, seed=3)
+
+    hp = dict(epochs=epochs, lr=3e-3, wd=0.0, seed=seed)
+
+    # ---- reference run ----
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    install_mteb_stub()
+    import importlib
+
+    ref_main = importlib.import_module("mainv1")
+    ref_main.DATASETMAP["synthsplit"] = {
+        "train": "synth_test_train.npz",
+        "test": "synth_test_test.npz",
+        "mf5": "mf5/synth_test.npz",
+    }
+    argv_save = sys.argv
+    sys.argv = ["mainv1.py", "--datasets", "synthsplit", "--mfs", "5",
+                "--data_root", str(root), "--init_root", str(root / "S3E_init"),
+                "--out_root", str(workdir / "ref_out"), "--name", "golden",
+                "--epochs", str(epochs), "--lr", str(hp["lr"]),
+                "--weight_decay", str(hp["wd"]),
+                "--save_period", str(epochs + 1),  # skip periodic exports
+                "--device", "cpu", "--seed", str(seed)]
+    try:
+        ref_main.main()
+    finally:
+        sys.argv = argv_save
+
+    # ---- our run ----
+    from evdr_tpu.train.config import TrainConfig
+    from evdr_tpu.train.harness import run_training
+
+    register_dataset("synthsplit", "synth_test", has_split=True, mfs=(5,))
+    cfg = TrainConfig(
+        datasets=["synthsplit"], query_root=str(root), teacher_root=str(root),
+        init_root=str(root / "S3E_init"), mfs=[5],
+        out_root=str(workdir / "our_out"), name="golden", trainer="epoch",
+        loss="spl", full_batch=True, use_labeled_split=True,
+        epochs=epochs, eval_every=0, max_steps=0, lr=hp["lr"],
+        weight_decay=hp["wd"], print_every=1, seed=seed,
+        chunk_p=64).validate()
+    run_training(cfg)
+
+    ref = _parse_epoch_log(
+        workdir / "ref_out" / "golden" / "mf5" / "synthsplit" / "train.log")
+    ours = _parse_epoch_log(
+        workdir / "our_out" / "golden" / "mf5" / "synthsplit" / "train.log",
+        step_equals_epoch=True)
+    common = sorted(set(ref) & set(ours))
+    assert len(common) >= epochs, (len(common), epochs)
+    # epoch 0 (init eval) has no train loss on either side
+    tr = [(ref[e]["train"], ours[e]["train"]) for e in common if e > 0]
+    tr_ref = np.array([a for a, _ in tr])
+    tr_our = np.array([b for _, b in tr])
+    report = {
+        "family": "A (mainv1 full-batch SPL, labeled split)",
+        "n_epochs_compared": len(common),
+        "train_loss_max_rel_diff": float(np.max(
+            np.abs(tr_our - tr_ref) / np.maximum(np.abs(tr_ref), 1e-6))),
+        "eval_loss_max_abs_diff": float(max(
+            abs(ref[e]["loss"] - ours[e]["loss"]) for e in common)),
+        "ndcg5_max_abs_diff": float(max(
+            abs(ref[e]["NDCG@5"] - ours[e]["NDCG@5"]) for e in common)),
+        "recall1_max_abs_diff": float(max(
+            abs(ref[e]["Recall@1"] - ours[e]["Recall@1"]) for e in common)),
+        "final_ndcg5_ref": ref[max(common)]["NDCG@5"],
+        "final_ndcg5_ours": ours[max(common)]["NDCG@5"],
+        "hp": hp,
+    }
+    if out:
+        pathlib.Path(out).parent.mkdir(parents=True, exist_ok=True)
+        pathlib.Path(out).write_text(json.dumps(report, indent=2))
+    return report
+
+
+# =============================================================================
+# Family B: mainv2_listwise.py (epoch trainer, shuffled DataLoader)
+# =============================================================================
+
+def run_family_b(epochs=8, q_batch=8, n_docs=16, n_train_queries=48, dim=32,
+                 seed=42, workdir=None, out=None) -> dict:
+    """Golden trajectory vs /root/reference/mainv2_listwise.py (Family B):
+    per-epoch training over a shuffled DataLoader whose exact batch order is
+    recorded and replayed through our epoch trainer. The reference logs ONE
+    epoch-keyed record with the epoch's MEAN train loss (mainv2_listwise.py:
+    396-408); ours logs per-step losses (print_every=1), averaged per epoch
+    here."""
+    from evdr_tpu.data.synthetic import write_dataset_fixture
+
+    workdir = pathlib.Path(workdir or tempfile.mkdtemp(prefix="goldenB_"))
+    root = workdir / "data"
+    root.mkdir(parents=True, exist_ok=True)
+    write_dataset_fixture(root, key="synth", n_docs=n_docs,
+                          n_test_queries=12, n_train_queries=n_train_queries,
+                          dim=dim, mfs=(5,), seed=seed, init_noise=2.0)
+    hp = dict(epochs=epochs, q_batch=q_batch, lr=1e-3, wd=1e-2, k=6,
+              temp=0.5, seed=seed)
+
+    # ---- reference run (records DataLoader batch order) ----
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    install_mteb_stub()
+    import importlib
+
+    import Qdatasets.query_tensor_dataset as qds
+
+    ref_main = importlib.import_module("mainv2_listwise")
+    ref_main.DATASETMAP["synth"] = {
+        "split_before": "synth_test_dump_all.npz",
+        "pseudoQ": "synth_test_query.npz",
+        "mf5": "mf5/synth_test.npz",
+    }
+    recorded: list = []
+    orig_getitem = qds.QueryTensorDataset.__getitem__
+
+    def rec_getitem(self, idx):
+        recorded.append(int(idx))
+        return orig_getitem(self, idx)
+
+    qds.QueryTensorDataset.__getitem__ = rec_getitem
+    argv_save = sys.argv
+    sys.argv = ["mainv2_listwise.py", "--datasets", "synth", "--mfs", "5",
+                "--query_root", str(root), "--teacher_root", str(root),
+                "--init_root", str(root / "S3E_init"),
+                "--out_root", str(workdir / "ref_out"), "--name", "golden",
+                "--epochs", str(epochs), "--q_batch", str(q_batch),
+                "--lr", str(hp["lr"]), "--weight_decay", str(hp["wd"]),
+                "--k", str(hp["k"]), "--temp", str(hp["temp"]),
+                "--print_every", "1", "--device", "cpu",
+                "--seed", str(seed)]
+    try:
+        ref_main.main()
+    finally:
+        sys.argv = argv_save
+        qds.QueryTensorDataset.__getitem__ = orig_getitem
+
+    batches = [np.asarray(recorded[i: i + q_batch], dtype=np.int32)
+               for i in range(0, len(recorded), q_batch)]
+
+    # ---- our run (epoch trainer, replayed batches) ----
+    from evdr_tpu.train.config import TrainConfig
+    from evdr_tpu.train.harness import (
+        _precompute_teacher_scores, load_dataset_bundle, train_dataset_mf)
+    from evdr_tpu.utils.prng import set_seed
+
+    cfg = TrainConfig(
+        datasets=["synth"], query_root=str(root), teacher_root=str(root),
+        init_root=str(root / "S3E_init"), mfs=[5],
+        out_root=str(workdir / "our_out"), name="golden", trainer="epoch",
+        loss="listwise", epochs=epochs, eval_every=0, max_steps=0,
+        q_batch=q_batch, lr=hp["lr"], weight_decay=hp["wd"], k=hp["k"],
+        temp=hp["temp"], print_every=1, seed=seed, chunk_p=32).validate()
+    set_seed(cfg.seed)
+    bundle = load_dataset_bundle(cfg, "synth")
+    bundle.sc_t_train = _precompute_teacher_scores(
+        bundle.Q_train, bundle.qmask_train, bundle.P_teacher_norm,
+        bundle.pmask_teacher, chunk_q=256, chunk_p=cfg.chunk_p, impl="xla")
+    bundle.sc_t_test = _precompute_teacher_scores(
+        bundle.Q_test, bundle.qmask_test, bundle.P_teacher_norm,
+        bundle.pmask_teacher, chunk_q=256, chunk_p=cfg.chunk_p, impl="xla")
+    train_dataset_mf(cfg, bundle, "synth", 5, batch_stream=iter(batches))
+
+    # ---- compare per-epoch ----
+    spe = -(-n_train_queries // q_batch)  # steps per epoch (drop_last=False)
+    ref_log = parse_log(
+        workdir / "ref_out" / "golden" / "mf5" / "synth" / "train.log")
+    ref_ep = _parse_epoch_log(
+        workdir / "ref_out" / "golden" / "mf5" / "synth" / "train.log")
+    our_log = parse_log(
+        workdir / "our_out" / "golden" / "mf5" / "synth" / "train.log")
+
+    def our_epoch_mean(e):
+        steps = [s for s in our_log["train"] if (e - 1) * spe < s <= e * spe]
+        return float(np.mean([our_log["train"][s] for s in steps]))
+
+    epochs_common = sorted(e for e in ref_ep if e > 0)
+    assert len(epochs_common) == epochs, (len(epochs_common), epochs)
+    tr_ref = np.array([ref_ep[e]["train"] for e in epochs_common])
+    tr_our = np.array([our_epoch_mean(e) for e in epochs_common])
+    ev = {e: our_log["eval"].get(e * spe) for e in epochs_common}
+    assert all(v is not None for v in ev.values()), "missing our eval epochs"
+    report = {
+        "family": "B (mainv2_listwise epoch trainer)",
+        "n_epochs_compared": len(epochs_common),
+        "train_loss_max_rel_diff": float(np.max(
+            np.abs(tr_our - tr_ref) / np.maximum(np.abs(tr_ref), 1e-6))),
+        "eval_loss_max_abs_diff": float(max(
+            abs(ref_ep[e]["loss"] - ev[e]["loss"]) for e in epochs_common)),
+        "ndcg5_max_abs_diff": float(max(
+            abs(ref_ep[e]["NDCG@5"] - ev[e]["NDCG@5"])
+            for e in epochs_common)),
+        "recall1_max_abs_diff": float(max(
+            abs(ref_ep[e]["Recall@1"] - ev[e]["Recall@1"])
+            for e in epochs_common)),
+        "best_ndcg5_ref": ref_log["best"]["NDCG@5"],
+        "best_ndcg5_ours": our_log["best"]["NDCG@5"],
+        "best_ndcg5_abs_diff": float(
+            abs(ref_log["best"]["NDCG@5"] - our_log["best"]["NDCG@5"])),
+        "hp": hp,
+    }
+    if out:
+        pathlib.Path(out).parent.mkdir(parents=True, exist_ok=True)
+        pathlib.Path(out).write_text(json.dumps(report, indent=2))
+    return report
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--steps", type=int, default=400)
@@ -342,12 +602,18 @@ def main():
     p.add_argument("--q_batch", type=int, default=8)
     p.add_argument("--aug", default="none", choices=sorted(_SCRIPTS),
                    help="golden-trajectory target: the flagship script "
-                        "('none' -> mainv2_iter_liscore) or the Family-D "
-                        "hardtoken script")
+                        "('none' -> mainv2_iter_liscore) or a Family-D "
+                        "mainv3 script")
+    p.add_argument("--family_a", action="store_true",
+                   help="instead run the Family-A golden trajectory "
+                        "(mainv1.py full-batch SPL; --steps = epochs)")
     p.add_argument("--out", default="bench_artifacts/golden_parity.json")
     a = p.parse_args()
-    report = run(steps=a.steps, eval_every=a.eval_every, q_batch=a.q_batch,
-                 out=a.out, aug=a.aug)
+    if a.family_a:
+        report = run_family_a(epochs=a.steps, out=a.out)
+    else:
+        report = run(steps=a.steps, eval_every=a.eval_every,
+                     q_batch=a.q_batch, out=a.out, aug=a.aug)
     print(json.dumps(report, indent=2))
 
 

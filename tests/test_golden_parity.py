@@ -35,6 +35,33 @@ def test_full_trajectory_matches_reference(tmp_path):
 
 
 @pytest.mark.slow
+def test_family_a_trajectory_matches_mainv1(tmp_path):
+    """Family A golden: mainv1.py full-batch SPL on the labeled split —
+    deterministic on both sides, per-epoch series compared."""
+    import golden_parity
+
+    r = golden_parity.run_family_a(epochs=30, workdir=tmp_path)
+    assert r["train_loss_max_rel_diff"] < 1e-4, r
+    assert r["eval_loss_max_abs_diff"] < 1e-4, r
+    assert r["ndcg5_max_abs_diff"] == 0.0, r
+    assert r["recall1_max_abs_diff"] == 0.0, r
+
+
+@pytest.mark.slow
+def test_family_b_trajectory_matches_mainv2_listwise(tmp_path):
+    """Family B golden: mainv2_listwise.py epoch trainer with its shuffled
+    DataLoader order replayed; per-epoch mean train loss + eval series."""
+    import golden_parity
+
+    r = golden_parity.run_family_b(epochs=6, workdir=tmp_path)
+    assert r["train_loss_max_rel_diff"] < 1e-4, r
+    assert r["eval_loss_max_abs_diff"] < 1e-4, r
+    assert r["ndcg5_max_abs_diff"] == 0.0, r
+    assert r["recall1_max_abs_diff"] == 0.0, r
+    assert r["best_ndcg5_abs_diff"] == 0.0, r
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("aug", ["qnoise", "mixup"])
 def test_full_trajectory_matches_reference_stochastic_aug(tmp_path, aug):
     """Stochastic Family-D golden trajectories: the reference's random draws
