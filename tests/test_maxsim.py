@@ -200,6 +200,38 @@ def test_pallas_epilogue_variants_match_oracle(rng, epilogue):
     np.testing.assert_allclose(got8, want, rtol=0.05, atol=0.05)
 
 
+def test_pallas_shape_fuzz_matches_oracle(rng):
+    """Randomized shape/mask sweep: the fused kernel (fp32, interpret) must
+    match the numpy oracle across awkward shapes — single-token queries/docs,
+    non-multiple-of-tile sizes, heavy masking, whole docs invalid."""
+    import jax.numpy as jnp
+
+    from evdr_tpu.ops.maxsim import maxsim_numpy
+    from evdr_tpu.ops.pallas_maxsim import _maxsim_pallas_fwd
+
+    for trial in range(12):
+        nq = int(rng.integers(1, 9))
+        lq = int(rng.integers(1, 13))
+        nd = int(rng.integers(1, 23))
+        lp = int(rng.integers(1, 37))
+        d = int(rng.choice([16, 32, 128]))
+        Q = rng.normal(size=(nq, lq, d)).astype(np.float32)
+        P = rng.normal(size=(nd, lp, d)).astype(np.float32)
+        qm = rng.random((nq, lq)) > rng.uniform(0.0, 0.6)
+        pm = rng.random((nd, lp)) > rng.uniform(0.0, 0.6)
+        if nd > 2:
+            pm[int(rng.integers(nd))] = False  # a fully-invalid doc
+        want = maxsim_numpy(Q, P, qm, pm)
+        got = np.asarray(_maxsim_pallas_fwd(
+            jnp.asarray(Q), jnp.asarray(P), jnp.asarray(qm), jnp.asarray(pm),
+            compute_dtype=jnp.float32, interpret=True,
+            target_rows=int(rng.choice([64, 256, 2048])),
+            target_cols=int(rng.choice([64, 256]))))
+        np.testing.assert_allclose(
+            got, want, rtol=1e-4, atol=1e-4,
+            err_msg=f"trial {trial}: nq={nq} lq={lq} nd={nd} lp={lp} d={d}")
+
+
 @pytest.mark.parametrize("n_docs,lp,rows", [(9, 16, 512), (40, 64, 256),
                                             (3, 16, 512)])
 def test_pallas_int8_deferred_epilogue_matches(rng, n_docs, lp, rows):
