@@ -192,8 +192,11 @@ def _kernel(qf_ref, qmf_ref, p_ref, pm_ref, out_ref, acc_ref, *, db, tlp, lq_pad
                               "target_cols", "epilogue")
 )
 def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
-                       interpret: bool = False, target_rows: int = 2048,
+                       interpret: bool = False, target_rows: int = 4096,
                        target_cols: int = 3072, epilogue: str = "sublane"):
+    # target_rows=4096 measured faster than 2048 with the sublane epilogue at
+    # both the headline shape (31.0k vs 30.3k q/s, Lp=768) and the config-5
+    # probe shape (+6%, Lp=16) on the v5e chip; 2048 was the f32-epilogue tune.
     if interpret and epilogue == "bf16":
         epilogue = "f32"  # CPU interpret mode lacks bf16 x bf16 dots
     nq, lq, d = Q.shape
@@ -471,8 +474,10 @@ def maxsim_pallas_int8full(Q, P_i8, scales, qmask, pmask,
 )
 def maxsim_pallas_int8(Q, P_i8, scales, qmask, pmask,
                        compute_dtype=jnp.bfloat16, interpret: bool = False,
-                       target_rows: int = 2048, target_cols: int = 3072,
+                       target_rows: int = 4096, target_cols: int = 3072,
                        epilogue: str = "sublane", deferred: bool = False):
+    # r4096 > r2048 with the sublane epilogue: 30.6k vs 29.5k q/s at Lp=768,
+    # 32.3k vs 30.2k at Lp=16 (v5e probes, 256q x 32t, bf16 dot).
     """Fused MaxSim over an int8-quantized index.
 
     Q (nq, Lq, D) float; P_i8 (nd, Lp, D) int8 codes; scales (nd, Lp) f32
