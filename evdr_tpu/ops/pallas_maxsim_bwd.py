@@ -36,7 +36,7 @@ from evdr_tpu.ops.pallas_maxsim import NEG_INIT, NEG_THRESH, _pick_tiles, _round
 def _prep(Q, P, qmask, pmask, compute_dtype, target_rows, target_cols):
     nq, lq, d = Q.shape
     nd, lp, _ = P.shape
-    qb, lq_pad, db, tlp = _pick_tiles(lq, lp, target_rows, target_cols)
+    qb, lq_pad, db, tlp = _pick_tiles(lq, lp, target_rows, target_cols, nq=nq)
     nq_pad = _round_up(max(nq, qb), qb)
     nd_pad = _round_up(max(nd, db), db)
     lp_pad = _round_up(lp, tlp)

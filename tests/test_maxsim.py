@@ -262,3 +262,24 @@ def test_pallas_int8_deferred_epilogue_matches(rng, n_docs, lp, rows):
         # rtol only: the bf16-dot path's XLA program differs, so interpret
         # mode may reassociate the contraction (~1e-7 rel noise)
         np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-5)
+
+
+def test_pick_tiles_clamps_query_block_to_nq():
+    """A large target_rows tile must not pad the query axis past the padded
+    query count: at nq=64/lq=32, an unclamped r4096 tile picked qb=128 and
+    doubled the MXU work (config-5b exact measured 1,033 -> 621 q/s)."""
+    from evdr_tpu.ops.pallas_maxsim import _pick_tiles
+
+    qb, lq_pad, _, _ = _pick_tiles(32, 16, target_rows=4096, target_cols=3072,
+                                   nq=64)
+    assert qb == 64
+    # nq not a multiple of 8: clamp rounds up, never below 8
+    qb, _, _, _ = _pick_tiles(32, 16, target_rows=4096, target_cols=3072, nq=5)
+    assert qb == 8
+    # plenty of queries: the target_rows choice is untouched
+    qb, _, _, _ = _pick_tiles(32, 16, target_rows=4096, target_cols=3072,
+                              nq=256)
+    assert qb == 128
+    # nq omitted (bwd-compat callers): unclamped
+    qb, _, _, _ = _pick_tiles(32, 16, target_rows=4096, target_cols=3072)
+    assert qb == 128
