@@ -418,6 +418,11 @@ def build_train_step(cfg: TrainConfig, bundle: DatasetBundle,
 
         (param, opt_state), parts_seq = jax.lax.scan(
             body, (param, opt_state), (idx_block, keys))
+        # DIAGNOSTIC SAMPLING SEMANTICS: per-component loss parts (and the
+        # gap-log / invariant diagnostics derived from them) report the LAST
+        # step of each K-block, not every step as the reference's per-step
+        # logs do; only total_loss_sum aggregates all K. Cadences are
+        # K-snapped (see _snap_cadence) so logged steps are exact.
         parts = jax.tree_util.tree_map(lambda x: x[-1], parts_seq)
         parts["total_loss_sum"] = jnp.sum(parts_seq["total_loss"])
         return param, opt_state, parts
