@@ -262,7 +262,7 @@ def _mixup_sharded(cfg, P_masked_loc, pms_loc, valid_loc, Qb, qmb, sc_t_loc,
     return cfg.lambda_score * loss_score_mix, loss_score_mix
 
 
-def _hardtoken_sharded(cfg, param_loc, Ps, pms_loc, s_loc, t_loc, valid_loc,
+def _hardtoken_sharded(cfg, Ps, pms_loc, s_loc, t_loc, valid_loc,
                        Qb, qmb, Pt_loc, pmt_loc, rng, loss_core, chunk_p,
                        n_docs):
     """Hard-token virtual queries over the sharded doc axis
@@ -387,7 +387,16 @@ def _build_objective(cfg: TrainConfig, mesh: Mesh, n_docs: int, *,
         else:
             t_loc = jax.lax.stop_gradient(
                 maxsim_xla(Q, Pt_loc, qm, pmt_loc, chunk_p=chunk_p))
-        valid_loc = jnp.any(pmt_loc, axis=-1)
+        # "valid" = REAL doc (global index < n_docs), i.e. not even-sharding
+        # padding. A real doc whose teacher tokens are all masked must still
+        # participate (score 0) exactly as it does on the single-device path
+        # — an any(pmt) proxy would drop it from softmax denominators, MSE
+        # counts, and hardtoken rank counting, silently breaking
+        # mesh/single-device parity.
+        shard_size = pmt_loc.shape[0]
+        gpos = (jax.lax.axis_index(DOC_AXIS) * shard_size
+                + jnp.arange(shard_size))
+        valid_loc = gpos < n_docs
 
         total, parts = loss_core(s_loc, t_loc, valid_loc, pos)
 
@@ -399,7 +408,7 @@ def _build_objective(cfg: TrainConfig, mesh: Mesh, n_docs: int, *,
 
         if aug == "hardtoken":
             aux_total, aux_parts = _hardtoken_sharded(
-                cfg, param_loc, Ps, pms_loc, s_loc, t_loc, valid_loc, Q, qm,
+                cfg, Ps, pms_loc, s_loc, t_loc, valid_loc, Q, qm,
                 Pt_loc, pmt_loc, rng, loss_core, chunk_p, n_docs)
             if aux_total is not None:
                 total = total + cfg.lambda_aux * aux_total

@@ -78,6 +78,29 @@ def _needs_query_chunking(loss: str) -> bool:
                for comp, _ in COMBINED_RECIPES.get(loss, ()))
 
 
+def _query_chunked_loss(nq: int, loss: str, run) -> Tuple[float, Dict[str, float]]:
+    """Eval-loss over test queries, chunked by 300 when the loss materializes
+    (Q, N, N) pairwise tensors and the test set is large (the reference's
+    tatdqa OOM guard, mainv2_ranknet.py:149-161). ``run(st, ed)`` returns
+    (total, parts) for queries [st:ed); the weighted average over chunks
+    equals the unchunked value. Shared by the host and mesh eval paths."""
+    if not (nq > 600 and _needs_query_chunking(loss)):
+        total, parts = run(0, nq)
+        return float(total), {k: float(v) for k, v in parts.items()}
+    total_acc, denom = 0.0, 0
+    parts_acc: Dict[str, float] = {}
+    for st in range(0, nq, 300):
+        ed = min(st + 300, nq)
+        t_c, parts_c = run(st, ed)
+        w = ed - st
+        total_acc += float(t_c) * w
+        for k2, v in parts_c.items():
+            parts_acc[k2] = parts_acc.get(k2, 0.0) + float(v) * w
+        denom += w
+    return (total_acc / max(denom, 1),
+            {k2: v / max(denom, 1) for k2, v in parts_acc.items()})
+
+
 # =============================================================================
 # data bundles
 # =============================================================================
@@ -538,25 +561,9 @@ def evaluation_loss(cfg: TrainConfig, bundle: DatasetBundle, param, pmask_studen
             sc_t = maxsim_xla(bundle.Q_test, bundle.P_teacher_norm,
                               bundle.qmask_test, bundle.pmask_teacher,
                               chunk_p=cfg.chunk_p)
-        nq = int(sc_s.shape[0])
-        if nq > 600 and _needs_query_chunking(cfg.loss):
-            # chunk test queries by 300 (mainv2_ranknet.py:149-161): pairwise
-            # losses materialize (Q, N, N) tensors; chunking bounds peak
-            # memory on large test sets (tatdqa) without changing the value
-            total_acc, denom = 0.0, 0
-            parts_acc: Dict[str, float] = {}
-            for st in range(0, nq, 300):
-                ed = min(st + 300, nq)
-                t_c, parts_c = loss_fn(sc_s[st:ed], sc_t[st:ed], None)
-                w = ed - st
-                total_acc += float(t_c) * w
-                for k2, v in parts_c.items():
-                    parts_acc[k2] = parts_acc.get(k2, 0.0) + float(v) * w
-                denom += w
-            total = total_acc / max(denom, 1)
-            parts = {k2: v / max(denom, 1) for k2, v in parts_acc.items()}
-        else:
-            total, parts = loss_fn(sc_s, sc_t, None)
+        total, parts = _query_chunked_loss(
+            int(sc_s.shape[0]), cfg.loss,
+            lambda st, ed: loss_fn(sc_s[st:ed], sc_t[st:ed], None))
     out = {"total_loss": float(total)}
     out.update({f"loss_{k}": float(v) for k, v in parts.items()})
     return out
@@ -812,24 +819,7 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
                     Q_test_r[st:ed], qm_test_r[st:ed], sct_rows=sct_c,
                     pos=(pos_d[st:ed] if pos_d is not None else None))
 
-            if nq > 600 and _needs_query_chunking(cfg.loss):
-                # reference's tatdqa OOM guard (mainv2_ranknet.py:149-161)
-                total_acc, denom = 0.0, 0
-                parts_acc: Dict[str, float] = {}
-                for st in range(0, nq, 300):
-                    ed = min(st + 300, nq)
-                    t_c, parts_c = run(st, ed)
-                    w = ed - st
-                    total_acc += float(t_c) * w
-                    for k2, v in parts_c.items():
-                        parts_acc[k2] = parts_acc.get(k2, 0.0) + float(v) * w
-                    denom += w
-                total = total_acc / max(denom, 1)
-                parts = {k2: v / max(denom, 1) for k2, v in parts_acc.items()}
-            else:
-                t, parts_d = run(0, nq)
-                total = float(t)
-                parts = {k2: float(v) for k2, v in parts_d.items()}
+            total, parts = _query_chunked_loss(nq, cfg.loss, run)
             out = {"total_loss": total}
             out.update({f"loss_{k2}": v for k2, v in parts.items()})
             return out

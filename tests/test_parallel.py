@@ -345,11 +345,18 @@ def test_sharded_infonce_sup_matches_unsharded(mesh):
                                rtol=1e-4, atol=2e-5)
 
 
-def _mesh_vs_single_step(mesh, cfg, seed=7, n_docs=24, n_queries=6):
+def _mesh_vs_single_step(mesh, cfg, seed=7, n_docs=24, n_queries=6,
+                         allmask_doc=None):
     """One train step through both paths with identical PRNG keys; returns
-    (parts_single, parts_mesh, p_single, p_mesh_valid)."""
+    (parts_single, parts_mesh, p_single, p_mesh_valid). ``allmask_doc``
+    masks out every teacher token of one REAL doc (its MaxSim score becomes
+    exactly 0 under the all-invalid-doc rule) to pin the mesh path's
+    doc-validity semantics to the single-device ones."""
     c, Q, qmask, Pn, pmask = _corpus(seed=seed, n_docs=n_docs,
                                      n_queries=n_queries)
+    if allmask_doc is not None:
+        pmask = np.asarray(pmask).copy()
+        pmask[allmask_doc] = False
     from evdr_tpu.data.align import align_by_docid
     from evdr_tpu.data.synthetic import pooled_init_index
     from evdr_tpu.train.harness import DatasetBundle, build_train_step
@@ -413,6 +420,24 @@ def test_mesh_hardtoken_matches_unsharded(mesh):
     np.testing.assert_allclose(float(parts2["total_loss"]),
                                float(parts1["total_loss"]), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(p2, p1, rtol=1e-4, atol=2e-5)
+
+
+def test_mesh_allmasked_real_doc_matches_unsharded(mesh):
+    """A REAL doc whose teacher tokens are all masked scores exactly 0 and
+    must still participate in softmax denominators, MSE counts, and the
+    hardtoken rank counting — the single-device path includes it. Guards
+    the mesh path's validity rule (real = global index < n_docs, NOT
+    any(pmask)): with an any(pmask) proxy, the mesh loss diverges here."""
+    for aug in ("none", "hardtoken"):
+        cfg = TrainConfig(loss="liscore_std", aug=aug, aux_docs=2, k=6,
+                          temp=0.3, lr=1e-3, chunk_p=8, virt_noise_std=0.05)
+        parts1, parts2, p1, p2 = _mesh_vs_single_step(mesh, cfg,
+                                                      allmask_doc=3)
+        np.testing.assert_allclose(
+            float(parts2["total_loss"]), float(parts1["total_loss"]),
+            rtol=1e-4, atol=1e-5, err_msg=f"aug={aug}")
+        np.testing.assert_allclose(p2, p1, rtol=1e-4, atol=2e-5,
+                                   err_msg=f"aug={aug}")
 
 
 def test_mesh_mixup_matches_unsharded_at_one_shard():
