@@ -18,11 +18,11 @@ Kernel design (TPU-first, not a translation):
   (doc_block, lp_tile) layout so the kernel applies them with a plain 2D
   ``where`` (no in-kernel gather/reshape of masks).
 - after the last lp tile: docs whose accumulator never saw a valid token are
-  zeroed (doc_has_token rule), the query mask is applied as a (QBL, 1)
-  columnwise weight, and the sum over each query's Lq tokens runs as a
-  pure-VPU segmented sum (transpose + leading-dim reshape + reduce; see
-  ``_finish_sum`` for the epilogue study — the earlier fp32-HIGHEST selector
-  matmul capped the whole kernel at small Lp).
+  zeroed (doc_has_token rule), the query mask is applied, and the sum over
+  each query's Lq tokens runs as a pure-VPU segmented sum — token-major
+  lane-sliced tree when the tiling allows it, sublane transpose+reduce
+  otherwise (see ``_finish_sum`` for the full epilogue study; the original
+  fp32-HIGHEST selector matmul capped the whole kernel at small Lp).
 
 The kernel is wrapped in ``jax.custom_vjp``: backward recomputes gradients via
 the XLA oracle (max-grad scatters to the argmax token), keeping training
@@ -44,6 +44,11 @@ from evdr_tpu.ops.maxsim import maxsim_xla as _maxsim_xla
 
 NEG_INIT = -1e30  # running-max init; any real (even unnormalized) sim beats it
 NEG_THRESH = -1e29  # acc below this => doc had no valid token => score 0
+
+
+def _nt_layout(epilogue: str) -> bool:
+    """Token-major epilogues that store (DB, QB) blocks (transposed in XLA)."""
+    return epilogue.startswith("tok") and epilogue != "tokmajor"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -77,12 +82,29 @@ def _finish_sum(weighted, db, qb, lq_pad, epilogue):
     it runs once per (q-block, doc-block) and Lp=16 means only ONE
     contraction step amortizes it:
 
-    - 'sublane' (DEFAULT): pure-VPU segmented sum — one transpose (which
-      replaces the caller's output transpose), then a layout-preserving
-      leading-dim reshape + sum, the same pattern as the kernel's per-doc
-      blockmax. EXACT (max rel diff 2e-7 vs 'f32'). bf16 kernel
-      111.7 -> 138-146 TFLOP/s; int8full 111 -> 138 TFLOP/s; headline
-      (Lp=768) int8full 35.8k -> 37.0k q/s.
+    - 'tokmajor' (auto-DEFAULT when qb%128==0 and db%8==0): the q-block is
+      flattened TOKEN-major (lane = t*qb + q_local), so the segmented sum is
+      a tree of lane-tile-ALIGNED slice adds with zero relayout; only the
+      small (DB, QB) result is transposed in-kernel. EXACT. bf16 161.6,
+      int8full ~153, int8-index 160.1 TFLOP/s.
+    - 'tokmajor_nt': same minus the small transpose — (DB, QB) blocks are
+      stored doc-major and the DRIVER transposes in XLA. Best at the kernel
+      level (bf16 163.1, int8full 155.5) but the driver-side transpose of
+      the full score matrix costs ~18% end-to-end at 1M pages (config 5
+      771 -> 631 q/s), so 'tokmajor' is the default instead.
+    - 'tokpre'/'tokchain': q-weight row applied pre-max / chain over acc
+      slices. bf16 160.0 / int8full 142.9 (the pre-max mul does not amortize
+      in the int8 stream); kept for study. 'tokN' = profiling probes (WRONG
+      results) that exposed the tree's VMEM-traffic scaling (int8full tok1
+      299 -> tok32 155 TFLOP/s: the epilogue is VMEM-bandwidth-bound, not
+      op-count-bound).
+    - 'sublane' (auto-fallback; always legal): pure-VPU segmented sum — one
+      transpose (which replaces the caller's output transpose), then a
+      layout-preserving leading-dim reshape + sum, the same pattern as the
+      kernel's per-doc blockmax. EXACT (max rel diff 2e-7 vs 'f32'). bf16
+      146.2, int8full 138.2 TFLOP/s at the config-5 shape; at the headline
+      shape (Lp=768 -> db=4, token-major illegal) int8full 158.9 — there the
+      epilogue is amortized over 48 contraction steps and sublane is best.
     - 'f32': selector matmul in fp32 HIGHEST — exact, but HIGHEST runs the
       MXU in multi-pass mode; at small Lp it caps BOTH kernels at
       ~111 TFLOP/s, and Mosaic fails to compile it at target_rows=4096
@@ -93,20 +115,49 @@ def _finish_sum(weighted, db, qb, lq_pad, epilogue):
     - 'f32d' / 'reduce': correct in interpret mode but fail to compile on
       the TPU (Mosaic: excess-precision f32 dot / lane-axis reshape).
     - 'none': profiling ceiling only — skips the sum (wrong results);
-      bf16 151.5, int8full 258.2 TFLOP/s. The remaining int8 gap
-      (138 vs 258) is the epilogue not overlapping the int8 MXU stream —
-      the identical epilogue costs ~12x more wall-time inside the int8
-      kernel than the bf16 one (Mosaic scheduling, not arithmetic).
+      bf16 151.5, int8full 258.2 TFLOP/s (query-major layout).
 
-    Ruled out for the remaining int8 gap: a bf16-relayout sublane variant
-    (half the transpose bytes) measured SLOWER (140.1 vs 142.4) with 1.2%
-    top-1 disagreement — the cost is not relayout byte volume; and the
-    deferred-epilogue grid (see ``_kernel_int8_defer``) helps only at
-    target_rows=2048 (+6%) and hurts at 4096.
+    Ruled out for the remaining int8 small-Lp gap (155 vs the 258 ceiling):
+    a bf16-relayout sublane variant (half the transpose bytes; SLOWER and
+    1.2% top-1 disagreement); the deferred-epilogue grid even with the
+    token-major tree (150.8 vs 155.4 in-step); and the single-lp-tile
+    scratch-BYPASS direct path (int8full 135.9, bf16 158.8 — the acc
+    round-trip HELPS Mosaic pipeline the finish across grid steps).
     """
     qbl = qb * lq_pad
     if epilogue == "none":
         return jnp.zeros((db, qb), jnp.float32) + weighted[:, :qb]
+    if epilogue == "tokmajor":
+        # q-block is flattened TOKEN-major (lane index = t*qb + q_local), so
+        # each query's Lq terms live in lq_pad lane-ALIGNED slices of width
+        # qb: the segmented sum is a tree of plain VPU adds with ZERO
+        # relayout (vs. 'sublane', which transposes the whole (DB, QBL)
+        # block). Only the small (DB, QB) result is transposed at the end
+        # (lq_pad x fewer relayout bytes). Requires qb % 128 == 0 for
+        # lane-tile-aligned slices; callers fall back to 'sublane' otherwise.
+        parts = [weighted[:, t * qb:(t + 1) * qb] for t in range(lq_pad)]
+        while len(parts) > 1:
+            nxt = [parts[i] + parts[i + 1] for i in range(0, len(parts) - 1, 2)]
+            if len(parts) % 2:
+                nxt.append(parts[-1])
+            parts = nxt
+        return jnp.transpose(parts[0])  # (QB, DB), pre-transposed
+    if epilogue == "tokmajor_nt" or (epilogue.startswith("tok")
+                                     and epilogue[3:].isdigit()):
+        # 'tokmajor' minus the final small transpose: the (DB, QB) result is
+        # stored doc-major and the caller transposes in XLA outside the
+        # kernel (one extra HBM round-trip of the output, ~negligible vs the
+        # scoring stream). 'tokN' (N an int) sums only the first N lane
+        # slices — WRONG results, profiling-only: isolates how the epilogue
+        # cost scales with the slice-add count.
+        n_parts = int(epilogue[3:]) if epilogue[3:].isdigit() else lq_pad
+        parts = [weighted[:, t * qb:(t + 1) * qb] for t in range(n_parts)]
+        while len(parts) > 1:
+            nxt = [parts[i] + parts[i + 1] for i in range(0, len(parts) - 1, 2)]
+            if len(parts) % 2:
+                nxt.append(parts[-1])
+            parts = nxt
+        return parts[0]  # (DB, QB), untransposed
     if epilogue == "sublane":
         # pure-VPU segmented sum with tokens on the SUBLANE axis: transpose
         # once (the caller transposes the output anyway), then a
@@ -141,8 +192,79 @@ def _finish_sum(weighted, db, qb, lq_pad, epilogue):
         precision=jax.lax.Precision.HIGHEST)
 
 
+def _chain_sum(acc_ref, qmf_ref, db, qb, lq_pad):
+    """Single-pass token-major epilogue: one sequential sweep over the acc
+    scratch, fusing the doc_has_token ``where``, the qmask weight, and the
+    Lq-sum per lane slice.
+
+    The tree variants ('tokmajor*') first materialize the full (DB, QBL)
+    ``where(acc)*qmask`` buffer (3 MB at r4096/c3072) and then re-stream it
+    level by level — measured VMEM-bandwidth-bound (tok1 299 vs tok32
+    155 TFLOP/s inside the int8 kernel). Here each lane slice is read from
+    the scratch ref ONCE and the (DB, QB) accumulator stays in vector
+    registers: minimum possible epilogue traffic (one acc read).
+    """
+    acc = acc_ref[:]    # the scratch is already VMEM-resident; one load
+    qmrow = qmf_ref[0]  # (1, QBL)
+    out = jnp.zeros((db, qb), jnp.float32)
+    for t in range(lq_pad):
+        a = acc[:, t * qb:(t + 1) * qb]
+        m = jnp.where(a > NEG_THRESH, a, 0.0)
+        out = out + m * qmrow[:, t * qb:(t + 1) * qb]
+    return out  # (DB, QB), untransposed
+
+
+def _value_chain_sum(bm, db, qb, lq_pad):
+    """doc_has_token ``where`` + Lq chain-sum over lane slices of a VALUE
+    (used by the single-lp-tile direct path, which never touches the acc
+    scratch: blockmax streams straight from the matmul into the sum)."""
+    out = jnp.zeros((db, qb), jnp.float32)
+    for t in range(lq_pad):
+        a = bm[:, t * qb:(t + 1) * qb]
+        out = out + jnp.where(a > NEG_THRESH, a, 0.0)
+    return out  # (DB, QB), untransposed
+
+
+def _pre_chain_sum(acc_ref, db, qb, lq_pad):
+    """Epilogue for 'tokpre': the q-weight row was already applied PRE-max in
+    the main fused stream (positive per-q-token weights commute with the
+    doc-token max; zero-weight tokens give max 0 over valid doc tokens, and
+    all-invalid docs stay NEG_INIT either way — exact). What remains is a
+    pure chain of doc_has_token ``where`` + add over lane-aligned slices:
+    one acc read, the (DB, QB) accumulator register-resident, and no row
+    slicing (Mosaic rejects lane-slicing a (1, QBL) row: 'Invalid input
+    layout')."""
+    acc = acc_ref[:]
+    out = jnp.zeros((db, qb), jnp.float32)
+    for t in range(lq_pad):
+        a = acc[:, t * qb:(t + 1) * qb]
+        out = out + jnp.where(a > NEG_THRESH, a, 0.0)
+    return out  # (DB, QB), untransposed
+
+
+def _flatten_q(Qp, qm, n_qb, qb, lq_pad, d_pad, epilogue):
+    """Flatten padded queries to kernel row layout: (nq_pad*lq_pad, d_pad)
+    rows + (n_qb, 1, qb*lq_pad) mask rows.
+
+    Default: query-major within each q-block (row = q_local*lq_pad + t).
+    'tokmajor': token-major (row = t*qb + q_local) so the epilogue's Lq-sum
+    over lanes is lq_pad lane-aligned slice adds with no relayout.
+    """
+    nq_pad = n_qb * qb
+    qbl = qb * lq_pad
+    if epilogue.startswith("tok"):
+        qf = (Qp.reshape(n_qb, qb, lq_pad, d_pad).transpose(0, 2, 1, 3)
+              .reshape(nq_pad * lq_pad, d_pad))
+        qmf = (qm.reshape(n_qb, qb, lq_pad).transpose(0, 2, 1)
+               .reshape(n_qb, 1, qbl))
+    else:
+        qf = Qp.reshape(nq_pad * lq_pad, d_pad)
+        qmf = qm.reshape(n_qb, 1, qbl)
+    return qf, qmf
+
+
 def _kernel(qf_ref, qmf_ref, p_ref, pm_ref, out_ref, acc_ref, *, db, tlp, lq_pad, qb,
-            out_dtype, precision, epilogue="sublane"):
+            out_dtype, precision, epilogue="sublane", n_lp_static=None):
     """Transposed-similarity formulation.
 
     sim^T = Pblk (DB*TLP, D) @ Qblk^T -> (DB*TLP, QBL): with docs on the
@@ -153,6 +275,21 @@ def _kernel(qf_ref, qmf_ref, p_ref, pm_ref, out_ref, acc_ref, *, db, tlp, lq_pad
     """
     l = pl.program_id(2)
     n_l = pl.num_programs(2)
+
+    if epilogue == "tokpre" and n_lp_static == 1:
+        # single-lp-tile direct path: skip the acc scratch entirely
+        pblk0 = p_ref[:].reshape(db * tlp, p_ref.shape[-1])
+        simT0 = jax.lax.dot_general(
+            pblk0, qf_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        pmcol0 = jnp.transpose(pm_ref[0])
+        simT0 = jnp.where(pmcol0 > 0.5, simT0 * qmf_ref[0], NEG_INIT)
+        bm = jnp.max(simT0.reshape(db, tlp, simT0.shape[-1]), axis=1)
+        out_ref[0, 0] = _value_chain_sum(bm, db, qb, lq_pad).astype(out_dtype)
+        return
 
     @pl.when(l == 0)
     def _init():
@@ -171,7 +308,11 @@ def _kernel(qf_ref, qmf_ref, p_ref, pm_ref, out_ref, acc_ref, *, db, tlp, lq_pad
     # mask rides as a (1, DB*TLP) row (a trailing unit dim would lane-pad the
     # HBM array 128x — fatal at 1M docs) and is transposed to a column here
     pmcol = jnp.transpose(pm_ref[0])  # (DB*TLP, 1)
-    simT = jnp.where(pmcol > 0.5, simT, NEG_INIT)
+    if epilogue == "tokpre":
+        # q-weight row applied pre-max (commutes; see _pre_chain_sum)
+        simT = jnp.where(pmcol > 0.5, simT * qmf_ref[0], NEG_INIT)
+    else:
+        simT = jnp.where(pmcol > 0.5, simT, NEG_INIT)
 
     # segmented running max: docs live on the sublane axis
     blockmax = jnp.max(simT.reshape(db, tlp, simT.shape[-1]), axis=1)  # (DB, QBL)
@@ -179,6 +320,14 @@ def _kernel(qf_ref, qmf_ref, p_ref, pm_ref, out_ref, acc_ref, *, db, tlp, lq_pad
 
     @pl.when(l == n_l - 1)
     def _finish():
+        if epilogue == "tokchain":
+            out_ref[0, 0] = _chain_sum(acc_ref, qmf_ref, db, qb, lq_pad
+                                       ).astype(out_dtype)
+            return
+        if epilogue == "tokpre":
+            out_ref[0, 0] = _pre_chain_sum(acc_ref, db, qb, lq_pad
+                                           ).astype(out_dtype)
+            return
         acc = acc_ref[:]
         # doc_has_token rule: all-invalid doc -> 0
         mx = jnp.where(acc > NEG_THRESH, acc, 0.0)
@@ -186,7 +335,8 @@ def _kernel(qf_ref, qmf_ref, p_ref, pm_ref, out_ref, acc_ref, *, db, tlp, lq_pad
         out = _finish_sum(weighted, db, qb, lq_pad, epilogue)  # (DB, QB)
         # store qb-major/db-minor: db is 128-aligned for long-doc tiles, so
         # the (..., qb, db) output array avoids lane padding at large N
-        if epilogue.startswith("sublane"):  # already (QB, DB), pre-transposed
+        # ('tokmajor_nt' stores doc-major; its driver transposes in XLA)
+        if epilogue == "sublane" or epilogue.startswith("tok"):
             out_ref[0, 0] = out.astype(out_dtype)
         else:
             out_ref[0, 0] = jnp.transpose(out).astype(out_dtype)
@@ -198,7 +348,7 @@ def _kernel(qf_ref, qmf_ref, p_ref, pm_ref, out_ref, acc_ref, *, db, tlp, lq_pad
 )
 def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
                        interpret: bool = False, target_rows: int = 4096,
-                       target_cols: int = 3072, epilogue: str = "sublane"):
+                       target_cols: int = 3072, epilogue: str = "auto"):
     # target_rows=4096 measured faster than 2048 with the sublane epilogue at
     # both the headline shape (31.0k vs 30.3k q/s, Lp=768) and the config-5
     # probe shape (+6%, Lp=16) on the v5e chip; 2048 was the f32-epilogue tune.
@@ -207,6 +357,22 @@ def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
     nq, lq, d = Q.shape
     nd, lp, _ = P.shape
     qb, lq_pad, db, tlp = _pick_tiles(lq, lp, target_rows, target_cols, nq=nq)
+    if epilogue == "auto":
+        # measured (v5e): token-major tree epilogue wins whenever the tiling
+        # allows it (config-5 shape: bf16 146->163, int8full 138->155
+        # TFLOP/s); at small db (long docs, e.g. Lp=768 -> db=4) the
+        # (db, qb) output block breaks the 8-sublane tile rule and the
+        # sublane epilogue is both legal and already amortized.
+        # 'tokmajor' (in-kernel (DB, QB)->(QB, DB) transpose, standard
+        # output layout) over 'tokmajor_nt': the nt variant is ~1% faster at
+        # the kernel level (163.1 vs 161.6) but its driver-side XLA transpose
+        # of the full score matrix costs ~18% END-TO-END at 1M pages
+        # (config 5: 771 -> 631 q/s measured with nt as the default).
+        epilogue = ("tokmajor" if qb % 128 == 0 and db % 8 == 0
+                    else "sublane")
+    if epilogue.startswith("tok") and (
+            qb % 128 != 0 or (_nt_layout(epilogue) and db % 8 != 0)):
+        epilogue = "sublane"  # lane-slice epilogue needs lane-tile-aligned qb
 
     nq_pad = _round_up(max(nq, qb), qb)
     nd_pad = _round_up(max(nd, db), db)
@@ -227,13 +393,13 @@ def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
     pm = padded(pmask, (nd_pad, lp_pad), jnp.float32)
 
     qbl = qb * lq_pad
-    qf = Qp.reshape(nq_pad * lq_pad, d_pad)
     n_qb = nq_pad // qb
     n_db = nd_pad // db
     n_lp = lp_pad // tlp
 
-    # query mask rows per q-block: (n_qb, 1, QBL) — broadcast over doc sublanes
-    qmf = qm.reshape(n_qb, 1, qbl)
+    # query(-token) rows + mask row per q-block ((n_qb, 1, QBL), broadcast
+    # over doc sublanes); 'tokmajor' lays each q-block out token-major
+    qf, qmf = _flatten_q(Qp, qm, n_qb, qb, lq_pad, d_pad, epilogue)
 
     # pre-tile the doc mask into the kernel's (doc_block, lp_tile) layout:
     # slot j*n_lp + l = docs [j*db, (j+1)*db) x tokens [l*tlp, (l+1)*tlp),
@@ -249,7 +415,7 @@ def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
     precision = jax.lax.Precision.HIGHEST if fp32 else jax.lax.Precision.DEFAULT
     kernel = functools.partial(
         _kernel, db=db, tlp=tlp, lq_pad=lq_pad, qb=qb, out_dtype=jnp.float32,
-        precision=precision, epilogue=epilogue,
+        precision=precision, epilogue=epilogue, n_lp_static=n_lp,
     )
 
     flops = 2 * (nq_pad * lq_pad) * (nd_pad * lp_pad) * d_pad
@@ -267,10 +433,16 @@ def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
                          memory_space=pltpu.VMEM),
         ],
         # (q_block, doc_block)-major output layout so the (QB, DB) block fills
-        # its last two array dims exactly (TPU block-shape constraint)
-        out_specs=pl.BlockSpec((1, 1, qb, db), lambda i, j, l: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_qb, n_db, qb, db), jnp.float32),
+        # its last two array dims exactly (TPU block-shape constraint);
+        # 'tokmajor_nt' stores (DB, QB) blocks and transposes in XLA below
+        out_specs=(pl.BlockSpec((1, 1, db, qb), lambda i, j, l: (i, j, 0, 0),
+                                memory_space=pltpu.VMEM)
+                   if _nt_layout(epilogue) else
+                   pl.BlockSpec((1, 1, qb, db), lambda i, j, l: (i, j, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((n_qb, n_db, db, qb), jnp.float32)
+                   if _nt_layout(epilogue) else
+                   jax.ShapeDtypeStruct((n_qb, n_db, qb, db), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((db, qbl), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -285,8 +457,11 @@ def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
             dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=interpret,
     )(qf, qmf, Pp, pm_t)
-    # (n_qb, n_db, qb, db) -> (nq_pad, nd_pad)
-    scores = out.transpose(0, 2, 1, 3).reshape(nq_pad, nd_pad)
+    # (n_qb, n_db, qb|db, db|qb) -> (nq_pad, nd_pad)
+    if _nt_layout(epilogue):
+        scores = out.transpose(0, 3, 1, 2).reshape(nq_pad, nd_pad)
+    else:
+        scores = out.transpose(0, 2, 1, 3).reshape(nq_pad, nd_pad)
     return scores[:nq, :nd]
 
 
@@ -350,7 +525,8 @@ def maxsim_pallas_interpret(Q, P, qmask, pmask):
 # be masked) — one `where` applies dequantization AND masking.
 # ---------------------------------------------------------------------------
 
-def _int8_simT(qf_ref, p_ref, sc_ref, db, tlp, compute_dtype, precision):
+def _int8_simT(qf_ref, p_ref, sc_ref, db, tlp, compute_dtype, precision,
+               qrow=None):
     """Masked, dequantized similarity block sim^T (DB*TLP, QBL)."""
     if qf_ref.dtype == jnp.int8:
         # full-int8 path: int8 x int8 -> int32 runs the MXU at 2x bf16 peak
@@ -373,30 +549,52 @@ def _int8_simT(qf_ref, p_ref, sc_ref, db, tlp, compute_dtype, precision):
             precision=precision,
         )  # (DB*TLP, QBL)
     scol = jnp.transpose(sc_ref[0])  # (DB*TLP, 1): scale, or -1 if invalid
+    if qrow is not None:  # 'tokpre': q-weight row pre-max (commutes)
+        return jnp.where(scol >= 0, simT * scol * qrow, NEG_INIT)
     return jnp.where(scol >= 0, simT * scol, NEG_INIT)
 
 
 def _kernel_int8(qf_ref, qmf_ref, p_ref, sc_ref, out_ref, acc_ref, *, db, tlp,
                  lq_pad, qb, out_dtype, precision, compute_dtype,
-                 epilogue="sublane"):
+                 epilogue="sublane", n_lp_static=None):
     l = pl.program_id(2)
     n_l = pl.num_programs(2)
+
+    if epilogue == "tokpre" and n_lp_static == 1:
+        # single-lp-tile direct path (the small-Lp serving shape): no acc
+        # scratch round-trip at all — blockmax flows from the fused
+        # matmul/max stream straight into the chain sum
+        simT = _int8_simT(qf_ref, p_ref, sc_ref, db, tlp, compute_dtype,
+                          precision, qrow=qmf_ref[0])
+        blockmax = jnp.max(simT.reshape(db, tlp, simT.shape[-1]), axis=1)
+        out_ref[0, 0] = _value_chain_sum(blockmax, db, qb, lq_pad
+                                         ).astype(out_dtype)
+        return
 
     @pl.when(l == 0)
     def _init():
         acc_ref[:] = jnp.full_like(acc_ref, NEG_INIT)
 
-    simT = _int8_simT(qf_ref, p_ref, sc_ref, db, tlp, compute_dtype, precision)
+    simT = _int8_simT(qf_ref, p_ref, sc_ref, db, tlp, compute_dtype, precision,
+                      qrow=qmf_ref[0] if epilogue == "tokpre" else None)
     blockmax = jnp.max(simT.reshape(db, tlp, simT.shape[-1]), axis=1)
     acc_ref[:] = jnp.maximum(acc_ref[:], blockmax)
 
     @pl.when(l == n_l - 1)
     def _finish():
+        if epilogue == "tokchain":
+            out_ref[0, 0] = _chain_sum(acc_ref, qmf_ref, db, qb, lq_pad
+                                       ).astype(out_dtype)
+            return
+        if epilogue == "tokpre":
+            out_ref[0, 0] = _pre_chain_sum(acc_ref, db, qb, lq_pad
+                                           ).astype(out_dtype)
+            return
         acc = acc_ref[:]
         mx = jnp.where(acc > NEG_THRESH, acc, 0.0)
         weighted = mx * qmf_ref[0]
         out = _finish_sum(weighted, db, qb, lq_pad, epilogue)
-        if epilogue.startswith("sublane"):  # already (QB, DB), pre-transposed
+        if epilogue == "sublane" or epilogue.startswith("tok"):
             out_ref[0, 0] = out.astype(out_dtype)
         else:
             out_ref[0, 0] = jnp.transpose(out).astype(out_dtype)
@@ -424,9 +622,9 @@ def _kernel_int8_defer(qf_ref, qmf_ref, p_ref, sc_ref, out_ref, acc_ref,
         acc = done_ref[:]
         mx = jnp.where(acc > NEG_THRESH, acc, 0.0)
         weighted = mx * qmf_ref[0]
-        wT = jnp.transpose(weighted)  # (QBL, DB)
-        out_ref[0, 0] = jnp.sum(
-            wT.reshape(qb, lq_pad, db), axis=1).astype(out_dtype)
+        # token-major tree sum (see _finish_sum 'tokmajor_nt'): no relayout
+        out_ref[0, 0] = _finish_sum(weighted, db, qb, lq_pad,
+                                    "tokmajor_nt").astype(out_dtype)
 
     @pl.when(j < n_db)
     def _compute():
@@ -451,7 +649,7 @@ def _kernel_int8_defer(qf_ref, qmf_ref, p_ref, sc_ref, out_ref, acc_ref,
 )
 def maxsim_pallas_int8full(Q, P_i8, scales, qmask, pmask,
                            interpret: bool = False, target_rows: int = 4096,
-                           target_cols: int = 3072, epilogue: str = "sublane",
+                           target_cols: int = 3072, epilogue: str = "auto",
                            deferred: bool = False):
     """Fully-quantized MaxSim: int8 queries x int8 index on the MXU.
 
@@ -480,7 +678,7 @@ def maxsim_pallas_int8full(Q, P_i8, scales, qmask, pmask,
 def maxsim_pallas_int8(Q, P_i8, scales, qmask, pmask,
                        compute_dtype=jnp.bfloat16, interpret: bool = False,
                        target_rows: int = 4096, target_cols: int = 3072,
-                       epilogue: str = "sublane", deferred: bool = False):
+                       epilogue: str = "auto", deferred: bool = False):
     # r4096 > r2048 with the sublane epilogue: 30.6k vs 29.5k q/s at Lp=768,
     # 32.3k vs 30.2k at Lp=16 (v5e probes, 256q x 32t, bf16 dot).
     """Fused MaxSim over an int8-quantized index.
@@ -503,7 +701,7 @@ def maxsim_pallas_int8(Q, P_i8, scales, qmask, pmask,
 def _maxsim_int8_impl(Q, q_weight, P_i8, scales, pmask,
                       compute_dtype=jnp.bfloat16, interpret: bool = False,
                       target_rows: int = 1024, target_cols: int = 2048,
-                      epilogue: str = "sublane", deferred: bool = False):
+                      epilogue: str = "auto", deferred: bool = False):
     """Shared int8-index kernel driver; Q float (bf16 dot) or int8 (int8 dot);
     ``q_weight`` is the post-max per-query-token row (mask, optionally * sq)."""
     if interpret and epilogue == "bf16":
@@ -511,6 +709,17 @@ def _maxsim_int8_impl(Q, q_weight, P_i8, scales, pmask,
     nq, lq, d = Q.shape
     nd, lp, _ = P_i8.shape
     qb, lq_pad, db, tlp = _pick_tiles(lq, lp, target_rows, target_cols, nq=nq)
+    if deferred:
+        if qb % 128 != 0 or db % 8 != 0:
+            deferred = False  # deferred epilogue is token-major-only now
+        else:
+            epilogue = "tokmajor_nt"  # deferred kernel's emit layout
+    if epilogue == "auto":
+        epilogue = ("tokmajor" if qb % 128 == 0 and db % 8 == 0
+                    else "sublane")  # see _maxsim_pallas_fwd rationale
+    if epilogue.startswith("tok") and (
+            qb % 128 != 0 or (_nt_layout(epilogue) and db % 8 != 0)):
+        epilogue = "sublane"  # lane-slice epilogue needs lane-tile-aligned qb
 
     nq_pad = _round_up(max(nq, qb), qb)
     nd_pad = _round_up(max(nd, db), db)
@@ -532,9 +741,8 @@ def _maxsim_int8_impl(Q, q_weight, P_i8, scales, pmask,
     sct = padded(sct, (nd_pad, lp_pad), jnp.float32, fill=-1.0)
 
     qbl = qb * lq_pad
-    qf = Qp.reshape(nq_pad * lq_pad, d_pad)
     n_qb, n_db, n_lp = nq_pad // qb, nd_pad // db, lp_pad // tlp
-    qmf = qm.reshape(n_qb, 1, qbl)
+    qf, qmf = _flatten_q(Qp, qm, n_qb, qb, lq_pad, d_pad, epilogue)
     sc_t = (sct.reshape(n_db, db, n_lp, tlp).transpose(0, 2, 1, 3)
             .reshape(n_db * n_lp, 1, db * tlp))
 
@@ -572,10 +780,10 @@ def _maxsim_int8_impl(Q, q_weight, P_i8, scales, pmask,
                     memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, qb, db),
+                (1, 1, db, qb),
                 lambda i, j, l: (i, jnp.maximum(j - 1, 0), 0, 0),
                 memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_qb, n_db, qb, db), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n_qb, n_db, db, qb), jnp.float32),
             scratch_shapes=[pltpu.VMEM((db, qbl), jnp.float32),
                             pltpu.VMEM((db, qbl), jnp.float32)],
             cost_estimate=cost,
@@ -583,13 +791,13 @@ def _maxsim_int8_impl(Q, q_weight, P_i8, scales, pmask,
                 dimension_semantics=("parallel", "arbitrary", "arbitrary")),
             interpret=interpret,
         )(qf, qmf, Pp, sc_t)
-        scores = out.transpose(0, 2, 1, 3).reshape(nq_pad, nd_pad)
+        scores = out.transpose(0, 3, 1, 2).reshape(nq_pad, nd_pad)
         return scores[:nq, :nd]
 
     kernel = functools.partial(
         _kernel_int8, db=db, tlp=tlp, lq_pad=lq_pad, qb=qb,
         out_dtype=jnp.float32, precision=precision, compute_dtype=compute_dtype,
-        epilogue=epilogue)
+        epilogue=epilogue, n_lp_static=n_lp)
 
     out = pl.pallas_call(
         kernel,
@@ -605,14 +813,22 @@ def _maxsim_int8_impl(Q, q_weight, P_i8, scales, pmask,
                          lambda i, j, l: (j * pl.num_programs(2) + l, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, qb, db), lambda i, j, l: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_qb, n_db, qb, db), jnp.float32),
+        out_specs=(pl.BlockSpec((1, 1, db, qb), lambda i, j, l: (i, j, 0, 0),
+                                memory_space=pltpu.VMEM)
+                   if _nt_layout(epilogue) else
+                   pl.BlockSpec((1, 1, qb, db), lambda i, j, l: (i, j, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((n_qb, n_db, db, qb), jnp.float32)
+                   if _nt_layout(epilogue) else
+                   jax.ShapeDtypeStruct((n_qb, n_db, qb, db), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((db, qbl), jnp.float32)],
         cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=interpret,
     )(qf, qmf, Pp, sc_t)
-    scores = out.transpose(0, 2, 1, 3).reshape(nq_pad, nd_pad)
+    if _nt_layout(epilogue):
+        scores = out.transpose(0, 3, 1, 2).reshape(nq_pad, nd_pad)
+    else:
+        scores = out.transpose(0, 2, 1, 3).reshape(nq_pad, nd_pad)
     return scores[:nq, :nd]

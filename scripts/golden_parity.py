@@ -92,11 +92,13 @@ def parse_log(path) -> dict:
             out["best"] = rec["summary/best_ndcg5"]
         elif "step" not in rec:
             continue  # epoch-keyed records (parsed by _parse_epoch_log)
-        elif "train/total loss" in rec or "train/total_loss" in rec:
-            # mainv2 logs 'train/total loss'; the mainv3 hardtoken script
-            # logs 'train/total_loss'
+        elif ("train/total loss" in rec or "train/total_loss" in rec
+              or "train/loss" in rec):
+            # combined-loss mainv2 scripts log 'train/total loss' (hardtoken:
+            # 'train/total_loss'); single-loss scripts log 'train/loss'
             out["train"][int(rec["step"])] = float(
-                rec.get("train/total loss", rec.get("train/total_loss")))
+                rec.get("train/total loss",
+                        rec.get("train/total_loss", rec.get("train/loss"))))
         elif "eval/NDCG@5" in rec:
             out["eval"][int(rec["step"])] = {
                 "loss": float(rec.get("eval/eval loss", rec.get("eval/loss", 0.0))),
@@ -104,6 +106,55 @@ def parse_log(path) -> dict:
                 "Recall@1": float(rec["eval/Recall@1"]),
             }
     return out
+
+
+# Family-C single/combined losses beyond the liscore flagship:
+# loss -> (reference module, extra reference argv, extra TrainConfig kw).
+# Hyperparameters are fixture-sized literals (k <= n_docs); the reference
+# scripts accept ONLY their own loss's flags, so extras live here rather
+# than in the shared argv (reference parsers: mainv2_iter_*.py:42-49).
+_LOSS_SCRIPTS = {
+    "listwise": ("mainv2_iter_listwise",
+                 ["--k", "6", "--temp", "0.1"], dict(k=6, temp=0.1)),
+    "infonce_distill": ("mainv2_iter_distill_infonce",
+                        ["--temp", "0.1"], dict(temp=0.1)),
+    "score": ("mainv2_iter_score_preserve", [], {}),
+    "ranknet": ("mainv2_iter_ranknet", [], {}),
+    "lambda": ("mainv2_iter_lambda",
+               ["--alpha", "1.0", "--eps", "1e-6"],
+               dict(alpha=1.0, eps=1e-6)),
+    "ranknce": ("mainv2_iter_ranknce",
+                ["--temp", "0.1", "--lambda_weight", "0.5"],
+                dict(temp=0.1, lambda_weight=0.5)),
+    "lipairwise": ("mainv2_iter_lipairwise",
+                   ["--lambda_list", "1.0", "--lambda_pair", "1.0",
+                    "--k", "6", "--temp", "0.1"],
+                   dict(lambda_list=1.0, lambda_pair=1.0, k=6, temp=0.1)),
+    "linfo": ("mainv2_iter_linfo_distill",
+              ["--lambda_list", "1.0", "--lambda_info", "1.0", "--k", "6",
+               "--list_temp", "0.1", "--info_temp", "0.1"],
+              dict(lambda_list=1.0, lambda_info=1.0, k=6, list_temp=0.1,
+                   info_temp=0.1)),
+    "pairscore": ("mainv2_iter_pairscore",
+                  ["--lambda_pair", "1.0", "--lambda_score", "1.0"],
+                  dict(lambda_pair=1.0, lambda_score=1.0)),
+}
+
+
+def _resolve_target(hp):
+    """(ref module, ref extra argv, TrainConfig kw) for hp[loss]/hp[aug]."""
+    if hp.get("loss", "liscore") != "liscore":
+        assert hp["aug"] == "none", "augs golden-tested on liscore only"
+        mod, extra, kw = _LOSS_SCRIPTS[hp["loss"]]
+        return mod, extra, dict(kw, loss=hp["loss"])
+    mod, extra, kw = _SCRIPTS[hp["aug"]]
+    liscore_argv = ["--k", str(hp["k"]), "--temp", str(hp["temp"]),
+                    "--lambda_list", str(hp["lambda_list"]),
+                    "--lambda_score", str(hp["lambda_score"])]
+    liscore_kw = dict(loss="liscore", k=hp["k"], temp=hp["temp"],
+                      lambda_list=hp["lambda_list"],
+                      lambda_score=hp["lambda_score"])
+    return mod, liscore_argv + extra, dict(liscore_kw, **kw)
 
 
 _SCRIPTS = {
@@ -200,7 +251,7 @@ def run_reference(root, out_root, hp) -> list:
 
     import Qdatasets.query_tensor_dataset as qds
 
-    mod_name, extra_argv, _ = _SCRIPTS[hp["aug"]]
+    mod_name, extra_argv, _ = _resolve_target(hp)
     ref_main = importlib.import_module(mod_name)
 
     # route the reference's registry at our fixture files (same stems our
@@ -229,10 +280,7 @@ def run_reference(root, out_root, hp) -> list:
                 "--max_steps", str(hp["steps"]),
                 "--eval_every", str(hp["eval_every"]),
                 "--q_batch", str(hp["q_batch"]), "--lr", str(hp["lr"]),
-                "--weight_decay", str(hp["wd"]), "--k", str(hp["k"]),
-                "--temp", str(hp["temp"]),
-                "--lambda_list", str(hp["lambda_list"]),
-                "--lambda_score", str(hp["lambda_score"]),
+                "--weight_decay", str(hp["wd"]),
                 "--print_every", "1", "--device", "cpu",
                 "--seed", str(hp["seed"])] + extra_argv
     try:
@@ -259,12 +307,11 @@ def run_ours(root, out_root, hp, batches) -> None:
     cfg = TrainConfig(
         datasets=["synth"], query_root=str(root), teacher_root=str(root),
         init_root=str(root / "S3E_init"), mfs=[5], out_root=str(out_root),
-        name="golden", loss="liscore", max_steps=hp["steps"],
+        name="golden", max_steps=hp["steps"],
         eval_every=hp["eval_every"], q_batch=hp["q_batch"], lr=hp["lr"],
-        weight_decay=hp["wd"], k=hp["k"], temp=hp["temp"],
-        lambda_list=hp["lambda_list"], lambda_score=hp["lambda_score"],
+        weight_decay=hp["wd"],
         print_every=1, seed=hp["seed"], chunk_p=32,
-        **_SCRIPTS[hp["aug"]][2]).validate()
+        **_resolve_target(hp)[2]).validate()
     set_seed(cfg.seed)
     bundle = load_dataset_bundle(cfg, "synth")
     bundle.sc_t_train = _precompute_teacher_scores(
@@ -310,12 +357,13 @@ def compare(ref, ours, steps) -> dict:
 
 
 def run(steps=400, eval_every=100, q_batch=8, n_docs=16, n_train_queries=48,
-        dim=32, seed=42, workdir=None, out=None, aug="none") -> dict:
+        dim=32, seed=42, workdir=None, out=None, aug="none",
+        loss="liscore") -> dict:
     from evdr_tpu.data.synthetic import write_dataset_fixture
 
     hp = dict(steps=steps, eval_every=eval_every, q_batch=q_batch, lr=1e-3,
               wd=1e-2, k=6, temp=0.1, lambda_list=1.0, lambda_score=1.0,
-              seed=seed, aug=aug)
+              seed=seed, aug=aug, loss=loss)
     workdir = pathlib.Path(workdir or tempfile.mkdtemp(prefix="golden_"))
     root = workdir / "data"
     root.mkdir(parents=True, exist_ok=True)
@@ -604,6 +652,11 @@ def main():
                    help="golden-trajectory target: the flagship script "
                         "('none' -> mainv2_iter_liscore) or a Family-D "
                         "mainv3 script")
+    p.add_argument("--loss", default="liscore",
+                   choices=["liscore"] + sorted(_LOSS_SCRIPTS),
+                   help="golden-trajectory target loss: each maps to its own "
+                        "reference mainv2_iter_* script (liscore = flagship; "
+                        "--aug requires liscore)")
     p.add_argument("--family_a", action="store_true",
                    help="instead run the Family-A golden trajectory "
                         "(mainv1.py full-batch SPL; --steps = epochs)")
@@ -613,7 +666,7 @@ def main():
         report = run_family_a(epochs=a.steps, out=a.out)
     else:
         report = run(steps=a.steps, eval_every=a.eval_every,
-                     q_batch=a.q_batch, out=a.out, aug=a.aug)
+                     q_batch=a.q_batch, out=a.out, aug=a.aug, loss=a.loss)
     print(json.dumps(report, indent=2))
 
 

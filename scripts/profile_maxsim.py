@@ -84,12 +84,16 @@ def main():
                    help="capture a jax.profiler trace of the baseline "
                         "measurement into DIR")
     p.add_argument("--epilogue", default="sublane",
-                   choices=["sublane", "f32", "bf16", "f32d", "reduce", "none"],
+                   choices=["sublane", "tokmajor", "tokmajor_nt", "tokchain",
+                            "tokpre", "f32", "bf16", "f32d", "reduce", "none"],
                    help="Lq-sum epilogue variant (ops/pallas_maxsim."
                         "_finish_sum); 'none' = epilogue-free ceiling "
                         "(wrong results, profiling only)")
     p.add_argument("--small-lp", action="store_true",
                    help="config-5 shape: 250k docs x 16 tokens/page")
+    p.add_argument("--int8", default="off", choices=["off", "index", "full"],
+                   help="profile the int8-index kernel (bf16 dot) or the "
+                        "fully-quantized int8xint8 kernel instead of bf16")
     a = p.parse_args()
 
     global ND, LP
@@ -104,8 +108,25 @@ def main():
 
     enable_persistent_cache()
     Q, P, qm, pm = _data()
-    Qd, Pd, qmd, pmd = map(jnp.asarray, (Q, P, qm, pm))
-    fwd = functools.partial(_maxsim_pallas_fwd, epilogue=a.epilogue)
+    if a.int8 != "off":
+        from evdr_tpu.ops.pallas_maxsim import (maxsim_pallas_int8,
+                                                maxsim_pallas_int8full)
+        from evdr_tpu.ops.quantize import quantize_tokens_int8
+
+        codes, scales = quantize_tokens_int8(P, pm)
+        Qd, qmd, pmd = map(jnp.asarray, (Q, qm, pm))
+        Pd, scd = jnp.asarray(codes), jnp.asarray(scales)
+        kern = (maxsim_pallas_int8full if a.int8 == "full"
+                else maxsim_pallas_int8)
+        fwd = functools.partial(kern, epilogue=a.epilogue)
+
+        def _wrap(f):
+            return lambda q, p_, qm_, pm_, **kw: f(q, p_, scd, qm_, pm_, **kw)
+
+        fwd = _wrap(fwd)
+    else:
+        Qd, Pd, qmd, pmd = map(jnp.asarray, (Q, P, qm, pm))
+        fwd = functools.partial(_maxsim_pallas_fwd, epilogue=a.epilogue)
 
     with trace_ctx(a.trace):
         base = timed_tflops(

@@ -200,6 +200,43 @@ def test_pallas_epilogue_variants_match_oracle(rng, epilogue):
     np.testing.assert_allclose(got8, want, rtol=0.05, atol=0.05)
 
 
+@pytest.mark.parametrize("epilogue", ["tokmajor", "tokmajor_nt", "tokchain",
+                                      "tokpre", "auto"])
+def test_pallas_tokmajor_epilogues_match_oracle(rng, epilogue):
+    """Token-major epilogues (lane-sliced Lq-sum; the measured winners at the
+    config-5 shape — RESULTS.md round-3 epilogue study) are exact. Needs
+    qb % 128 == 0 to engage, so nq >= 128 here; smaller query batches fall
+    back to 'sublane' (covered above)."""
+    import jax.numpy as jnp
+
+    from evdr_tpu.ops.maxsim import maxsim_numpy
+    from evdr_tpu.ops.pallas_maxsim import _maxsim_pallas_fwd
+    from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int8
+    from evdr_tpu.ops.quantize import dequantize_int8, quantize_tokens_int8
+
+    nq, lq, nd, lp, d = 130, 4, 20, 16, 32
+    Q = rng.normal(size=(nq, lq, d)).astype(np.float32)
+    P = rng.normal(size=(nd, lp, d)).astype(np.float32)
+    qm = rng.random((nq, lq)) > 0.2
+    pm = rng.random((nd, lp)) > 0.2
+    pm[3] = False   # all-invalid doc -> score 0
+    qm[7] = False   # all-masked query -> score 0
+    want = maxsim_numpy(Q, P, qm, pm)
+
+    got = np.asarray(_maxsim_pallas_fwd(
+        jnp.asarray(Q), jnp.asarray(P), jnp.asarray(qm), jnp.asarray(pm),
+        compute_dtype=jnp.float32, interpret=True, epilogue=epilogue))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    codes, scales = quantize_tokens_int8(P * pm[..., None], pm)
+    want8 = maxsim_numpy(Q, dequantize_int8(codes, scales), qm, pm)
+    got8 = np.asarray(maxsim_pallas_int8(
+        jnp.asarray(Q), jnp.asarray(codes), jnp.asarray(scales),
+        jnp.asarray(qm), jnp.asarray(pm), compute_dtype=jnp.float32,
+        interpret=True, epilogue=epilogue))
+    np.testing.assert_allclose(got8, want8, rtol=1e-4, atol=1e-4)
+
+
 def test_pallas_shape_fuzz_matches_oracle(rng):
     """Randomized shape/mask sweep: the fused kernel (fp32, interpret) must
     match the numpy oracle across awkward shapes — single-token queries/docs,
