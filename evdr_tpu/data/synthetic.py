@@ -84,9 +84,15 @@ def make_synthetic_corpus(
         a[rng.random(lq) < 0.1] = False
         a[0] = True
         q_attn[q] = a
-        qkey = f"what is on {docid[tgt]} (v{q})"
+        # single-token key: it doubles as the qid (gt-docs convention) and
+        # TREC-run qids must be whitespace-free
+        qkey = f"what-is-on-{docid[tgt]}-v{q}"
         qsidx_2_query[q] = qkey
-        qid[q] = f"q{q:05d}"
+        # qid IS the question string, mirroring the reference's real data:
+        # its gt-docs datasets look up relevant_docs[str(qid)]
+        # (Qdatasets/query_tensor_dataset.py:48) while eval qrels key by the
+        # qsidx_2_query string — both only work because they coincide.
+        qid[q] = qkey
         relevant[qkey] = {docid[tgt]: 1}
 
     docidx_2_docid = {str(i): docid[i] for i in range(n_docs)}
@@ -133,9 +139,9 @@ def make_queries_for_corpus(payload: Dict, n_queries: int, seed: int = 0,
         a[rng.random(lq) < 0.1] = False
         a[0] = True
         q_attn[q] = a
-        qkey = f"pseudo question {q} about {docid[tgt]}"
+        qkey = f"pseudoq{q:06d}-about-{docid[tgt]}"  # single token (TREC qid)
         qsidx_2_query[q] = qkey
-        qid[q] = f"pq{q:06d}"
+        qid[q] = qkey  # = question string (see make_synthetic_corpus note)
         relevant[qkey] = {str(docid[tgt]): 1}
     return {
         "query": queries,

@@ -223,6 +223,13 @@ def load_dataset_bundle(cfg: TrainConfig, dataset: str,
         if not ok.all():
             print(f"[dataset] missing gt mapping {int((~ok).sum())}/{len(ok)} -> filtered")
         Q_train, qmask_train, pos_idx = Q_train[ok], qmask_train[ok], pos[ok]
+        if Q_train.shape[0] == 0:
+            # the reference crashes in DataLoader (num_samples=0) here; fail
+            # with a diagnosis instead of training silently on nothing
+            raise ValueError(
+                f"{dataset}: no training query has a resolvable gt doc — "
+                "relevant_docs must be keyed by str(qid) "
+                "(Qdatasets/query_tensor_dataset.py:48 convention)")
 
     return DatasetBundle(
         dataset=dataset,

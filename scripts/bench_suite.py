@@ -198,9 +198,14 @@ def config5_million_pages(n_pages: int = 1_000_000, tokens: int = 16, d: int = 1
         ok = ok and set(idx_h[q].tolist()) == want
 
     def _timed_topk(idx_obj, nq_t, tag, impl, exact_field=None):
-        """One timed dispatch with distinct query buffers (a repeated
-        identical (program, args) pair can be served from the remote
-        client's memoization cache — CLAUDE.md timing trap).
+        """Sustained q/s via the honest remote protocol (same as bench.py's
+        headline): device-resident queries, K score+top-k applications with
+        DISTINCT inputs chained in ONE jit (a repeated identical
+        (program, args) pair can be served from the remote client's
+        memoization cache, and single dispatches pay ~60-100 ms of tunnel
+        RTT that no real TPU host pays — CLAUDE.md timing traps), and a
+        forced scalar fetch. The index is threaded as jit ARGUMENTS (closure
+        capture would inline 4 GB as program constants).
         ``exact_field`` reports the brute-force subsample check, which was
         run against the bf16 index only — omit it for variants whose
         results can legitimately differ (int8 quantization)."""
@@ -208,14 +213,40 @@ def config5_million_pages(n_pages: int = 1_000_000, tokens: int = 16, d: int = 1
         qmb = rng.random((nq_t, lq)) > 0.15
         Qw = replicate(jnp.asarray(Qb), mesh)
         qmw = replicate(jnp.asarray(qmb), mesh)
-        _fetch(sharded_topk(Qw, qmw, idx_obj, k=k, chunk_p=4096,
-                            impl=impl)[0])  # warm/compile at this batch
-        Q2 = replicate(jnp.asarray(np.roll(Qb, 1, axis=0)), mesh)
-        qm2 = replicate(jnp.asarray(np.roll(qmb, 1, axis=0)), mesh)
-        t0 = time.perf_counter()
-        v2, _ = sharded_topk(Q2, qm2, idx_obj, k=k, chunk_p=4096, impl=impl)
-        _fetch(v2)
-        dt = time.perf_counter() - t0
+        if mesh.devices.size == 1:
+            from evdr_tpu.parallel.topk import _single_device_topk
+
+            K = 3
+            kk = min(k, idx_obj.n_pad)
+
+            def chained(rep, Qr, qmr, P_, pm_, sc_):
+                tot = jnp.float32(0)
+                for i in range(K):
+                    v, ix = _single_device_topk(
+                        jnp.roll(Qr, rep * K + i, axis=0), qmr, P_, pm_,
+                        kk, 4096, impl, False, sc_)
+                    tot = tot + jnp.sum(v) + jnp.sum(ix.astype(jnp.float32))
+                return tot
+
+            j = jax.jit(chained)
+            args = (Qw, qmw, idx_obj.P, idx_obj.pmask, idx_obj.scales)
+            float(j(jnp.int32(99), *args))  # warm/compile at this batch
+            dt = min_dt = float("inf")
+            for rep in range(2):
+                t0 = time.perf_counter()
+                float(j(jnp.int32(rep), *args))
+                min_dt = min(min_dt, time.perf_counter() - t0)
+            dt = min_dt / K
+        else:
+            _fetch(sharded_topk(Qw, qmw, idx_obj, k=k, chunk_p=4096,
+                                impl=impl)[0])  # warm/compile at this batch
+            Q2 = replicate(jnp.asarray(np.roll(Qb, 1, axis=0)), mesh)
+            qm2 = replicate(jnp.asarray(np.roll(qmb, 1, axis=0)), mesh)
+            t0 = time.perf_counter()
+            v2, _ = sharded_topk(Q2, qm2, idx_obj, k=k, chunk_p=4096,
+                                 impl=impl)
+            _fetch(v2)
+            dt = time.perf_counter() - t0
         extra = {} if exact_field is None else {"exact_on_subsample": exact_field}
         _emit(config=5, metric="million_page_topk", value=round(nq_t / dt, 1),
               unit="q/s", n_pages=n_pages, tokens_per_page=tokens, k=k,

@@ -116,6 +116,10 @@ def parse_log(path) -> dict:
 _LOSS_SCRIPTS = {
     "listwise": ("mainv2_iter_listwise",
                  ["--k", "6", "--temp", "0.1"], dict(k=6, temp=0.1)),
+    # legacy duplicate: differs from mainv2_iter_listwise only in default
+    # data paths (overridden here), chunk_p=64, and a no-op detach in eval
+    "listwise_legacy": ("mainv2_iters_listwise",
+                        ["--k", "6", "--temp", "0.1"], dict(k=6, temp=0.1)),
     "infonce_distill": ("mainv2_iter_distill_infonce",
                         ["--temp", "0.1"], dict(temp=0.1)),
     "score": ("mainv2_iter_score_preserve", [], {}),
@@ -138,6 +142,10 @@ _LOSS_SCRIPTS = {
     "pairscore": ("mainv2_iter_pairscore",
                   ["--lambda_pair", "1.0", "--lambda_score", "1.0"],
                   dict(lambda_pair=1.0, lambda_score=1.0)),
+    # gt-docs script: train pool AND eval-loss set are
+    # QueryTensorDataset_gtdocs; the recorder filters eval draws by pool size
+    "infonce_sup": ("mainv2_iter_super_infonce", ["--temp", "0.01"],
+                    dict(temp=0.01)),
 }
 
 
@@ -146,7 +154,8 @@ def _resolve_target(hp):
     if hp.get("loss", "liscore") != "liscore":
         assert hp["aug"] == "none", "augs golden-tested on liscore only"
         mod, extra, kw = _LOSS_SCRIPTS[hp["loss"]]
-        return mod, extra, dict(kw, loss=hp["loss"])
+        ours = "listwise" if hp["loss"] == "listwise_legacy" else hp["loss"]
+        return mod, extra, dict(kw, loss=ours)
     mod, extra, kw = _SCRIPTS[hp["aug"]]
     liscore_argv = ["--k", str(hp["k"]), "--temp", str(hp["temp"]),
                     "--lambda_list", str(hp["lambda_list"]),
@@ -264,12 +273,22 @@ def run_reference(root, out_root, hp) -> list:
 
     recorded: list = []
     orig_getitem = qds.QueryTensorDataset.__getitem__
+    orig_getitem_gt = qds.QueryTensorDataset_gtdocs.__getitem__
 
     def rec_getitem(self, idx):
         recorded.append(int(idx))
         return orig_getitem(self, idx)
 
+    def rec_getitem_gt(self, idx):
+        # super_infonce uses gt-docs datasets for BOTH train and eval loss
+        # (mainv2_iter_super_infonce.py:80,97); only train draws belong in
+        # the replayed stream — filter by pool size
+        if len(self) == hp["n_train_queries"]:
+            recorded.append(int(idx))
+        return orig_getitem_gt(self, idx)
+
     qds.QueryTensorDataset.__getitem__ = rec_getitem
+    qds.QueryTensorDataset_gtdocs.__getitem__ = rec_getitem_gt
     restore_draws = _install_draw_injector(hp["aug"], hp["seed"])
     argv_save = sys.argv
     sys.argv = [mod_name + ".py",
@@ -288,6 +307,7 @@ def run_reference(root, out_root, hp) -> list:
     finally:
         sys.argv = argv_save
         qds.QueryTensorDataset.__getitem__ = orig_getitem
+        qds.QueryTensorDataset_gtdocs.__getitem__ = orig_getitem_gt
         if restore_draws is not None:
             restore_draws()
 
@@ -313,7 +333,7 @@ def run_ours(root, out_root, hp, batches) -> None:
         print_every=1, seed=hp["seed"], chunk_p=32,
         **_resolve_target(hp)[2]).validate()
     set_seed(cfg.seed)
-    bundle = load_dataset_bundle(cfg, "synth")
+    bundle = load_dataset_bundle(cfg, "synth", need_pos_idx=(cfg.loss == "infonce_sup"))
     bundle.sc_t_train = _precompute_teacher_scores(
         bundle.Q_train, bundle.qmask_train, bundle.P_teacher_norm,
         bundle.pmask_teacher, chunk_q=256, chunk_p=cfg.chunk_p, impl="xla")
@@ -363,7 +383,7 @@ def run(steps=400, eval_every=100, q_batch=8, n_docs=16, n_train_queries=48,
 
     hp = dict(steps=steps, eval_every=eval_every, q_batch=q_batch, lr=1e-3,
               wd=1e-2, k=6, temp=0.1, lambda_list=1.0, lambda_score=1.0,
-              seed=seed, aug=aug, loss=loss)
+              seed=seed, aug=aug, loss=loss, n_train_queries=n_train_queries)
     workdir = pathlib.Path(workdir or tempfile.mkdtemp(prefix="golden_"))
     root = workdir / "data"
     root.mkdir(parents=True, exist_ok=True)
@@ -516,24 +536,41 @@ def run_family_a(epochs=120, n_docs=16, n_queries=48, dim=32, seed=42,
 # Family B: mainv2_listwise.py (epoch trainer, shuffled DataLoader)
 # =============================================================================
 
+# Family-B (epoch-trainer) scripts: loss -> (module, extra argv, cfg kw)
+_EPOCH_SCRIPTS = {
+    "listwise": ("mainv2_listwise", ["--k", "6", "--temp", "0.5"],
+                 dict(loss="listwise", k=6, temp=0.5)),
+    "infonce_distill": ("mainv2_distill_infonce", ["--temp", "0.1"],
+                        dict(loss="infonce_distill", temp=0.1)),
+    "ranknet": ("mainv2_ranknet", [], dict(loss="ranknet")),
+    "infonce_sup": ("mainv2_supervised_infonce", ["--temp", "0.01"],
+                    dict(loss="infonce_sup", temp=0.01)),
+    # mainv1_pseudoQ is Family A's SPL loss run through the Family-B shape
+    # (mini-batched ProxyQ DataLoader, epoch loop) — same runner applies
+    "spl": ("mainv1_pseudoQ", [], dict(loss="spl")),
+}
+
+
 def run_family_b(epochs=8, q_batch=8, n_docs=16, n_train_queries=48, dim=32,
-                 seed=42, workdir=None, out=None) -> dict:
-    """Golden trajectory vs /root/reference/mainv2_listwise.py (Family B):
-    per-epoch training over a shuffled DataLoader whose exact batch order is
-    recorded and replayed through our epoch trainer. The reference logs ONE
-    epoch-keyed record with the epoch's MEAN train loss (mainv2_listwise.py:
-    396-408); ours logs per-step losses (print_every=1), averaged per epoch
-    here."""
+                 seed=42, workdir=None, out=None, loss="listwise") -> dict:
+    """Golden trajectory vs a Family-B epoch script (default
+    /root/reference/mainv2_listwise.py; ``loss`` selects any of the four —
+    see _EPOCH_SCRIPTS): per-epoch training over a shuffled DataLoader whose
+    exact batch order is recorded and replayed through our epoch trainer.
+    The reference logs ONE epoch-keyed record with the epoch's MEAN train
+    loss (mainv2_listwise.py:396-408); ours logs per-step losses
+    (print_every=1), averaged per epoch here."""
     from evdr_tpu.data.synthetic import write_dataset_fixture
 
+    mod_name, extra_argv, cfg_kw = _EPOCH_SCRIPTS[loss]
     workdir = pathlib.Path(workdir or tempfile.mkdtemp(prefix="goldenB_"))
     root = workdir / "data"
     root.mkdir(parents=True, exist_ok=True)
     write_dataset_fixture(root, key="synth", n_docs=n_docs,
                           n_test_queries=12, n_train_queries=n_train_queries,
                           dim=dim, mfs=(5,), seed=seed, init_noise=2.0)
-    hp = dict(epochs=epochs, q_batch=q_batch, lr=1e-3, wd=1e-2, k=6,
-              temp=0.5, seed=seed)
+    hp = dict(epochs=epochs, q_batch=q_batch, lr=1e-3, wd=1e-2,
+              seed=seed, loss=loss)
 
     # ---- reference run (records DataLoader batch order) ----
     if REF not in sys.path:
@@ -543,7 +580,7 @@ def run_family_b(epochs=8, q_batch=8, n_docs=16, n_train_queries=48, dim=32,
 
     import Qdatasets.query_tensor_dataset as qds
 
-    ref_main = importlib.import_module("mainv2_listwise")
+    ref_main = importlib.import_module(mod_name)
     ref_main.DATASETMAP["synth"] = {
         "split_before": "synth_test_dump_all.npz",
         "pseudoQ": "synth_test_query.npz",
@@ -551,27 +588,38 @@ def run_family_b(epochs=8, q_batch=8, n_docs=16, n_train_queries=48, dim=32,
     }
     recorded: list = []
     orig_getitem = qds.QueryTensorDataset.__getitem__
+    orig_getitem_gt = qds.QueryTensorDataset_gtdocs.__getitem__
 
     def rec_getitem(self, idx):
         recorded.append(int(idx))
         return orig_getitem(self, idx)
 
+    def rec_getitem_gt(self, idx):
+        # The supervised script uses gt-docs datasets for BOTH the train pool
+        # and the eval-loss set (mainv2_supervised_infonce.py:201,224); only
+        # train draws belong in the replayed batch stream, so filter by pool
+        # size (train = n_train_queries, eval = the 12-query test set).
+        if len(self) == n_train_queries:
+            recorded.append(int(idx))
+        return orig_getitem_gt(self, idx)
+
     qds.QueryTensorDataset.__getitem__ = rec_getitem
+    qds.QueryTensorDataset_gtdocs.__getitem__ = rec_getitem_gt
     argv_save = sys.argv
-    sys.argv = ["mainv2_listwise.py", "--datasets", "synth", "--mfs", "5",
+    sys.argv = [mod_name + ".py", "--datasets", "synth", "--mfs", "5",
                 "--query_root", str(root), "--teacher_root", str(root),
                 "--init_root", str(root / "S3E_init"),
                 "--out_root", str(workdir / "ref_out"), "--name", "golden",
                 "--epochs", str(epochs), "--q_batch", str(q_batch),
                 "--lr", str(hp["lr"]), "--weight_decay", str(hp["wd"]),
-                "--k", str(hp["k"]), "--temp", str(hp["temp"]),
                 "--print_every", "1", "--device", "cpu",
-                "--seed", str(seed)]
+                "--seed", str(seed)] + extra_argv
     try:
         ref_main.main()
     finally:
         sys.argv = argv_save
         qds.QueryTensorDataset.__getitem__ = orig_getitem
+        qds.QueryTensorDataset_gtdocs.__getitem__ = orig_getitem_gt
 
     batches = [np.asarray(recorded[i: i + q_batch], dtype=np.int32)
                for i in range(0, len(recorded), q_batch)]
@@ -586,11 +634,11 @@ def run_family_b(epochs=8, q_batch=8, n_docs=16, n_train_queries=48, dim=32,
         datasets=["synth"], query_root=str(root), teacher_root=str(root),
         init_root=str(root / "S3E_init"), mfs=[5],
         out_root=str(workdir / "our_out"), name="golden", trainer="epoch",
-        loss="listwise", epochs=epochs, eval_every=0, max_steps=0,
-        q_batch=q_batch, lr=hp["lr"], weight_decay=hp["wd"], k=hp["k"],
-        temp=hp["temp"], print_every=1, seed=seed, chunk_p=32).validate()
+        epochs=epochs, eval_every=0, max_steps=0,
+        q_batch=q_batch, lr=hp["lr"], weight_decay=hp["wd"],
+        print_every=1, seed=seed, chunk_p=32, **cfg_kw).validate()
     set_seed(cfg.seed)
-    bundle = load_dataset_bundle(cfg, "synth")
+    bundle = load_dataset_bundle(cfg, "synth", need_pos_idx=(cfg.loss == "infonce_sup"))
     bundle.sc_t_train = _precompute_teacher_scores(
         bundle.Q_train, bundle.qmask_train, bundle.P_teacher_norm,
         bundle.pmask_teacher, chunk_q=256, chunk_p=cfg.chunk_p, impl="xla")
@@ -619,7 +667,7 @@ def run_family_b(epochs=8, q_batch=8, n_docs=16, n_train_queries=48, dim=32,
     ev = {e: our_log["eval"].get(e * spe) for e in epochs_common}
     assert all(v is not None for v in ev.values()), "missing our eval epochs"
     report = {
-        "family": "B (mainv2_listwise epoch trainer)",
+        "family": f"B ({_EPOCH_SCRIPTS[loss][0]} epoch trainer)",
         "n_epochs_compared": len(epochs_common),
         "train_loss_max_rel_diff": float(np.max(
             np.abs(tr_our - tr_ref) / np.maximum(np.abs(tr_ref), 1e-6))),
@@ -660,10 +708,27 @@ def main():
     p.add_argument("--family_a", action="store_true",
                    help="instead run the Family-A golden trajectory "
                         "(mainv1.py full-batch SPL; --steps = epochs)")
+    p.add_argument("--family_b", default=None, choices=sorted(_EPOCH_SCRIPTS),
+                   metavar="LOSS",
+                   help="instead run a Family-B (epoch trainer) golden "
+                        "trajectory for the given loss (--steps = epochs): "
+                        + ", ".join(sorted(_EPOCH_SCRIPTS)))
     p.add_argument("--out", default="bench_artifacts/golden_parity.json")
+    p.add_argument("--cpu", action="store_true",
+                   help="run our harness side on CPU (the sitecustomize "
+                        "preload pins JAX_PLATFORMS=axon, so an env var is "
+                        "too late — this flips it before first backend use; "
+                        "lets golden runs proceed while the TPU is busy)")
     a = p.parse_args()
+    if a.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if a.family_a:
         report = run_family_a(epochs=a.steps, out=a.out)
+    elif a.family_b:
+        report = run_family_b(epochs=min(a.steps, 25), out=a.out,
+                              loss=a.family_b)
     else:
         report = run(steps=a.steps, eval_every=a.eval_every,
                      q_batch=a.q_batch, out=a.out, aug=a.aug, loss=a.loss)
