@@ -51,14 +51,8 @@ def build_summary_tokens(P: np.ndarray, pmask: np.ndarray, k_centroids: int = 4,
     return S, smask
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def rerank_candidates(Q, qmask, P, pmask, cand_idx, k: int, scales=None):
-    """Exact masked MaxSim over per-query candidate sets.
-
-    Q (nq, Lq, D); P (N, Lp, D); cand_idx (nq, C) -> top-k (values, GLOBAL doc
-    indices) among the candidates. ``scales`` dequantizes int8 indexes
-    (ops/quantize.py) after the gather.
-    """
+def _rerank_block(Q, qmask, P, pmask, cand_idx, k: int, scales=None):
+    """One query block of the exact candidate rerank (see rerank_candidates)."""
     Pg = jnp.take(P, cand_idx, axis=0)        # (nq, C, Lp, D)
     if scales is not None:
         Pg = Pg.astype(jnp.float32) * jnp.take(scales, cand_idx,
@@ -79,6 +73,44 @@ def rerank_candidates(Q, qmask, P, pmask, cand_idx, k: int, scales=None):
     scores = jnp.where(any_valid, scores, -jnp.inf)
     vals, pos = jax.lax.top_k(scores, min(k, scores.shape[-1]))
     return vals, jnp.take_along_axis(cand_idx, pos, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk_q"))
+def rerank_candidates(Q, qmask, P, pmask, cand_idx, k: int, scales=None,
+                      chunk_q: int = 32):
+    """Exact masked MaxSim over per-query candidate sets.
+
+    Q (nq, Lq, D); P (N, Lp, D); cand_idx (nq, C) -> top-k (values, GLOBAL doc
+    indices) among the candidates. ``scales`` dequantizes int8 indexes
+    (ops/quantize.py) after the gather.
+
+    Chunked over queries (``lax.map`` blocks of ``chunk_q``): the gathered
+    candidate tokens are upcast to f32 for the exact einsum, which at
+    batch 256 x n_cand 2048 x Lp 64 would materialize ~17 GB in one shot
+    (observed HBM OOM); per-block the footprint is chunk_q/nq of that while
+    the whole rerank stays inside one compiled program.
+    """
+    nq = Q.shape[0]
+    kk = min(k, cand_idx.shape[1])
+    if nq <= chunk_q:
+        return _rerank_block(Q, qmask, P, pmask, cand_idx, k, scales)
+    nb = -(-nq // chunk_q)
+    pad = nb * chunk_q - nq
+
+    def pad0(x):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) if pad else x
+
+    Qb = pad0(Q).reshape(nb, chunk_q, *Q.shape[1:])
+    qmb = pad0(qmask).reshape(nb, chunk_q, *qmask.shape[1:])
+    cb = pad0(cand_idx).reshape(nb, chunk_q, cand_idx.shape[1])
+
+    def body(args):
+        q, qm, c = args
+        return _rerank_block(q, qm, P, pmask, c, k, scales)
+
+    vals, idx = jax.lax.map(body, (Qb, qmb, cb))
+    return (vals.reshape(nb * chunk_q, kk)[:nq],
+            idx.reshape(nb * chunk_q, kk)[:nq])
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n_cand", "impl"))

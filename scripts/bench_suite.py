@@ -347,13 +347,17 @@ def config5b_pruned(n_pages: int = 250_048, tokens: int = 64, d: int = 128,
                                      rerank_candidates)
 
     mesh = make_mesh()
-    nq, lq = 64, 32
+    # batch 256: amortizes fixed per-batch work and (at qb=128-aligned
+    # query blocks) enables the token-major kernel epilogue; 64 was the
+    # round-2 setting and left ~20% on the table at config-5 scale
+    nq, lq = 256, 32
     print(f"[5b] generating {n_pages} pages on device", file=sys.stderr, flush=True)
     Pdev, Q, qm = _gen_clustered_corpus_device(n_pages, tokens, d, n_centers,
                                                nq, lq)
     pm_dev = jnp.ones((n_pages, tokens), dtype=bool)
     index = ShardedIndex(P=shard_docs(Pdev, mesh), pmask=shard_docs(pm_dev, mesh),
                          n_docs=n_pages, mesh=mesh)
+    del Pdev, pm_dev  # 4 GB: drop the pre-shard handles before timing
 
     print("[5b] building kmeans summaries", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
@@ -375,8 +379,9 @@ def config5b_pruned(n_pages: int = 250_048, tokens: int = 64, d: int = 128,
     # honest remote timing (CLAUDE.md): K applications with distinct query
     # buffers chained in ONE jit + a forced fetch. Index-sized arrays ride as
     # jit ARGUMENTS (closure capture would inline 4GB program constants,
-    # which remote-compile rejects)
-    K = 4
+    # which remote-compile rejects). K=2 at batch 256: the 4-deep chain's
+    # per-step score/top-k temporaries exceeded HBM at this batch
+    K = 2
 
     def chain(fn):
         # rep-index argument: every timing rep dispatches distinct args (a
@@ -438,7 +443,7 @@ def config5b_pruned(n_pages: int = 250_048, tokens: int = 64, d: int = 128,
     good = [c for c in curve if c["recall_at_10"] >= 0.95]
     pick = good[0] if good else max(curve, key=lambda c: c["recall_at_10"])
     _emit(config=5, metric="pruned_topk_teacher_scale", value=pick["qps"],
-          unit="q/s", n_pages=n_pages, tokens_per_page=tokens,
+          unit="q/s", n_pages=n_pages, tokens_per_page=tokens, batch=nq,
           exact_qps=round(nq / dt_e, 1), n_candidates=pick["n_candidates"],
           recall_at_10_vs_exact=pick["recall_at_10"],
           recall_at_1_vs_exact=pick["recall_at_1"],

@@ -62,6 +62,43 @@ def test_family_b_trajectory_matches_mainv2_listwise(tmp_path):
 
 
 @pytest.mark.slow
+def test_family_b_supervised_trajectory(tmp_path):
+    """mainv2_supervised_infonce.py golden: the gt-docs path — relevant_docs
+    keyed by str(qid) (fixture qids are question strings for this reason),
+    the eval-loss set is ALSO a gt-docs dataset (its draws must be excluded
+    from the replayed train stream), and temp=0.01 amplifies parameter drift
+    x100 in the CE, hence the looser eval-loss bound."""
+    import golden_parity
+
+    r = golden_parity.run_family_b(epochs=6, workdir=tmp_path,
+                                   loss="infonce_sup")
+    assert r["train_loss_max_rel_diff"] < 1e-3, r
+    assert r["eval_loss_max_abs_diff"] < 5e-2, r
+    assert r["ndcg5_max_abs_diff"] == 0.0, r
+    assert r["recall1_max_abs_diff"] == 0.0, r
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("loss", ["listwise", "ranknet", "lambda",
+                                  "pairscore"])
+def test_iter_loss_trajectory_matches_reference(tmp_path, loss):
+    """Spot-check of the per-loss golden runner (every Family-C loss ran at
+    200 steps via scripts/golden_parity.py --loss X; artifacts in
+    bench_artifacts/golden_parity_loss_*.json — this keeps a fast subset in
+    CI). Train-loss tolerance is relative to values that converge toward 0,
+    so it is looser than the flagship's."""
+    import golden_parity
+
+    r = golden_parity.run(steps=60, eval_every=30, workdir=tmp_path,
+                          loss=loss)
+    assert r["train_loss_max_rel_diff"] < 2e-2, r
+    assert r["eval_loss_max_abs_diff"] < 1e-2, r
+    assert r["ndcg5_max_abs_diff"] == 0.0, r
+    assert r["recall1_max_abs_diff"] == 0.0, r
+    assert r["best_ndcg5_abs_diff"] == 0.0, r
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("aug", ["qnoise", "mixup"])
 def test_full_trajectory_matches_reference_stochastic_aug(tmp_path, aug):
     """Stochastic Family-D golden trajectories: the reference's random draws
