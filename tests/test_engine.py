@@ -112,6 +112,30 @@ def test_rerank_never_returns_padded_docs():
     assert np.all(np.asarray(vals) > -np.inf)
 
 
+def test_rerank_query_chunking_matches_block():
+    """The lax.map query-chunked rerank (memory guard: the one-shot f32
+    candidate gather OOM'd at batch 256 x n_cand 2048 x Lp 64) matches the
+    single-block path, including the ragged final chunk (same indices; values
+    to fp reassociation noise — the two programs fuse differently)."""
+    import jax.numpy as jnp
+
+    from evdr_tpu.ops.pruned import _rerank_block, rerank_candidates
+
+    rng = np.random.default_rng(1)
+    nq, C, N, lp, d, lq = 70, 16, 100, 8, 32, 5   # 70 > chunk_q=32, ragged
+    Q = rng.normal(size=(nq, lq, d)).astype(np.float32)
+    qmask = rng.random((nq, lq)) > 0.2
+    P = rng.normal(size=(N, lp, d)).astype(np.float32)
+    pmask = rng.random((N, lp)) > 0.2
+    cand = rng.integers(0, N, size=(nq, C)).astype(np.int32)
+    args = (jnp.asarray(Q), jnp.asarray(qmask), jnp.asarray(P),
+            jnp.asarray(pmask), jnp.asarray(cand))
+    v1, i1 = rerank_candidates(*args, k=5)
+    v2, i2 = _rerank_block(*args, 5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+
+
 def test_public_search_routes_pruning(corpus):
     """engine.search (the ragged public API) exposes n_candidates: full-cover
     candidates reproduce the exact result; the pruned path is actually taken
