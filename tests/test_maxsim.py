@@ -269,6 +269,42 @@ def test_pallas_shape_fuzz_matches_oracle(rng):
             err_msg=f"trial {trial}: nq={nq} lq={lq} nd={nd} lp={lp} d={d}")
 
 
+def test_pallas_int8_shape_fuzz_matches_oracle(rng):
+    """Randomized shape/mask sweep for the int8-index kernel (bf16-dot path
+    run at fp32 here): exercises the auto-epilogue gates (token-major needs
+    qb%128==0 and db%8==0; everything else must fall back cleanly) across
+    awkward shapes, including nq >= 128 where token-major engages."""
+    import jax.numpy as jnp
+
+    from evdr_tpu.ops.maxsim import maxsim_numpy
+    from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int8
+    from evdr_tpu.ops.quantize import dequantize_int8, quantize_tokens_int8
+
+    for trial in range(8):
+        nq = int(rng.choice([1, 7, 130, 256]))
+        lq = int(rng.integers(1, 13))
+        nd = int(rng.integers(1, 23))
+        lp = int(rng.integers(1, 37))
+        d = int(rng.choice([16, 32, 128]))
+        Q = rng.normal(size=(nq, lq, d)).astype(np.float32)
+        P = rng.normal(size=(nd, lp, d)).astype(np.float32)
+        qm = rng.random((nq, lq)) > rng.uniform(0.0, 0.6)
+        pm = rng.random((nd, lp)) > rng.uniform(0.0, 0.6)
+        if nd > 2:
+            pm[int(rng.integers(nd))] = False
+        codes, scales = quantize_tokens_int8(P * pm[..., None], pm)
+        want = maxsim_numpy(Q, dequantize_int8(codes, scales), qm, pm)
+        got = np.asarray(maxsim_pallas_int8(
+            jnp.asarray(Q), jnp.asarray(codes), jnp.asarray(scales),
+            jnp.asarray(qm), jnp.asarray(pm), compute_dtype=jnp.float32,
+            interpret=True,
+            target_rows=int(rng.choice([256, 4096])),
+            target_cols=int(rng.choice([64, 3072]))))
+        np.testing.assert_allclose(
+            got, want, rtol=1e-4, atol=1e-4,
+            err_msg=f"trial {trial}: nq={nq} lq={lq} nd={nd} lp={lp} d={d}")
+
+
 @pytest.mark.parametrize("n_docs,lp,rows", [(9, 16, 512), (40, 64, 256),
                                             (3, 16, 512)])
 def test_pallas_int8_deferred_epilogue_matches(rng, n_docs, lp, rows):
