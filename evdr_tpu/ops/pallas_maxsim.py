@@ -56,7 +56,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_tiles(lq: int, lp: int, target_rows: int = 512, target_cols: int = 256,
-                nq: int = None) -> Tuple[int, int, int, int]:
+                nq: int = None, max_tlp: int = None) -> Tuple[int, int, int, int]:
     """Choose (QB queries/block, Lq_pad, DB docs/block, TLP lp-tile).
 
     QB is a multiple of 8 so the (QB, DB) output block satisfies the TPU
@@ -64,12 +64,19 @@ def _pick_tiles(lq: int, lp: int, target_rows: int = 512, target_cols: int = 256
     query count: a 4096-row tile at nq=64/lq=32 would otherwise pad the
     query axis 2x and do double the MXU work (measured: config-5b exact
     dropped 1,033 -> 621 q/s when the r4096 default landed unclamped).
+
+    ``max_tlp`` caps the lp-tile so long-doc shapes split Lp across several
+    contraction steps per doc block: (tlp=384, db=8) streams the same bytes
+    per step as (tlp=768, db=4) but runs the Lq-sum epilogue half as often
+    AND makes db a multiple of 8, the token-major epilogue's legality gate.
     """
     lq_pad = _round_up(lq, 8)
     qb = max(8, (target_rows // lq_pad) // 8 * 8)
     if nq is not None:
         qb = min(qb, max(8, _round_up(nq, 8)))
     tlp = min(target_cols, _round_up(lp, 16))
+    if max_tlp is not None:
+        tlp = min(tlp, max(16, _round_up(max_tlp, 16)))
     db = max(1, target_cols // tlp)
     return qb, lq_pad, db, tlp
 
@@ -344,11 +351,12 @@ def _kernel(qf_ref, qmf_ref, p_ref, pm_ref, out_ref, acc_ref, *, db, tlp, lq_pad
 
 @functools.partial(
     jax.jit, static_argnames=("compute_dtype", "interpret", "target_rows",
-                              "target_cols", "epilogue")
+                              "target_cols", "epilogue", "max_tlp")
 )
 def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
                        interpret: bool = False, target_rows: int = 4096,
-                       target_cols: int = 3072, epilogue: str = "auto"):
+                       target_cols: int = 3072, epilogue: str = "auto",
+                       max_tlp: int = None):
     # target_rows=4096 measured faster than 2048 with the sublane epilogue at
     # both the headline shape (31.0k vs 30.3k q/s, Lp=768) and the config-5
     # probe shape (+6%, Lp=16) on the v5e chip; 2048 was the f32-epilogue tune.
@@ -356,7 +364,8 @@ def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
         epilogue = "f32"  # CPU interpret mode lacks bf16 x bf16 dots
     nq, lq, d = Q.shape
     nd, lp, _ = P.shape
-    qb, lq_pad, db, tlp = _pick_tiles(lq, lp, target_rows, target_cols, nq=nq)
+    qb, lq_pad, db, tlp = _pick_tiles(lq, lp, target_rows, target_cols, nq=nq,
+                                      max_tlp=max_tlp)
     if epilogue == "auto":
         # measured (v5e): token-major tree epilogue wins whenever the tiling
         # allows it (config-5 shape: bf16 146->163, int8full 138->155
@@ -645,12 +654,12 @@ def _kernel_int8_defer(qf_ref, qmf_ref, p_ref, sc_ref, out_ref, acc_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("interpret", "target_rows", "target_cols",
-                              "epilogue", "deferred")
+                              "epilogue", "deferred", "max_tlp")
 )
 def maxsim_pallas_int8full(Q, P_i8, scales, qmask, pmask,
                            interpret: bool = False, target_rows: int = 4096,
                            target_cols: int = 3072, epilogue: str = "auto",
-                           deferred: bool = False):
+                           deferred: bool = False, max_tlp: int = None):
     """Fully-quantized MaxSim: int8 queries x int8 index on the MXU.
 
     Queries are quantized per token ON DEVICE (symmetric, like
@@ -668,17 +677,20 @@ def maxsim_pallas_int8full(Q, P_i8, scales, qmask, pmask,
     return _maxsim_int8_impl(Q_i8, q_weight, P_i8, scales, pmask,
                              compute_dtype=jnp.int8, interpret=interpret,
                              target_rows=target_rows, target_cols=target_cols,
-                             epilogue=epilogue, deferred=deferred)
+                             epilogue=epilogue, deferred=deferred,
+                             max_tlp=max_tlp)
 
 
 @functools.partial(
     jax.jit, static_argnames=("compute_dtype", "interpret", "target_rows",
-                              "target_cols", "epilogue", "deferred")
+                              "target_cols", "epilogue", "deferred",
+                              "max_tlp")
 )
 def maxsim_pallas_int8(Q, P_i8, scales, qmask, pmask,
                        compute_dtype=jnp.bfloat16, interpret: bool = False,
                        target_rows: int = 4096, target_cols: int = 3072,
-                       epilogue: str = "auto", deferred: bool = False):
+                       epilogue: str = "auto", deferred: bool = False,
+                       max_tlp: int = None):
     # r4096 > r2048 with the sublane epilogue: 30.6k vs 29.5k q/s at Lp=768,
     # 32.3k vs 30.2k at Lp=16 (v5e probes, 256q x 32t, bf16 dot).
     """Fused MaxSim over an int8-quantized index.
@@ -691,24 +703,27 @@ def maxsim_pallas_int8(Q, P_i8, scales, qmask, pmask,
                              pmask, compute_dtype=compute_dtype,
                              interpret=interpret, target_rows=target_rows,
                              target_cols=target_cols, epilogue=epilogue,
-                             deferred=deferred)
+                             deferred=deferred, max_tlp=max_tlp)
 
 
 @functools.partial(
     jax.jit, static_argnames=("compute_dtype", "interpret", "target_rows",
-                              "target_cols", "epilogue", "deferred")
+                              "target_cols", "epilogue", "deferred",
+                              "max_tlp")
 )
 def _maxsim_int8_impl(Q, q_weight, P_i8, scales, pmask,
                       compute_dtype=jnp.bfloat16, interpret: bool = False,
                       target_rows: int = 1024, target_cols: int = 2048,
-                      epilogue: str = "auto", deferred: bool = False):
+                      epilogue: str = "auto", deferred: bool = False,
+                      max_tlp: int = None):
     """Shared int8-index kernel driver; Q float (bf16 dot) or int8 (int8 dot);
     ``q_weight`` is the post-max per-query-token row (mask, optionally * sq)."""
     if interpret and epilogue == "bf16":
         epilogue = "f32"  # CPU interpret mode lacks bf16 x bf16 dots
     nq, lq, d = Q.shape
     nd, lp, _ = P_i8.shape
-    qb, lq_pad, db, tlp = _pick_tiles(lq, lp, target_rows, target_cols, nq=nq)
+    qb, lq_pad, db, tlp = _pick_tiles(lq, lp, target_rows, target_cols, nq=nq,
+                                      max_tlp=max_tlp)
     if deferred:
         if qb % 128 != 0 or db % 8 != 0:
             deferred = False  # deferred epilogue is token-major-only now

@@ -94,6 +94,10 @@ def main():
     p.add_argument("--int8", default="off", choices=["off", "index", "full"],
                    help="profile the int8-index kernel (bf16 dot) or the "
                         "fully-quantized int8xint8 kernel instead of bf16")
+    p.add_argument("--max-tlp", type=int, default=None,
+                   help="cap the lp-tile so long docs split Lp across "
+                        "contraction steps (e.g. 384 at Lp=768 -> db=8, "
+                        "enabling the token-major epilogue)")
     a = p.parse_args()
 
     global ND, LP
@@ -118,7 +122,7 @@ def main():
         Pd, scd = jnp.asarray(codes), jnp.asarray(scales)
         kern = (maxsim_pallas_int8full if a.int8 == "full"
                 else maxsim_pallas_int8)
-        fwd = functools.partial(kern, epilogue=a.epilogue)
+        fwd = functools.partial(kern, epilogue=a.epilogue, max_tlp=a.max_tlp)
 
         def _wrap(f):
             return lambda q, p_, qm_, pm_, **kw: f(q, p_, scd, qm_, pm_, **kw)
@@ -126,7 +130,8 @@ def main():
         fwd = _wrap(fwd)
     else:
         Qd, Pd, qmd, pmd = map(jnp.asarray, (Q, P, qm, pm))
-        fwd = functools.partial(_maxsim_pallas_fwd, epilogue=a.epilogue)
+        fwd = functools.partial(_maxsim_pallas_fwd, epilogue=a.epilogue,
+                                max_tlp=a.max_tlp)
 
     with trace_ctx(a.trace):
         base = timed_tflops(

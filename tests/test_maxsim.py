@@ -263,7 +263,8 @@ def test_pallas_shape_fuzz_matches_oracle(rng):
             jnp.asarray(Q), jnp.asarray(P), jnp.asarray(qm), jnp.asarray(pm),
             compute_dtype=jnp.float32, interpret=True,
             target_rows=int(rng.choice([64, 256, 2048])),
-            target_cols=int(rng.choice([64, 256]))))
+            target_cols=int(rng.choice([64, 256])),
+            max_tlp=[None, 16, 32][trial % 3]))
         np.testing.assert_allclose(
             got, want, rtol=1e-4, atol=1e-4,
             err_msg=f"trial {trial}: nq={nq} lq={lq} nd={nd} lp={lp} d={d}")
@@ -299,7 +300,8 @@ def test_pallas_int8_shape_fuzz_matches_oracle(rng):
             jnp.asarray(qm), jnp.asarray(pm), compute_dtype=jnp.float32,
             interpret=True,
             target_rows=int(rng.choice([256, 4096])),
-            target_cols=int(rng.choice([64, 3072]))))
+            target_cols=int(rng.choice([64, 3072])),
+            max_tlp=[None, 16, 32, None][trial % 4]))
         np.testing.assert_allclose(
             got, want, rtol=1e-4, atol=1e-4,
             err_msg=f"trial {trial}: nq={nq} lq={lq} nd={nd} lp={lp} d={d}")
