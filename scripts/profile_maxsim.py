@@ -84,8 +84,9 @@ def main():
                    help="capture a jax.profiler trace of the baseline "
                         "measurement into DIR")
     p.add_argument("--epilogue", default="sublane",
-                   choices=["sublane", "tokmajor", "tokmajor_nt", "tokchain",
-                            "tokpre", "f32", "bf16", "f32d", "reduce", "none"],
+                   choices=["auto", "sublane", "tokmajor", "tokmajor_nt",
+                            "tokchain", "tokpre", "f32", "bf16", "f32d",
+                            "reduce", "none"],
                    help="Lq-sum epilogue variant (ops/pallas_maxsim."
                         "_finish_sum); 'none' = epilogue-free ceiling "
                         "(wrong results, profiling only)")
