@@ -54,21 +54,27 @@ class RetrievalEngine:
     # ------------------------------------------------------------------ build
     def build(self, P: np.ndarray, pmask: np.ndarray,
               docids: Optional[Sequence[str]] = None,
-              streaming: bool = False) -> "RetrievalEngine":
+              streaming: bool = False,
+              normalize: Optional[bool] = None) -> "RetrievalEngine":
         """Index dense padded page embeddings ``(N, Lp, D)`` + bool mask.
 
         ``streaming=True`` device-puts shard by shard without a full host
-        copy (requires pre-normalized input — ``normalize=False`` — and no
+        copy (requires pre-normalized input — normalize False — and no
         pruning summary; pairs with mmap-backed arrays for GB-scale files).
+        ``normalize`` overrides the engine default for THIS build only —
+        from_npz passes False for files stored pre-normalized; mutating
+        ``self.normalize`` instead would silently skip normalization on a
+        LATER build() with raw embeddings on the same engine.
         """
-        if streaming and not (self.normalize is False
+        normalize = self.normalize if normalize is None else normalize
+        if streaming and not (normalize is False
                               and self.prune_centroids == 0):
             raise ValueError("streaming build needs normalize=False and "
                              "prune_centroids=0 (both touch the full array)")
         if not streaming:
             P = np.asarray(P, dtype=np.float32)
             pmask = np.asarray(pmask, dtype=bool)
-        if self.normalize:
+        if normalize:
             P = np.asarray(l2_normalize(P * pmask[..., None].astype(np.float32)),
                            dtype=np.float32)
         self.index = build_sharded_index(
@@ -135,11 +141,11 @@ class RetrievalEngine:
 
                 payload["P_pad"] = dequantize_int8(payload["P_codes"],
                                                    payload["P_scale"])
-            if normalized:
-                eng.normalize = False  # stored normalized: skip the renorm
             eng.build(payload["P_pad"], payload["pmask"], docids=docids,
                       streaming=(mmap and normalized
-                                 and eng.prune_centroids == 0))
+                                 and eng.prune_centroids == 0),
+                      # stored normalized: skip the renorm for THIS build
+                      normalize=False if normalized else None)
         else:
             payload = load_payload(npz_path)
             eng.build_from_ragged(

@@ -199,6 +199,41 @@ def _finish_sum(weighted, db, qb, lq_pad, epilogue):
         precision=jax.lax.Precision.HIGHEST)
 
 
+def _resolve_epilogue(epilogue: str, qb: int, db: int, *,
+                      interpret: bool = False,
+                      deferred: bool = False) -> Tuple[str, bool]:
+    """Resolve 'auto' and demote illegal choices; shared by BOTH kernel
+    drivers (bf16 and int8) so the gate can't diverge, and importable by
+    tests to assert a given tiling actually engages a path.
+
+    - measured (v5e): the token-major tree epilogue wins whenever the tiling
+      allows it (config-5 shape: bf16 146->163, int8full 138->155 TFLOP/s);
+      at small db (long docs, e.g. Lp=768 -> db=4) the (db, qb) output block
+      breaks the 8-sublane tile rule and 'sublane' is both legal and already
+      amortized. 'tokmajor' (in-kernel transpose, standard output layout)
+      over 'tokmajor_nt': nt is ~1% faster at the kernel level but its
+      driver-side XLA transpose of the full score matrix costs ~18%
+      END-TO-END at 1M pages (config 5: 771 -> 631 q/s).
+    - lane-slice ('tok*') epilogues need lane-tile-aligned qb; the nt layout
+      additionally needs db % 8 (its (db, qb) block is the output tile).
+    - the deferred grid is token-major-only and implies the nt emit layout.
+    """
+    if interpret and epilogue == "bf16":
+        epilogue = "f32"  # CPU interpret mode lacks bf16 x bf16 dots
+    if deferred:
+        if qb % 128 != 0 or db % 8 != 0:
+            deferred = False
+        else:
+            epilogue = "tokmajor_nt"  # deferred kernel's emit layout
+    if epilogue == "auto":
+        epilogue = ("tokmajor" if qb % 128 == 0 and db % 8 == 0
+                    else "sublane")
+    if epilogue.startswith("tok") and (
+            qb % 128 != 0 or (_nt_layout(epilogue) and db % 8 != 0)):
+        epilogue = "sublane"
+    return epilogue, deferred
+
+
 def _chain_sum(acc_ref, qmf_ref, db, qb, lq_pad):
     """Single-pass token-major epilogue: one sequential sweep over the acc
     scratch, fusing the doc_has_token ``where``, the qmask weight, and the
@@ -222,29 +257,20 @@ def _chain_sum(acc_ref, qmf_ref, db, qb, lq_pad):
 
 
 def _value_chain_sum(bm, db, qb, lq_pad):
-    """doc_has_token ``where`` + Lq chain-sum over lane slices of a VALUE
-    (used by the single-lp-tile direct path, which never touches the acc
-    scratch: blockmax streams straight from the matmul into the sum)."""
+    """doc_has_token ``where`` + Lq chain-sum over lane-aligned slices.
+
+    Used by the single-lp-tile direct path (blockmax streams straight from
+    the matmul into the sum, never touching the acc scratch) AND as the
+    'tokpre' epilogue (callers pass ``acc_ref[:]``): there the q-weight row
+    was already applied PRE-max in the main fused stream (positive per-q-
+    token weights commute with the doc-token max; zero-weight tokens give
+    max 0 over valid doc tokens, and all-invalid docs stay NEG_INIT either
+    way — exact), so one acc read remains, the (DB, QB) accumulator stays
+    register-resident, and no row slicing happens (Mosaic rejects
+    lane-slicing a (1, QBL) row: 'Invalid input layout')."""
     out = jnp.zeros((db, qb), jnp.float32)
     for t in range(lq_pad):
         a = bm[:, t * qb:(t + 1) * qb]
-        out = out + jnp.where(a > NEG_THRESH, a, 0.0)
-    return out  # (DB, QB), untransposed
-
-
-def _pre_chain_sum(acc_ref, db, qb, lq_pad):
-    """Epilogue for 'tokpre': the q-weight row was already applied PRE-max in
-    the main fused stream (positive per-q-token weights commute with the
-    doc-token max; zero-weight tokens give max 0 over valid doc tokens, and
-    all-invalid docs stay NEG_INIT either way — exact). What remains is a
-    pure chain of doc_has_token ``where`` + add over lane-aligned slices:
-    one acc read, the (DB, QB) accumulator register-resident, and no row
-    slicing (Mosaic rejects lane-slicing a (1, QBL) row: 'Invalid input
-    layout')."""
-    acc = acc_ref[:]
-    out = jnp.zeros((db, qb), jnp.float32)
-    for t in range(lq_pad):
-        a = acc[:, t * qb:(t + 1) * qb]
         out = out + jnp.where(a > NEG_THRESH, a, 0.0)
     return out  # (DB, QB), untransposed
 
@@ -332,7 +358,7 @@ def _kernel(qf_ref, qmf_ref, p_ref, pm_ref, out_ref, acc_ref, *, db, tlp, lq_pad
                                        ).astype(out_dtype)
             return
         if epilogue == "tokpre":
-            out_ref[0, 0] = _pre_chain_sum(acc_ref, db, qb, lq_pad
+            out_ref[0, 0] = _value_chain_sum(acc_ref[:], db, qb, lq_pad
                                            ).astype(out_dtype)
             return
         acc = acc_ref[:]
@@ -360,28 +386,11 @@ def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
     # target_rows=4096 measured faster than 2048 with the sublane epilogue at
     # both the headline shape (31.0k vs 30.3k q/s, Lp=768) and the config-5
     # probe shape (+6%, Lp=16) on the v5e chip; 2048 was the f32-epilogue tune.
-    if interpret and epilogue == "bf16":
-        epilogue = "f32"  # CPU interpret mode lacks bf16 x bf16 dots
     nq, lq, d = Q.shape
     nd, lp, _ = P.shape
     qb, lq_pad, db, tlp = _pick_tiles(lq, lp, target_rows, target_cols, nq=nq,
                                       max_tlp=max_tlp)
-    if epilogue == "auto":
-        # measured (v5e): token-major tree epilogue wins whenever the tiling
-        # allows it (config-5 shape: bf16 146->163, int8full 138->155
-        # TFLOP/s); at small db (long docs, e.g. Lp=768 -> db=4) the
-        # (db, qb) output block breaks the 8-sublane tile rule and the
-        # sublane epilogue is both legal and already amortized.
-        # 'tokmajor' (in-kernel (DB, QB)->(QB, DB) transpose, standard
-        # output layout) over 'tokmajor_nt': the nt variant is ~1% faster at
-        # the kernel level (163.1 vs 161.6) but its driver-side XLA transpose
-        # of the full score matrix costs ~18% END-TO-END at 1M pages
-        # (config 5: 771 -> 631 q/s measured with nt as the default).
-        epilogue = ("tokmajor" if qb % 128 == 0 and db % 8 == 0
-                    else "sublane")
-    if epilogue.startswith("tok") and (
-            qb % 128 != 0 or (_nt_layout(epilogue) and db % 8 != 0)):
-        epilogue = "sublane"  # lane-slice epilogue needs lane-tile-aligned qb
+    epilogue, _ = _resolve_epilogue(epilogue, qb, db, interpret=interpret)
 
     nq_pad = _round_up(max(nq, qb), qb)
     nd_pad = _round_up(max(nd, db), db)
@@ -596,7 +605,7 @@ def _kernel_int8(qf_ref, qmf_ref, p_ref, sc_ref, out_ref, acc_ref, *, db, tlp,
                                        ).astype(out_dtype)
             return
         if epilogue == "tokpre":
-            out_ref[0, 0] = _pre_chain_sum(acc_ref, db, qb, lq_pad
+            out_ref[0, 0] = _value_chain_sum(acc_ref[:], db, qb, lq_pad
                                            ).astype(out_dtype)
             return
         acc = acc_ref[:]
@@ -718,23 +727,13 @@ def _maxsim_int8_impl(Q, q_weight, P_i8, scales, pmask,
                       max_tlp: int = None):
     """Shared int8-index kernel driver; Q float (bf16 dot) or int8 (int8 dot);
     ``q_weight`` is the post-max per-query-token row (mask, optionally * sq)."""
-    if interpret and epilogue == "bf16":
-        epilogue = "f32"  # CPU interpret mode lacks bf16 x bf16 dots
     nq, lq, d = Q.shape
     nd, lp, _ = P_i8.shape
     qb, lq_pad, db, tlp = _pick_tiles(lq, lp, target_rows, target_cols, nq=nq,
                                       max_tlp=max_tlp)
-    if deferred:
-        if qb % 128 != 0 or db % 8 != 0:
-            deferred = False  # deferred epilogue is token-major-only now
-        else:
-            epilogue = "tokmajor_nt"  # deferred kernel's emit layout
-    if epilogue == "auto":
-        epilogue = ("tokmajor" if qb % 128 == 0 and db % 8 == 0
-                    else "sublane")  # see _maxsim_pallas_fwd rationale
-    if epilogue.startswith("tok") and (
-            qb % 128 != 0 or (_nt_layout(epilogue) and db % 8 != 0)):
-        epilogue = "sublane"  # lane-slice epilogue needs lane-tile-aligned qb
+    epilogue, deferred = _resolve_epilogue(epilogue, qb, db,
+                                           interpret=interpret,
+                                           deferred=deferred)
 
     nq_pad = _round_up(max(nq, qb), qb)
     nd_pad = _round_up(max(nd, db), db)

@@ -60,6 +60,44 @@ def _shard_docs_streamed(x, mesh: Mesh, n_pad: int, cast=None):
         (n_pad,) + tuple(x.shape[1:]), NamedSharding(mesh, spec), pieces)
 
 
+def _shard_docs_streamed_quantized(P, pmask, mesh: Mesh, n_pad: int):
+    """Streamed int8 quantization + transfer: per-token symmetric scales
+    (ops/quantize.py) are doc-independent, so quantizing one doc shard at a
+    time is bit-identical to a full-array pass while keeping host RSS to one
+    shard slice (the streaming contract of _shard_docs_streamed)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from evdr_tpu.ops.quantize import quantize_tokens_int8
+
+    devs = list(mesh.devices.flat)
+    world = len(devs)
+    shard = n_pad // world
+    code_pieces, scale_pieces = [], []
+    for i, dev in enumerate(devs):
+        sl = np.asarray(P[i * shard: min((i + 1) * shard, P.shape[0])])
+        ms = np.asarray(pmask[i * shard: min((i + 1) * shard, P.shape[0])])
+        if sl.shape[0]:
+            codes, sc = quantize_tokens_int8(sl, ms)
+        else:
+            codes = np.zeros((0,) + tuple(P.shape[1:]), np.int8)
+            sc = np.zeros((0, P.shape[1]), np.float32)
+        if codes.shape[0] < shard:  # only trailing shards pad
+            pad = shard - codes.shape[0]
+            codes = np.pad(codes, ((0, pad), (0, 0), (0, 0)))
+            sc = np.pad(sc, ((0, pad), (0, 0)))
+        code_pieces.append(jax.device_put(codes, dev))
+        scale_pieces.append(jax.device_put(sc, dev))
+    mk = jax.make_array_from_single_device_arrays
+    codes_arr = mk((n_pad,) + tuple(P.shape[1:]),
+                   NamedSharding(mesh, PartitionSpec("docs", None, None)),
+                   code_pieces)
+    scales_arr = mk((n_pad, P.shape[1]),
+                    NamedSharding(mesh, PartitionSpec("docs", None)),
+                    scale_pieces)
+    return codes_arr, scales_arr
+
+
 def build_sharded_index(P, pmask, mesh: Mesh, docids=None, dtype=None,
                         pad_docs_to: int = 1, scales=None,
                         streaming: bool = False) -> ShardedIndex:
@@ -73,17 +111,12 @@ def build_sharded_index(P, pmask, mesh: Mesh, docids=None, dtype=None,
     --normalize). ``streaming=True`` transfers shard-by-shard without a full
     host copy (pairs with mmap-backed inputs; 1D doc mesh only).
     """
-    P = np.asarray(P) if not streaming else P
-    if dtype == "int8" and scales is None:
-        from evdr_tpu.ops.quantize import quantize_tokens_int8
-
-        P, scales = quantize_tokens_int8(np.asarray(P), pmask)
-    elif dtype is not None and dtype != "int8":
+    np_cast = None
+    if dtype is not None and dtype != "int8":
         import ml_dtypes  # numpy bf16 support
 
-        np_dtype = np.dtype(dtype) if dtype != "bfloat16" else ml_dtypes.bfloat16
-        if P.dtype != np_dtype:
-            P = np.asarray(P).astype(np_dtype)
+        np_cast = (np.dtype(dtype) if dtype != "bfloat16"
+                   else np.dtype(ml_dtypes.bfloat16))
     n = P.shape[0]
     # shard count = size of the DOC axis (a 2D dp x docs mesh replicates the
     # index across dp groups); each local shard a multiple of pad_docs_to
@@ -92,13 +125,30 @@ def build_sharded_index(P, pmask, mesh: Mesh, docids=None, dtype=None,
     n_pad = ((n + quantum - 1) // quantum) * quantum
 
     if streaming and "dp" not in mesh.axis_names:
+        # ALL per-doc transforms (dtype cast, int8 quantization — per-token,
+        # so shard-local is exact) run inside the per-shard loop: a host-side
+        # astype/quantize of the full mmap here would materialize the whole
+        # index in anonymous RAM, defeating the bounded-RSS contract.
+        if dtype == "int8" and scales is None:
+            P_sh, sc_sh = _shard_docs_streamed_quantized(P, pmask, mesh, n_pad)
+            return ShardedIndex(
+                P=P_sh, pmask=_shard_docs_streamed(pmask, mesh, n_pad,
+                                                   cast=bool),
+                n_docs=n, docids=docids, mesh=mesh, scales=sc_sh)
         return ShardedIndex(
-            P=_shard_docs_streamed(P, mesh, n_pad),
+            P=_shard_docs_streamed(P, mesh, n_pad, cast=np_cast),
             pmask=_shard_docs_streamed(pmask, mesh, n_pad, cast=bool),
             n_docs=n, docids=docids, mesh=mesh,
             scales=(_shard_docs_streamed(scales, mesh, n_pad)
                     if scales is not None else None))
 
+    P = np.asarray(P)
+    if dtype == "int8" and scales is None:
+        from evdr_tpu.ops.quantize import quantize_tokens_int8
+
+        P, scales = quantize_tokens_int8(P, pmask)
+    elif np_cast is not None and P.dtype != np_cast:
+        P = P.astype(np_cast)
     pmask = np.asarray(pmask, dtype=bool)
     if scales is not None:
         scales = np.asarray(scales)

@@ -134,9 +134,18 @@ class TrainConfig:
                 raise ValueError(
                     "checkpoint_backend='orbax' needs orbax-checkpoint "
                     "(pip install 'evdr-tpu[ckpt]')")
+        if self.loss == "infonce_sup" and self.aug in ("mixup", "hardtoken"):
+            # these augs build aux terms FROM teacher scores; the supervised
+            # loss trains without a teacher (sc_t is None), so rejecting here
+            # replaces an opaque trace-time TypeError. qnoise only perturbs
+            # queries and composes fine.
+            raise ValueError(
+                f"aug={self.aug!r} requires teacher scores; the supervised "
+                "'infonce_sup' loss has none (use aug='qnoise' or a "
+                "distillation loss)")
         # mesh_docs > 1 composes with every loss (collective or row-gather
-        # fallback), every aug, infonce_sup, and steps_per_dispatch —
-        # parallel/train_sharded.py. No restrictions remain.
+        # fallback), every teacher-based aug, and steps_per_dispatch —
+        # parallel/train_sharded.py.
         return self
 
     def to_json(self) -> str:

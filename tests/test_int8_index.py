@@ -221,3 +221,54 @@ def test_streamed_shard_build_matches_plain():
     assert a.n_pad == b.n_pad
     np.testing.assert_array_equal(np.asarray(a.P), np.asarray(b.P))
     np.testing.assert_array_equal(np.asarray(a.pmask), np.asarray(b.pmask))
+
+
+@pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+def test_streamed_shard_build_transforms_per_shard(dtype):
+    """streaming=True with a dtype transform must match the one-shot path
+    bit-for-bit WITHOUT a full host materialization: the cast runs per shard
+    and int8 quantization (per-token scales, doc-independent) shard-locally."""
+    from evdr_tpu.parallel import build_sharded_index, make_mesh
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(1)
+    P = rng.normal(size=(21, 6, 16)).astype(np.float32)
+    pm = rng.random((21, 6)) > 0.2
+    a = build_sharded_index(P, pm, mesh, dtype=dtype)
+    b = build_sharded_index(P, pm, mesh, dtype=dtype, streaming=True)
+    assert a.P.dtype == b.P.dtype
+    np.testing.assert_array_equal(np.asarray(a.P), np.asarray(b.P))
+    if dtype == "int8":
+        np.testing.assert_array_equal(np.asarray(a.scales),
+                                      np.asarray(b.scales))
+
+
+def test_from_npz_does_not_mutate_engine_normalize(tmp_path):
+    """Loading a pre-normalized packed file must not flip the engine's
+    normalize default: a LATER build() with raw embeddings on the same
+    engine has to L2-normalize them (the old in-place mutation silently
+    indexed raw vectors unnormalized)."""
+    from evdr_tpu.data.packing import l2_normalize, preprocess_queries
+    from evdr_tpu.data.synthetic import make_synthetic_corpus
+    from evdr_tpu.engine import RetrievalEngine
+    from evdr_tpu.tools.convert_packed import convert_payload_to_packed
+
+    c = make_synthetic_corpus(n_docs=20, n_queries=8, dim=32, seed=5)
+    Q, qmask = preprocess_queries(c["query"], c["query_attnmask"])
+    packed = convert_payload_to_packed(c, dtype="float32", normalize=True)
+    pth = tmp_path / "norm.packed.npz"
+    np.savez(pth, **packed)
+
+    eng = RetrievalEngine.from_npz(pth, impl="xla")
+    assert eng.normalize is True  # engine default untouched by the load
+    v_loaded, i_loaded = eng.search_dense(Q, qmask, k=3)
+
+    # rebuild the SAME engine from raw (unnormalized) embeddings scaled by
+    # 7x: only a build that still normalizes reproduces the same ranking
+    raw = np.asarray(packed["P_pad"], np.float32) * 7.0
+    pm = np.asarray(packed["pmask"], bool)
+    eng.build(raw, pm)
+    v_raw, i_raw = eng.search_dense(Q, qmask, k=3)
+    np.testing.assert_array_equal(np.asarray(i_raw), np.asarray(i_loaded))
+    np.testing.assert_allclose(np.asarray(v_raw), np.asarray(v_loaded),
+                               rtol=1e-4, atol=1e-4)

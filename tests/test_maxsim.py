@@ -214,7 +214,16 @@ def test_pallas_tokmajor_epilogues_match_oracle(rng, epilogue):
     from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int8
     from evdr_tpu.ops.quantize import dequantize_int8, quantize_tokens_int8
 
-    nq, lq, nd, lp, d = 130, 4, 20, 16, 32
+    from evdr_tpu.ops.pallas_maxsim import _pick_tiles, _resolve_epilogue
+
+    nq, lq, nd, lp, d = 128, 4, 20, 16, 32
+    # guard against silent fallback: the default tiling at this shape MUST
+    # satisfy the token-major gate, or this test would vacuously re-run the
+    # sublane path (it did at nq=130: qb clamped to 136, 136 % 128 != 0)
+    qb, _, db, _ = _pick_tiles(lq, lp, 4096, 3072, nq=nq)
+    resolved, _ = _resolve_epilogue(epilogue, qb, db)
+    assert resolved == ("tokmajor" if epilogue == "auto" else epilogue), (
+        f"tiling (qb={qb}, db={db}) demotes {epilogue!r} to {resolved!r}")
     Q = rng.normal(size=(nq, lq, d)).astype(np.float32)
     P = rng.normal(size=(nd, lp, d)).astype(np.float32)
     qm = rng.random((nq, lq)) > 0.2
@@ -307,20 +316,26 @@ def test_pallas_int8_shape_fuzz_matches_oracle(rng):
             err_msg=f"trial {trial}: nq={nq} lq={lq} nd={nd} lp={lp} d={d}")
 
 
-@pytest.mark.parametrize("n_docs,lp,rows", [(9, 16, 512), (40, 64, 256),
-                                            (3, 16, 512)])
-def test_pallas_int8_deferred_epilogue_matches(rng, n_docs, lp, rows):
+@pytest.mark.parametrize("n_docs,lp,cols", [(9, 16, 128), (40, 64, 512),
+                                            (3, 16, 128)])
+def test_pallas_int8_deferred_epilogue_matches(rng, n_docs, lp, cols):
     """The deferred-epilogue kernel (block j's Lq-sum emitted during block
     j+1's matmul, one extra doc grid column) must produce identical scores
     to the in-step epilogue, across multi-doc-block and single-doc-block
-    grids."""
+    grids. The deferred grid needs qb % 128 == 0 and db % 8 == 0 to engage
+    (it silently demotes otherwise — the old nq=5 version of this test
+    compared the normal path against itself)."""
     import jax.numpy as jnp
 
-    from evdr_tpu.ops.pallas_maxsim import (maxsim_pallas_int8,
+    from evdr_tpu.ops.pallas_maxsim import (_pick_tiles, _resolve_epilogue,
+                                            maxsim_pallas_int8,
                                             maxsim_pallas_int8full)
     from evdr_tpu.ops.quantize import quantize_tokens_int8
 
-    nq, lq, d = 5, 4, 32
+    nq, lq, d, rows = 128, 4, 32, 1024
+    qb, _, db, _ = _pick_tiles(lq, lp, rows, cols, nq=nq)
+    _, engaged = _resolve_epilogue("auto", qb, db, deferred=True)
+    assert engaged, f"tiling (qb={qb}, db={db}) silently demotes deferred"
     Q = rng.normal(size=(nq, lq, d)).astype(np.float32)
     P = rng.normal(size=(n_docs, lp, d)).astype(np.float32)
     qm = rng.random((nq, lq)) > 0.2
@@ -331,9 +346,9 @@ def test_pallas_int8_deferred_epilogue_matches(rng, n_docs, lp, rows):
 
     for fn in (maxsim_pallas_int8full, maxsim_pallas_int8):
         base = np.asarray(fn(*args, interpret=True, target_rows=rows,
-                             target_cols=64))
+                             target_cols=cols))
         got = np.asarray(fn(*args, interpret=True, target_rows=rows,
-                            target_cols=64, deferred=True))
+                            target_cols=cols, deferred=True))
         # rtol only: the bf16-dot path's XLA program differs, so interpret
         # mode may reassociate the contraction (~1e-7 rel noise)
         np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-5)

@@ -108,6 +108,19 @@ def test_supervised_infonce_runs(fixture_root, tmp_path):
     assert "synth/mf5" in results
 
 
+def test_supervised_loss_rejects_teacher_augs(fixture_root, tmp_path):
+    """mixup/hardtoken aux terms are built FROM teacher scores; composing
+    them with the teacher-free supervised loss must fail at config time
+    (not as a trace-time TypeError on sc_t=None). qnoise only perturbs
+    queries and stays legal."""
+    for aug in ("mixup", "hardtoken"):
+        with pytest.raises(ValueError, match="teacher"):
+            _cfg(fixture_root, tmp_path, loss="infonce_sup", aug=aug,
+                 name=f"sup_{aug}").validate()
+    _cfg(fixture_root, tmp_path, loss="infonce_sup", aug="qnoise",
+         name="sup_qnoise").validate()  # legal combination
+
+
 @pytest.mark.parametrize("aug", ["qnoise", "mixup", "hardtoken"])
 def test_augmentations_run(fixture_root, tmp_path, aug):
     cfg = _cfg(fixture_root, tmp_path, aug=aug, max_steps=4, eval_every=4,
