@@ -74,7 +74,13 @@ def test_fused_bwd_multiple_query_blocks():
     only supports consecutive-visit accumulation)."""
     # lq_pad=16 -> qb=64 in the bwd's 1024-row tiling; 72 queries -> n_qb=2
     Q, P, qmask, pmask = _inputs(seed=7, n_docs=6, n_queries=72, dim=32)
-    assert Q.shape[0] > 64
+    # guard against silent de-engagement: recompute the bwd's own tiling and
+    # require a MULTI-q-block grid (a changed target_rows default could
+    # otherwise turn this into a single-block test that passes vacuously)
+    from evdr_tpu.ops.pallas_maxsim import _pick_tiles, _round_up
+    qb, _, _, _ = _pick_tiles(Q.shape[1], P.shape[1], 1024, 1024,
+                              nq=Q.shape[0])
+    assert _round_up(Q.shape[0], qb) // qb >= 2, f"single q-block (qb={qb})"
     rng = np.random.default_rng(2)
     g = jnp.asarray(rng.normal(size=(Q.shape[0], P.shape[0])).astype(np.float32))
 
