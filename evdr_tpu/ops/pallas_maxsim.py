@@ -234,6 +234,26 @@ def _resolve_epilogue(epilogue: str, qb: int, db: int, *,
     return epilogue, deferred
 
 
+def _out_layout(n_qb, n_db, qb, db, epilogue):
+    """(out_specs, out_shape, finalize) for the emit layout — shared by both
+    kernel drivers. Standard layout stores (QB, DB) blocks; nt epilogues
+    store (DB, QB) doc-major and the driver transposes in XLA. ``finalize``
+    maps the blocked output to (nq_pad, nd_pad)."""
+    if _nt_layout(epilogue):
+        spec = pl.BlockSpec((1, 1, db, qb), lambda i, j, l: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+        shape = jax.ShapeDtypeStruct((n_qb, n_db, db, qb), jnp.float32)
+        fin = lambda out: out.transpose(0, 3, 1, 2).reshape(
+            n_qb * qb, n_db * db)
+    else:
+        spec = pl.BlockSpec((1, 1, qb, db), lambda i, j, l: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+        shape = jax.ShapeDtypeStruct((n_qb, n_db, qb, db), jnp.float32)
+        fin = lambda out: out.transpose(0, 2, 1, 3).reshape(
+            n_qb * qb, n_db * db)
+    return spec, shape, fin
+
+
 def _chain_sum(acc_ref, qmf_ref, db, qb, lq_pad):
     """Single-pass token-major epilogue: one sequential sweep over the acc
     scratch, fusing the doc_has_token ``where``, the qmask weight, and the
@@ -437,6 +457,7 @@ def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
     )
 
     flops = 2 * (nq_pad * lq_pad) * (nd_pad * lp_pad) * d_pad
+    out_spec, out_shape, finalize = _out_layout(n_qb, n_db, qb, db, epilogue)
     out = pl.pallas_call(
         kernel,
         grid=(n_qb, n_db, n_lp),
@@ -453,14 +474,8 @@ def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
         # (q_block, doc_block)-major output layout so the (QB, DB) block fills
         # its last two array dims exactly (TPU block-shape constraint);
         # 'tokmajor_nt' stores (DB, QB) blocks and transposes in XLA below
-        out_specs=(pl.BlockSpec((1, 1, db, qb), lambda i, j, l: (i, j, 0, 0),
-                                memory_space=pltpu.VMEM)
-                   if _nt_layout(epilogue) else
-                   pl.BlockSpec((1, 1, qb, db), lambda i, j, l: (i, j, 0, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((n_qb, n_db, db, qb), jnp.float32)
-                   if _nt_layout(epilogue) else
-                   jax.ShapeDtypeStruct((n_qb, n_db, qb, db), jnp.float32)),
+        out_specs=out_spec,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((db, qbl), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -475,12 +490,7 @@ def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
             dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=interpret,
     )(qf, qmf, Pp, pm_t)
-    # (n_qb, n_db, qb|db, db|qb) -> (nq_pad, nd_pad)
-    if _nt_layout(epilogue):
-        scores = out.transpose(0, 3, 1, 2).reshape(nq_pad, nd_pad)
-    else:
-        scores = out.transpose(0, 2, 1, 3).reshape(nq_pad, nd_pad)
-    return scores[:nq, :nd]
+    return finalize(out)[:nq, :nd]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -813,6 +823,7 @@ def _maxsim_int8_impl(Q, q_weight, P_i8, scales, pmask,
         out_dtype=jnp.float32, precision=precision, compute_dtype=compute_dtype,
         epilogue=epilogue, n_lp_static=n_lp)
 
+    out_spec, out_shape, finalize = _out_layout(n_qb, n_db, qb, db, epilogue)
     out = pl.pallas_call(
         kernel,
         grid=(n_qb, n_db, n_lp),
@@ -827,22 +838,12 @@ def _maxsim_int8_impl(Q, q_weight, P_i8, scales, pmask,
                          lambda i, j, l: (j * pl.num_programs(2) + l, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(pl.BlockSpec((1, 1, db, qb), lambda i, j, l: (i, j, 0, 0),
-                                memory_space=pltpu.VMEM)
-                   if _nt_layout(epilogue) else
-                   pl.BlockSpec((1, 1, qb, db), lambda i, j, l: (i, j, 0, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((n_qb, n_db, db, qb), jnp.float32)
-                   if _nt_layout(epilogue) else
-                   jax.ShapeDtypeStruct((n_qb, n_db, qb, db), jnp.float32)),
+        out_specs=out_spec,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((db, qbl), jnp.float32)],
         cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=interpret,
     )(qf, qmf, Pp, sc_t)
-    if _nt_layout(epilogue):
-        scores = out.transpose(0, 3, 1, 2).reshape(nq_pad, nd_pad)
-    else:
-        scores = out.transpose(0, 2, 1, 3).reshape(nq_pad, nd_pad)
-    return scores[:nq, :nd]
+    return finalize(out)[:nq, :nd]
