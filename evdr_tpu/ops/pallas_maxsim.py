@@ -76,7 +76,10 @@ def _pick_tiles(lq: int, lp: int, target_rows: int = 512, target_cols: int = 256
         qb = min(qb, max(8, _round_up(nq, 8)))
     tlp = min(target_cols, _round_up(lp, 16))
     if max_tlp is not None:
-        tlp = min(tlp, max(16, _round_up(max_tlp, 16)))
+        # round DOWN so the cap is honored (a VMEM-motivated cap that grew
+        # to the next multiple of 16 could still OOM); floor at 16 = the
+        # lane-tile legality minimum
+        tlp = min(tlp, max(16, max_tlp // 16 * 16))
     db = max(1, target_cols // tlp)
     return qb, lq_pad, db, tlp
 

@@ -64,7 +64,9 @@ def _shard_docs_streamed_quantized(P, pmask, mesh: Mesh, n_pad: int):
     """Streamed int8 quantization + transfer: per-token symmetric scales
     (ops/quantize.py) are doc-independent, so quantizing one doc shard at a
     time is bit-identical to a full-array pass while keeping host RSS to one
-    shard slice (the streaming contract of _shard_docs_streamed)."""
+    shard slice. Mirrors _shard_docs_streamed's slice/pad/assemble loop but
+    emits TWO arrays per shard (codes + scales); a change to the streaming
+    contract there (axis names, shard rounding) must be applied here too."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec
 
@@ -77,11 +79,8 @@ def _shard_docs_streamed_quantized(P, pmask, mesh: Mesh, n_pad: int):
     for i, dev in enumerate(devs):
         sl = np.asarray(P[i * shard: min((i + 1) * shard, P.shape[0])])
         ms = np.asarray(pmask[i * shard: min((i + 1) * shard, P.shape[0])])
-        if sl.shape[0]:
-            codes, sc = quantize_tokens_int8(sl, ms)
-        else:
-            codes = np.zeros((0,) + tuple(P.shape[1:]), np.int8)
-            sc = np.zeros((0, P.shape[1]), np.float32)
+        # zero-row trailing slices quantize fine (shapes (0, Lp, D)/(0, Lp))
+        codes, sc = quantize_tokens_int8(sl, ms)
         if codes.shape[0] < shard:  # only trailing shards pad
             pad = shard - codes.shape[0]
             codes = np.pad(codes, ((0, pad), (0, 0), (0, 0)))
