@@ -164,6 +164,13 @@ class RetrievalEngine:
         """
         if self.index is None:
             raise RuntimeError("engine has no index; call build() first")
+        if n_candidates and self.summary is None:
+            # silently falling through to the exact full scan made a
+            # prune-misconfigured engine look like "pruning doesn't help"
+            raise ValueError(
+                "n_candidates requires a pruning summary index: construct "
+                "the engine with prune_centroids>0 and build() from float "
+                "embeddings (build_from_codes has no summary)")
         Qd = replicate(jnp.asarray(Q, dtype=jnp.float32), self.mesh)
         qmd = replicate(jnp.asarray(qmask, dtype=bool), self.mesh)
         if n_candidates and self.summary is not None:

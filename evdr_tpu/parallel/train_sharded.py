@@ -199,12 +199,7 @@ def _make_loss_core(cfg: TrainConfig, n_docs: int) -> Callable:
         comps = [(comp, wk, _component_kwargs(name, comp, hp))
                  for comp, wk in COMBINED_RECIPES[name]]
     else:
-        kwargs = _component_kwargs(name, name, hp)
-        if name == "listwise":
-            kwargs = {"k": cfg.k, "temperature": cfg.temp}
-        elif name in ("infonce_sup", "infonce_distill"):
-            kwargs = {"temperature": cfg.temp}
-        comps = [(name, None, kwargs)]
+        comps = [(name, None, _component_kwargs(name, name, hp))]
 
     def loss_core(s_loc, t_loc, valid_loc, pos):
         shard_size = s_loc.shape[-1]

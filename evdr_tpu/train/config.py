@@ -78,7 +78,7 @@ class TrainConfig:
 
     # periodic export (mainv1.py:375-395: compressed_ep{N}.npz every
     # save_period epochs; 0 disables). Counted in epochs for the epoch
-    # trainer, in eval periods for the iter trainer.
+    # trainer, in raw steps for the iter trainer.
     save_period: int = 0
     # print masked-gradient/param invariants (mainv1.py:74-87 diagnostics)
     debug_invariants: bool = False

@@ -56,6 +56,7 @@ from evdr_tpu.eval.evaluator import CustomRetrievalEvaluator, eval_retrieval
 from evdr_tpu.losses.distill import (
     COMBINED_RECIPES,
     LOSS_REGISTRY,
+    _component_kwargs,
     combined_loss,
 )
 from evdr_tpu.ops.maxsim import maxsim, maxsim_xla
@@ -70,6 +71,15 @@ from evdr_tpu.utils.prng import PRNGSequence, set_seed
 # chunking guard (a hand-listed set once missed lipairscore_std).
 _PAIRWISE_COMPONENTS = frozenset({"ranknet", "lambda", "ranknce"})
 
+# losses with batch-SUM semantics: lambda_loss divides by the PAIR count
+# only (criterion.py:148-189), so its value scales linearly with the number
+# of queries and chunks combine by SUM — a chunk-size-weighted mean would
+# understate it by ~n_chunks (measured 2.6x at 700 queries). Every other
+# registry loss and recipe component is a per-query/per-element mean, for
+# which the weighted mean is exact. 'lambda' appears in no combined recipe,
+# so a chunk never mixes the two semantics.
+_BATCH_SUM_LOSSES = frozenset({"lambda"})
+
 
 def _needs_query_chunking(loss: str) -> bool:
     if loss in _PAIRWISE_COMPONENTS:
@@ -82,23 +92,28 @@ def _query_chunked_loss(nq: int, loss: str, run) -> Tuple[float, Dict[str, float
     """Eval-loss over test queries, chunked by 300 when the loss materializes
     (Q, N, N) pairwise tensors and the test set is large (the reference's
     tatdqa OOM guard, mainv2_ranknet.py:149-161). ``run(st, ed)`` returns
-    (total, parts) for queries [st:ed); the weighted average over chunks
-    equals the unchunked value. Shared by the host and mesh eval paths."""
+    (total, parts) for queries [st:ed); the chunk combination (chunk-size-
+    weighted mean, or plain sum for batch-sum losses) equals the unchunked
+    value. Shared by the host and mesh eval paths."""
     if not (nq > 600 and _needs_query_chunking(loss)):
         total, parts = run(0, nq)
         return float(total), {k: float(v) for k, v in parts.items()}
+    batch_sum = loss in _BATCH_SUM_LOSSES
     total_acc, denom = 0.0, 0
     parts_acc: Dict[str, float] = {}
     for st in range(0, nq, 300):
         ed = min(st + 300, nq)
         t_c, parts_c = run(st, ed)
-        w = ed - st
+        w = 1 if batch_sum else ed - st
         total_acc += float(t_c) * w
         for k2, v in parts_c.items():
             parts_acc[k2] = parts_acc.get(k2, 0.0) + float(v) * w
-        denom += w
-    return (total_acc / max(denom, 1),
-            {k2: v / max(denom, 1) for k2, v in parts_acc.items()})
+        denom += w if not batch_sum else 0
+    denom = max(denom, 1)
+    if batch_sum:
+        return total_acc, parts_acc
+    return (total_acc / denom,
+            {k2: v / denom for k2, v in parts_acc.items()})
 
 
 # =============================================================================
@@ -241,9 +256,12 @@ def load_dataset_bundle(cfg: TrainConfig, dataset: str,
         P_teacher_norm=jnp.asarray(P_teacher_norm),
         pmask_teacher=jnp.asarray(pmask_teacher),
         docid_teacher=teacher_payload["docid"],
-        relevant_docs_test=eval_payload["relevant_docs"],
-        docidx_2_docid_test=eval_payload["docidx_2_docid"],
-        qsidx_2_query_test=eval_payload["qsidx_2_query"],
+        # .get(): packed payloads may omit the qrels keys (convert_packed.py
+        # writes them only when present); the interchange loader returns None
+        # for missing keys and DatasetBundle declares them Optional
+        relevant_docs_test=eval_payload.get("relevant_docs"),
+        docidx_2_docid_test=eval_payload.get("docidx_2_docid"),
+        qsidx_2_query_test=eval_payload.get("qsidx_2_query"),
     )
 
 
@@ -294,15 +312,9 @@ def make_loss_fn(cfg: TrainConfig):
             return combined_loss(name, sc_s, sc_t, hp)
         return fn
     base, needs_labels = LOSS_REGISTRY[name]
-    kwargs = {}
-    if name in ("infonce_sup", "infonce_distill"):
-        kwargs = {"temperature": cfg.temp}
-    elif name == "listwise":
-        kwargs = {"k": cfg.k, "temperature": cfg.temp}
-    elif name == "lambda":
-        kwargs = {"alpha": cfg.alpha, "eps": cfg.eps}
-    elif name == "ranknce":
-        kwargs = {"temperature": cfg.temp, "lambda_weight": cfg.lambda_weight}
+    # ONE source of truth for per-loss hyperparameter names (_HP_KEYS):
+    # a hand-coded map here once had to be kept in sync in three places
+    kwargs = _component_kwargs(name, name, hp)
 
     if needs_labels:
         def fn(sc_s, sc_t, labels=None):
@@ -539,13 +551,15 @@ def _hardtoken_aux(cfg, total, parts, param, Ps, sc_s, sc_t, Qb, qmb,
 # =============================================================================
 
 def _test_pos_idx(bundle: DatasetBundle) -> Optional[np.ndarray]:
-    """gt-doc indices for TEST queries (qrels keyed by query string)."""
+    """gt-doc indices for TEST queries (qrels keyed by query string);
+    unresolvable queries get -1 — callers must DROP them from the loss
+    (substituting doc 0 computed cross-entropy toward an arbitrary page)."""
     if bundle.relevant_docs_test is None or bundle.qsidx_2_query_test is None:
         return None
     pos, ok = _derive_pos_idx(
         bundle.qsidx_2_query_test, bundle.relevant_docs_test,
         bundle.docidx_2_docid_test or {})
-    return pos if ok.all() else np.where(ok, pos, 0)
+    return pos if ok.all() else np.where(ok, pos, -1)
 
 
 def evaluation_loss(cfg: TrainConfig, bundle: DatasetBundle, param, pmask_student
@@ -560,6 +574,12 @@ def evaluation_loss(cfg: TrainConfig, bundle: DatasetBundle, param, pmask_studen
         pos = _test_pos_idx(bundle)
         if pos is None:
             return {"total_loss": 0.0}
+        sel = np.flatnonzero(pos >= 0)  # drop queries with no resolvable gt
+        if sel.size == 0:
+            return {"total_loss": 0.0}
+        if sel.size < len(pos):
+            sc_s = jnp.take(sc_s, jnp.asarray(sel), axis=0)
+            pos = pos[sel]
         total, parts = loss_fn(sc_s, None, jnp.asarray(pos, dtype=jnp.int32))
     else:
         if bundle.sc_t_test is not None:
@@ -803,6 +823,11 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
         mesh_eval_loss_fn = build_sharded_eval_loss(cfg, mesh, n_docs)
         pos_test = (_test_pos_idx(bundle) if cfg.loss == "infonce_sup"
                     else None)
+        eval_qsel = None  # supervised eval: drop queries with no gt (-1)
+        if pos_test is not None and (pos_test < 0).any():
+            keep = np.flatnonzero(pos_test >= 0)
+            eval_qsel = jnp.asarray(keep, dtype=jnp.int32)
+            pos_test = pos_test[keep] if keep.size else None
 
         def _mesh_score_fn():
             Ps = l2_normalize(param * pmask_student[..., None].astype(jnp.float32))
@@ -817,13 +842,18 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
                 return {"total_loss": 0.0}
             pos_d = (jnp.asarray(pos_test, dtype=jnp.int32)
                      if pos_test is not None else None)
-            nq = int(bundle.Q_test.shape[0])
+            if eval_qsel is not None:  # supervised subset with resolvable gt
+                Q_e = jnp.take(Q_test_r, eval_qsel, axis=0)
+                qm_e = jnp.take(qm_test_r, eval_qsel, axis=0)
+            else:
+                Q_e, qm_e = Q_test_r, qm_test_r
+            nq = int(Q_e.shape[0])
 
             def run(st, ed):
                 sct_c = sct_test_sh[st:ed] if sct_test_sh is not None else None
                 return mesh_eval_loss_fn(
                     param, pmask_student, teacher_sh.P, teacher_sh.pmask,
-                    Q_test_r[st:ed], qm_test_r[st:ed], sct_rows=sct_c,
+                    Q_e[st:ed], qm_e[st:ed], sct_rows=sct_c,
                     pos=(pos_d[st:ed] if pos_d is not None else None))
 
             total, parts = _query_chunked_loss(nq, cfg.loss, run)
@@ -859,18 +889,22 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
             writer.add_scalar("eval/loss", ev_loss["total_loss"], step)
         return metrics
 
-    # step-0 eval (regression baseline: init metrics must match the pooled index)
-    metrics0 = eval_now(0)
-    log_json(logger, {"dataset": dataset, "mf": mf, "step": 0,
-                      "note": "init Pbar before training"})
-    best_r1, _ = update_best(None, metrics0, 0, "r1")
-    best_nd5, _ = update_best(None, metrics0, 0, "nd5")
-    last_metrics = metrics0
-
     step0 = 0
     ckpt_path = out_dir / ("ckpt.orbax" if cfg.checkpoint_backend == "orbax"
                            else "ckpt.npz")
-    if cfg.resume and ckpt_path.exists():
+    resuming = cfg.resume and ckpt_path.exists()
+    if not resuming:
+        # step-0 eval (regression baseline: init metrics must match the
+        # pooled index). Skipped on resume — the checkpoint carries the best
+        # trackers, and evaluating the about-to-be-overwritten init index
+        # would cost two remote dispatches for discarded numbers.
+        metrics0 = eval_now(0)
+        log_json(logger, {"dataset": dataset, "mf": mf, "step": 0,
+                          "note": "init Pbar before training"})
+        best_r1, _ = update_best(None, metrics0, 0, "r1")
+        best_nd5, _ = update_best(None, metrics0, 0, "nd5")
+        last_metrics = metrics0
+    if resuming:
         if mesh is not None:
             # re-shard by placing each loaded leaf onto the sharding of its
             # freshly-initialized counterpart — optimizer-agnostic (the old
@@ -907,6 +941,10 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
             param, opt_state, step0, best_r1, best_nd5 = load_checkpoint(
                 ckpt_path, param, opt_state, backend=cfg.checkpoint_backend)
         log_json(logger, {"note": "resumed", "step": step0})
+        # one eval of the RESTORED state: seeds last_metrics (periodic
+        # exports / summary latency) with numbers that reflect the resumed
+        # index, not the discarded init
+        last_metrics = eval_now(step0)
 
     if mesh is not None:
         from evdr_tpu.parallel import build_sharded_train_step
@@ -948,8 +986,10 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
     log_every = max(1, cfg.print_every or 20)
     K = max(1, cfg.steps_per_dispatch)
     # periodic-export modulus: per-iter steps or per-epoch boundaries
+    # (steps_per_epoch is CEIL division — a floor here drifted exports off
+    # epoch boundaries whenever q_batch did not divide n_train)
     save_every = (cfg.save_period * (
-        1 if cfg.trainer == "iter" else max(1, n_train // batch))
+        1 if cfg.trainer == "iter" else steps_per_epoch)
         if cfg.save_period else 0)
     checkpoint_every = cfg.checkpoint_every
     gap_log_every = cfg.gap_log_every
@@ -966,6 +1006,25 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
         save_every = _snap(save_every)
         checkpoint_every = _snap(checkpoint_every)
         gap_log_every = _snap(gap_log_every)
+    if step0:
+        if step0 % K:
+            # the loop visits step0 + K, step0 + 2K, ...: a misaligned step0
+            # would skip every snapped cadence INCLUDING the final eval and
+            # max_steps itself — refuse instead of silently under-training
+            raise ValueError(
+                f"resume step {step0} is not a multiple of "
+                f"steps_per_dispatch={K}; resume with a value that divides "
+                "the checkpoint step (e.g. the original run's)")
+        # fast-forward to the resume point: a resumed run must consume the
+        # SAME batch/noise sequence an uninterrupted run would — replaying
+        # from draw 0 re-trains on the earliest batches and reuses early
+        # noise keys. rng draws are per-DISPATCH, so exact resume parity
+        # additionally assumes the original run's steps_per_dispatch;
+        # externally-supplied batch_streams are the caller's to position.
+        if batch_stream is None:
+            for _ in range(step0):
+                next(stream)
+        rngs.advance(step0 // K)
     for step in range(step0 + K, max_steps + 1, K):
         if K == 1:
             idx = jnp.asarray(next(stream))
@@ -1089,7 +1148,10 @@ def run_training(cfg: TrainConfig) -> Dict[str, Dict[str, Any]]:
                 bundle.Q_train, bundle.qmask_train, bundle.P_teacher_norm,
                 bundle.pmask_teacher, chunk_q=256, chunk_p=cfg.chunk_p,
                 impl=cfg.score_impl)
-        if cfg.mesh_docs <= 1:
+        if cfg.mesh_docs <= 1 and cfg.loss != "infonce_sup":
+            # the supervised eval loss uses gt labels, never teacher scores —
+            # the full teacher test-score table would be computed and dropped
+            # (the mesh path already guards this)
             bundle.sc_t_test = _precompute_teacher_scores(
                 bundle.Q_test, bundle.qmask_test, bundle.P_teacher_norm,
                 bundle.pmask_teacher, chunk_q=256, chunk_p=cfg.chunk_p,

@@ -23,3 +23,13 @@ class PRNGSequence:
         return sub
 
     __next__ = next
+
+    def advance(self, n: int) -> None:
+        """Skip ``n`` draws in ONE dispatch (bit-identical to n ``next()``
+        calls, which set key = split(key)[0] each time). Used by --resume to
+        fast-forward to the checkpoint step without n tunnel round trips."""
+        if n <= 0:
+            return
+        self._key = jax.lax.scan(
+            lambda k, _: (jax.random.split(k)[0], None), self._key,
+            None, length=int(n))[0]

@@ -156,6 +156,38 @@ def test_checkpoint_resume(fixture_root, tmp_path):
     run_training(cfg2)
 
 
+def test_resume_matches_uninterrupted_run(fixture_root, tmp_path):
+    """Kill-and-resume must reproduce the uninterrupted trajectory bitwise:
+    the batch stream and the per-dispatch rng are fast-forwarded to the
+    checkpoint step (a resume that replayed draw 0 re-trained on the
+    earliest batches and reused early qnoise keys). aug=qnoise makes the
+    test rng-sensitive."""
+    from evdr_tpu.train.harness import load_checkpoint, init_student, \
+        load_dataset_bundle
+    import optax
+
+    kw = dict(loss="liscore", aug="qnoise", eval_every=5, checkpoint_every=5)
+    cfg_full = _cfg(fixture_root, tmp_path, max_steps=10, name="rp_full", **kw)
+    run_training(cfg_full)
+    cfg_half = _cfg(fixture_root, tmp_path, max_steps=5, name="rp_half", **kw)
+    run_training(cfg_half)
+    cfg_res = _cfg(fixture_root, tmp_path, max_steps=10, name="rp_half",
+                   resume=True, **kw)
+    run_training(cfg_res)
+
+    bundle = load_dataset_bundle(cfg_full, "synth")
+    param, _, _ = init_student(cfg_full, "synth", bundle, 5)
+    opt_state = optax.adamw(cfg_full.lr,
+                            weight_decay=cfg_full.weight_decay).init(param)
+    out = Path(cfg_full.out_root)
+    p_full, _, s_full, *_ = load_checkpoint(
+        out / "rp_full" / "mf5" / "synth" / "ckpt.npz", param, opt_state)
+    p_res, _, s_res, *_ = load_checkpoint(
+        out / "rp_half" / "mf5" / "synth" / "ckpt.npz", param, opt_state)
+    assert s_full == s_res == 10
+    np.testing.assert_array_equal(np.asarray(p_full), np.asarray(p_res))
+
+
 def test_checkpoint_resume_orbax(fixture_root, tmp_path):
     """Orbax checkpoint backend: full train state round-trips and resume
     continues bit-for-bit like the npz backend (same restored pytree)."""
@@ -234,9 +266,13 @@ def test_save_period_and_invariants(fixture_root, tmp_path):
     assert saw_valid_grad > 0.0
 
 
-def test_evaluation_loss_query_chunking_matches_unchunked():
+@pytest.mark.parametrize("loss", ["ranknet", "lambda"])
+def test_evaluation_loss_query_chunking_matches_unchunked(loss):
     """>600 test queries trigger 300-query chunking for pairwise losses
-    (mainv2_ranknet.py:149-161); the loss value must be unchanged."""
+    (mainv2_ranknet.py:149-161); the loss value must be unchanged — ranknet
+    is a per-element MEAN (chunks combine by weighted mean), lambda a batch
+    SUM over the pair-normalized per-query losses (chunks combine by SUM;
+    the old weighted-mean combiner understated it ~2.6x at 700 queries)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -260,7 +296,7 @@ def test_evaluation_loss_query_chunking_matches_unchunked():
     pm_s = rng.random((n, ls)) > 0.1
     param = (param * pm_s[..., None]).astype(np.float32)
 
-    cfg = TrainConfig(loss="ranknet", chunk_p=4)
+    cfg = TrainConfig(loss=loss, chunk_p=4)
     bundle = DatasetBundle(
         dataset="x",
         Q_train=jnp.asarray(Q[:4]), qmask_train=jnp.asarray(qm[:4]),
