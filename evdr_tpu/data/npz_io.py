@@ -146,24 +146,37 @@ def save_packed_npz(save_path, *, docid, P_pad, pmask, meta=None, **extra) -> No
     """Save a dense packed index: ``P_pad (N, L, D)``, ``pmask (N, L)`` bool.
 
     Unlike the pickled-object interchange format this is mmap-able and can be
-    sliced per device shard without Python-object decoding.
+    sliced per device shard without Python-object decoding. Writes the SAME
+    pickle-free conventions as tools/convert_packed.py (str docid array,
+    JSON meta), so the output loads through ``load_packed_payload`` /
+    ``RetrievalEngine.from_npz`` — an earlier object-dtype docid produced
+    files that ``is_packed`` claimed but allow_pickle=False loading rejected.
     """
+    import json as _json
+
     save_path = Path(save_path)
     save_path.parent.mkdir(parents=True, exist_ok=True)
     payload = dict(
-        docid=np.asarray(docid, dtype=object),
+        docid=np.asarray([str(x) for x in docid]),
         P_pad=np.asarray(P_pad, dtype=np.float32),
         pmask=np.asarray(pmask, dtype=bool),
         **extra,
     )
     if meta is not None:
-        payload["meta"] = np.array(meta, dtype=object)
+        payload["meta_json"] = np.asarray(_json.dumps(meta))
     np.savez(str(save_path), **payload)
 
 
 def load_packed_npz(path) -> Dict[str, Any]:
-    z = load_npz(path)
-    out = {k: z[k] for k in z.files}
-    if "meta" in out and isinstance(out["meta"], np.ndarray) and out["meta"].shape == ():
-        out["meta"] = out["meta"].item()
+    """Load a packed file (this module's or convert_packed.py's) without
+    pickling; decodes the optional JSON meta sidecar key (which the shared
+    loader skips, like every ``*_json`` key it does not know)."""
+    import json as _json
+
+    from evdr_tpu.tools.convert_packed import load_packed_payload
+
+    out = load_packed_payload(path)
+    with np.load(str(path)) as z:
+        if "meta_json" in z.files:
+            out["meta"] = _json.loads(str(z["meta_json"]))
     return out

@@ -172,6 +172,11 @@ def pooled_init_index(payload: Dict, mf: int, seed: int = 0,
     for i in range(n):
         valid = np.asarray(attn[i], dtype=bool) & np.asarray(img[i], dtype=bool)
         toks = np.asarray(docs[i])[valid]
+        if toks.shape[0] == 0:
+            # all tokens masked: a zeros row instead of np.mean of an empty
+            # slice (NaN), mirroring tools/pool_index.py's guard — a NaN
+            # init row silently poisons the whole student
+            toks = np.zeros((1, np.asarray(docs[i]).shape[1]), np.float32)
         li = max(1, toks.shape[0] // mf)
         pooled = np.stack(
             [np.mean(chunk, axis=0) for chunk in np.array_split(toks, li)]

@@ -70,8 +70,21 @@ _FAST_CACHE_MAX = 64
 
 
 def _fast_eval_inputs(relevant_docs, docidx_2_docid, qsidx_2_query, nq, nd):
-    """Build (and cache) CSR qrels + docid tie-ranks for the native engine."""
-    key = (id(relevant_docs), id(docidx_2_docid), id(qsidx_2_query), nq, nd)
+    """Build (and cache) CSR qrels + docid tie-ranks for the native engine.
+
+    Returns None when the corpus carries DUPLICATE docids: the dict path
+    collapses duplicates (dict(zip(docids, ...)) keeps one entry per docid)
+    while the fast engine would rank every column, so their metrics diverge
+    — callers must fall back to the dict path (tools/doc_unique.py exists to
+    dedupe such dumps). The cache key includes cheap content fingerprints
+    (judgment/corpus counts) so growing a qrels dict in place invalidates
+    the entry; same-count in-place VALUE edits are still invisible — use
+    fresh dict objects for modified judgments."""
+    fp = (len(relevant_docs),
+          sum(len(v) for v in relevant_docs.values()),
+          len(docidx_2_docid))
+    key = (id(relevant_docs), id(docidx_2_docid), id(qsidx_2_query), nq, nd,
+           fp)
     cached = _FAST_CACHE.get(key)
     if cached is not None:
         return cached[0]
@@ -82,9 +95,12 @@ def _fast_eval_inputs(relevant_docs, docidx_2_docid, qsidx_2_query, nq, nd):
         str(qsidx_2_query[i]) if qsidx_2_query is not None else str(i)
         for i in range(nq)
     ]
-    fq = build_fast_qrels(relevant_docs, qkeys,
-                          {str(d): j for j, d in enumerate(docids)})
-    out = (fq, tie_rank_from_docids(docids))
+    if len(set(docids)) != len(docids):
+        out = None
+    else:
+        fq = build_fast_qrels(relevant_docs, qkeys,
+                              {str(d): j for j, d in enumerate(docids)})
+        out = (fq, tie_rank_from_docids(docids))
     while len(_FAST_CACHE) >= _FAST_CACHE_MAX:
         _FAST_CACHE.pop(next(iter(_FAST_CACHE)))
     _FAST_CACHE[key] = (out, (relevant_docs, docidx_2_docid, qsidx_2_query))
@@ -139,12 +155,15 @@ def eval_retrieval(
         scores = np.asarray(scores)
     latency_ms = (time.perf_counter() - t0) * 1000.0 / max(int(scores.shape[0]), 1)
 
+    fast_inputs = None
     if fast and relevant_docs_test is not None and docidx_2_docid_test:
-        from evdr_tpu.native.fast_metrics import compute_metrics_from_scores
-
-        fq, tie_rank = _fast_eval_inputs(
+        fast_inputs = _fast_eval_inputs(
             relevant_docs_test, docidx_2_docid_test, qsidx_2_query_test,
             scores.shape[0], scores.shape[1])
+    if fast_inputs is not None:
+        from evdr_tpu.native.fast_metrics import compute_metrics_from_scores
+
+        fq, tie_rank = fast_inputs
         metrics = compute_metrics_from_scores(scores, fq, tie_rank,
                                               evaluator.k_values)
     else:

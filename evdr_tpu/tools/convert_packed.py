@@ -127,13 +127,19 @@ def load_packed_payload(npz_path, mmap_docs: bool = False) -> dict:
     stay mapped end-to-end, consume ``P_codes`` directly (RetrievalEngine
     does for dtype='int8').
     """
-    z = np.load(str(npz_path))  # no allow_pickle needed: that's the point
     mmap_keys = {"P_pad", "P_codes", "P_scale", "pmask"} if mmap_docs else set()
     out = {}
-    for k in z.files:
-        if k.endswith("_json"):
-            continue
-        out[k] = _npz_member_memmap(npz_path, k) if k in mmap_keys else z[k]
+    # with-block: NpzFile holds an open fd until closed — long-lived
+    # processes that load many files (eval_run, serving) must not leak one
+    # per call. JSON sidecars are decoded inside the same open.
+    with np.load(str(npz_path)) as z:  # no allow_pickle needed: the point
+        json_files = [k for k in z.files if k.endswith("_json")]
+        for k in z.files:
+            if k.endswith("_json"):
+                continue
+            out[k] = (_npz_member_memmap(npz_path, k) if k in mmap_keys
+                      else z[k])
+        decoded_json = {jk: str(z[jk]) for jk in json_files}
     if "P_pad" in out and out["P_pad"].dtype != np.float32:
         out["P_pad"] = out["P_pad"].astype(np.float32)
     if "P_pad_bf16" in out:
@@ -150,8 +156,8 @@ def load_packed_payload(npz_path, mmap_docs: bool = False) -> dict:
         out["P_pad"] = dequantize_int8(out["P_codes"], out["P_scale"])
     for key in ("relevant_docs", "docidx_2_docid"):
         jk = f"{key}_json"
-        if jk in z.files:
-            out[key] = json.loads(str(z[jk]))
+        if jk in decoded_json:
+            out[key] = json.loads(decoded_json[jk])
     return out
 
 

@@ -113,10 +113,13 @@ def main(argv=None) -> None:
     a = p.parse_args(argv)
     keys = [x.strip() for x in a.doc_axis_keys.split(",") if x.strip()]
 
-    keep, docid_unique = dedup_npz(a.raw_full, a.raw_unique_out, keys)
     if (a.in_npz is None) ^ (a.out_npz is None):
+        # validate BEFORE dedup_npz: a rejected invocation must not leave a
+        # half-done primary output on disk
         raise ValueError("--in_npz and --out_npz must be given together")
+    keep, docid_unique = dedup_npz(a.raw_full, a.raw_unique_out, keys)
     if a.in_npz is not None:
+        # the companion must align to the FULL (pre-dedup) doc count
         n_full = len(np.load(a.raw_full, allow_pickle=True)["docid"])
         dedup_companion_npz(a.in_npz, a.out_npz, keep, docid_unique, n_full, keys)
     if a.sanity:

@@ -85,7 +85,11 @@ def _qid_to_qkey(queries_npz) -> Dict[str, str]:
     qid, qs = payload.get("qid"), payload.get("qsidx_2_query")
     if qid is None or qs is None:
         return {}
-    return {str(i): str(s) for i, s in zip(qid, qs)}
+    # run files carry trec_qid-sanitized qids (whitespace -> '_'); key the
+    # remap the same way so question-string qids round-trip losslessly
+    from evdr_tpu.tools.search import trec_qid
+
+    return {trec_qid(i): str(s) for i, s in zip(qid, qs)}
 
 
 def main(argv=None) -> None:

@@ -118,6 +118,10 @@ def generate_questions(
         key = img.stem
         if str(img) in done_paths:
             continue
+        if key in results and results[key].get("image_path") != str(img):
+            # page1.jpg vs page1.png: a bare stem would overwrite the other
+            # image's (paid) questions — disambiguate with the extension
+            key = img.name
         questions, err = [], None
         for attempt in range(retries):
             try:

@@ -44,8 +44,15 @@ def _kmeans_pool(tokens: np.ndarray, mf: int, iters: int = 8,
     d2 = np.full(n, np.inf)
     for _ in range(1, k):
         d2 = np.minimum(d2, ((tokens - centers[-1]) ** 2).sum(-1))
-        prob = d2 / max(d2.sum(), 1e-12)
-        centers.append(tokens[rng.choice(n, p=prob)])
+        total = d2.sum()
+        if total <= 0.0:
+            # every remaining token coincides with a center (pages with
+            # repeated patch embeddings, e.g. uniform backgrounds): any
+            # choice is equivalent — uniform instead of rng.choice crashing
+            # on an all-zero probability vector
+            centers.append(tokens[rng.integers(n)])
+            continue
+        centers.append(tokens[rng.choice(n, p=d2 / total)])
     centers = np.stack(centers)
 
     for _ in range(iters):

@@ -109,3 +109,39 @@ def test_trace_ctx_writes_profile(tmp_path):
     # no-op form
     with trace_ctx(None):
         pass
+
+
+def test_fast_metrics_duplicate_docids_fall_back_to_dict_path():
+    """Corpora with duplicate docids (un-deduped dumps) make the column-wise
+    fast engine diverge from the dict path (which collapses duplicates);
+    eval_retrieval must detect this and produce dict-path numbers."""
+    import jax.numpy as jnp
+
+    from evdr_tpu.eval.evaluator import CustomRetrievalEvaluator, eval_retrieval
+
+    rng = np.random.default_rng(0)
+    nq, lq, nd, lp, d = 4, 3, 5, 4, 8
+
+    def unit(x):
+        return x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+
+    Q = unit(rng.normal(size=(nq, lq, d))).astype(np.float32)
+    qm = np.ones((nq, lq), bool)
+    P = unit(rng.normal(size=(nd, lp, d))).astype(np.float32)
+    P[3] = P[1]  # duplicate page content
+    pm = np.ones((nd, lp), bool)
+    docidx_2_docid = {str(j): f"page_{j}" for j in range(nd)}
+    docidx_2_docid["3"] = docidx_2_docid["1"]  # duplicate docid
+    qrels = {str(i): {f"page_{(i % nd)}": 1} for i in range(nq)}
+    qs = np.array([str(i) for i in range(nq)])
+
+    ev = CustomRetrievalEvaluator()
+    m_fast = eval_retrieval(ev, jnp.asarray(Q), jnp.asarray(qm),
+                            jnp.asarray(P), jnp.asarray(pm), qrels,
+                            docidx_2_docid, qs, impl="xla", fast=True)
+    m_dict = eval_retrieval(ev, jnp.asarray(Q), jnp.asarray(qm),
+                            jnp.asarray(P), jnp.asarray(pm), qrels,
+                            docidx_2_docid, qs, impl="xla", fast=False)
+    for group in ("NDCG", "Recall", "Precision"):
+        for k, v in m_dict[group].items():
+            assert abs(m_fast[group][k] - v) < 1e-9, (group, k)

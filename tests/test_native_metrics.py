@@ -152,6 +152,6 @@ def test_fast_cache_no_stale_id_reuse():
         assert got["Recall"]["Recall@1"] == want, (trial, got)
         del qrels, qs
     # pinned objects: every cached id must still be alive inside the cache
-    for (rid, did, qid, _, _), (_, pinned) in ev_mod._FAST_CACHE.items():
+    for (rid, did, qid, *_), (_, pinned) in ev_mod._FAST_CACHE.items():
         assert id(pinned[0]) == rid and id(pinned[1]) == did
     assert len(ev_mod._FAST_CACHE) <= ev_mod._FAST_CACHE_MAX

@@ -557,3 +557,72 @@ def test_serve_bucket_queries_inert():
                                rtol=1e-6, atol=1e-6)
     # padded rows score exactly 0 (all tokens masked)
     assert np.all(np.asarray(sc)[5:] == 0.0)
+
+
+def test_trec_run_sanitizes_whitespace_qids(tmp_path):
+    """Question-string qids (the ProxyQ/gt-docs convention) contain spaces;
+    run lines must stay 6-field parseable and evdr-eval's --queries remap
+    must key by the same sanitized form so metrics still align."""
+    from evdr_tpu.tools.eval_run import read_trec_run
+    from evdr_tpu.tools.search import trec_qid, write_trec_run
+
+    qkeys = ["what is the total revenue in 2020", "plain"]
+    run_path = tmp_path / "run.trec"
+    with open(run_path, "w") as fh:
+        write_trec_run(fh, qkeys, [["d1", "d2"], ["d1"]],
+                       [[0.9, 0.5], [0.7]])
+    results = read_trec_run(run_path)  # crashed pre-fix: float('revenue')
+    assert set(results) == {trec_qid(qkeys[0]), "plain"}
+    assert results[trec_qid(qkeys[0])]["d1"] == 0.9
+
+
+def test_save_packed_npz_loads_through_engine(tmp_path):
+    """save_packed_npz must write the pickle-free packed conventions:
+    the old object-dtype docid made is_packed=True files that
+    load_packed_payload (allow_pickle=False) rejected."""
+    from evdr_tpu.data.npz_io import load_packed_npz, save_packed_npz
+    from evdr_tpu.engine import RetrievalEngine
+    from evdr_tpu.tools.convert_packed import is_packed
+
+    rng = np.random.default_rng(0)
+    P = rng.normal(size=(6, 4, 16)).astype(np.float32)
+    pm = np.ones((6, 4), dtype=bool)
+    pth = tmp_path / "idx.packed.npz"
+    save_packed_npz(pth, docid=[f"page_{i}.jpg" for i in range(6)],
+                    P_pad=P, pmask=pm, meta={"note": "t"})
+    assert is_packed(pth)
+    back = load_packed_npz(pth)
+    assert back["meta"] == {"note": "t"}
+    np.testing.assert_array_equal(back["P_pad"], P)
+    eng = RetrievalEngine.from_npz(pth, impl="xla")  # crashed pre-fix
+    assert eng.n_docs == 6
+
+
+def test_kmeans_pool_identical_tokens_no_crash():
+    """Pages with repeated patch embeddings (uniform regions) drove the
+    kmeans++ distance distribution to all-zeros and rng.choice crashed."""
+    from evdr_tpu.tools.pool_index import _kmeans_pool
+
+    toks = np.ones((10, 8), dtype=np.float32)
+    centers = _kmeans_pool(toks, mf=5)
+    assert centers.shape == (2, 8)
+    assert np.isfinite(centers).all()
+
+
+def test_pooled_init_index_all_masked_doc_finite():
+    """A doc whose tokens are ALL masked must pool to zeros, not NaN."""
+    from evdr_tpu.data.synthetic import pooled_init_index
+
+    payload = {
+        "docid": np.array(["a", "b"], dtype=object),
+        "documents": np.array(
+            [np.ones((5, 8), np.float32), np.ones((4, 8), np.float32)],
+            dtype=object),
+        "doc_attnmask": np.array(
+            [np.ones(5, bool), np.zeros(4, bool)], dtype=object),
+        "doc_imgmask": np.array(
+            [np.ones(5, bool), np.ones(4, bool)], dtype=object),
+    }
+    out = pooled_init_index(payload, mf=2)
+    for d in out["documents"]:
+        assert np.isfinite(np.asarray(d)).all()
