@@ -32,13 +32,8 @@ from evdr_tpu.parallel.mesh import DOC_AXIS
 from evdr_tpu.parallel.sharded_index import ShardedIndex
 
 
-def _scores_lp_tiled(Q, qmask, Pd, pmd, lp_tile: int):
-    """(B, N) masked MaxSim with the doc axis N left sharded.
-
-    Loops over Lp tiles (static Python loop -> unrolled in the jit) keeping a
-    (B, N, Lq) running max; each tile is one einsum the partitioner shards on
-    N. Memory: (B, N_loc, Lq) per device — fine for serving batch sizes.
-    """
+def _scores_lp_tiled_block(Q, qmask, Pd, pmd, lp_tile: int):
+    """(b, N) masked MaxSim for ONE query block, doc axis N left sharded."""
     nq, lq, d = Q.shape
     nd, lp, _ = Pd.shape
     qm = qmask.astype(jnp.float32)
@@ -50,17 +45,47 @@ def _scores_lp_tiled(Q, qmask, Pd, pmd, lp_tile: int):
         sim = jnp.where(pmd[None, :, None, s:e], sim, -1e30)
         acc = jnp.maximum(acc, jnp.max(sim, axis=-1))
     mx = jnp.where(acc > -1e29, acc, 0.0)           # all-invalid doc -> 0
-    return jnp.sum(mx * qm[:, None, :], axis=-1)    # (B, N)
+    return jnp.sum(mx * qm[:, None, :], axis=-1)    # (b, N)
+
+
+def _scores_lp_tiled(Q, qmask, Pd, pmd, lp_tile: int, q_chunk: int = 8):
+    """(B, N) masked MaxSim with the doc axis N left sharded.
+
+    Loops over Lp tiles (static Python loop -> unrolled in the jit) keeping a
+    running max; the QUERY axis runs in lax.map blocks of ``q_chunk`` so the
+    transient (b, N_loc, Lq) accumulator stays bounded — unchunked it was
+    B x N x Lq x 4 bytes, ~33 GB at config-5 scale (1M pages, batch 256),
+    which OOM'd the exact path this module is advertised as an alternative
+    for.
+    """
+    nq = Q.shape[0]
+    if nq <= q_chunk:
+        return _scores_lp_tiled_block(Q, qmask, Pd, pmd, lp_tile)
+    n_blk = -(-nq // q_chunk)
+    nq_pad = n_blk * q_chunk
+    if nq_pad != nq:
+        Q = jnp.pad(Q, ((0, nq_pad - nq), (0, 0), (0, 0)))
+        qmask = jnp.pad(qmask, ((0, nq_pad - nq), (0, 0)))
+    Qb = Q.reshape(n_blk, q_chunk, *Q.shape[1:])
+    qmb = qmask.reshape(n_blk, q_chunk, qmask.shape[1])
+    sc = jax.lax.map(
+        lambda args: _scores_lp_tiled_block(args[0], args[1], Pd, pmd,
+                                            lp_tile), (Qb, qmb))
+    return sc.reshape(nq_pad, -1)[:nq]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "world", "shard", "lp_tile",
-                                    "grp_sh", "approx"))
+                                    "grp_sh", "approx", "n_docs"))
 def _gspmd_topk_impl(Q, qmask, Pd, pmd, k: int, world: int, shard: int,
-                     lp_tile: int, grp_sh, approx: bool = False):
+                     lp_tile: int, grp_sh, approx: bool = False,
+                     n_docs: int = None):
     sc = _scores_lp_tiled(Q, qmask, Pd, pmd, lp_tile)
-    valid = jnp.any(pmd, axis=-1)[None, :]
-    sc = jnp.where(valid, sc, -jnp.inf)
+    # exclude only PADDING columns: real all-masked docs keep their exact 0
+    # score (MaxSim semantics, agreeing with sharded_maxsim/sharded_topk)
+    limit = Pd.shape[0] if n_docs is None else n_docs
+    if limit < Pd.shape[0]:
+        sc = jnp.where(jnp.arange(Pd.shape[0])[None, :] < limit, sc, -jnp.inf)
     nq = sc.shape[0]
     # (B, world, shard): splitting the sharded axis N -> (world, shard) keeps
     # each group on its own device; constrain to make the intent explicit
@@ -92,7 +117,8 @@ def gspmd_topk(Q, qmask, index: ShardedIndex, k: int, lp_tile: int = 128,
               if world > 1 else None)
     return _gspmd_topk_impl(Q, qmask, index.P, index.pmask, k=min(k, index.n_pad),
                             world=world, shard=shard, lp_tile=lp_tile,
-                            grp_sh=grp_sh, approx=approx)
+                            grp_sh=grp_sh, approx=approx,
+                            n_docs=index.n_docs)
 
 
 @functools.partial(jax.jit, static_argnames=("lp_tile",))

@@ -123,7 +123,13 @@ def build_sharded_index(P, pmask, mesh: Mesh, docids=None, dtype=None,
     quantum = n_shards * max(1, int(pad_docs_to))
     n_pad = ((n + quantum - 1) // quantum) * quantum
 
-    if streaming and "dp" not in mesh.axis_names:
+    if streaming and "dp" in mesh.axis_names:
+        # falling through would np.asarray the whole mmap — the exact
+        # full-host materialization streaming exists to avoid
+        raise ValueError("streaming builds support 1D doc meshes only "
+                         "(dp-replicated transfers need a full host copy); "
+                         "load eagerly or use a 1D mesh")
+    if streaming:
         # ALL per-doc transforms (dtype cast, int8 quantization — per-token,
         # so shard-local is exact) run inside the per-shard loop: a host-side
         # astype/quantize of the full mmap here would materialize the whole

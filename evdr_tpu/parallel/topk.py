@@ -97,28 +97,33 @@ def _select_topk(sc, k: int, approx: bool):
     return jax.lax.top_k(sc, k)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk_p", "impl", "approx"))
+@functools.partial(jax.jit, static_argnames=("k", "chunk_p", "impl", "approx",
+                                              "n_docs"))
 def _single_device_topk(Q, qmask, P_loc, pm_loc, k, chunk_p, impl,
-                        approx=False, scales=None):
+                        approx=False, scales=None, n_docs=None):
     sc = _local_scores(Q, qmask, P_loc, pm_loc, chunk_p, impl, scales)
-    valid_doc = jnp.any(pm_loc, axis=-1)[None, :]
-    sc = jnp.where(valid_doc, sc, -jnp.inf)
+    # exclude only PADDING columns (global index >= n_docs). A REAL doc with
+    # zero valid tokens scores exactly 0 under MaxSim semantics and must stay
+    # rankable — the old any(pmask) proxy pushed it to -inf, disagreeing with
+    # sharded_maxsim + argsort on the same corpus.
+    nd = int(pm_loc.shape[0])
+    limit = nd if n_docs is None else int(n_docs)
+    if limit < nd:
+        sc = jnp.where(jnp.arange(nd)[None, :] < limit, sc, -jnp.inf)
     return _select_topk(sc, k, approx)
 
 
-def sharded_maxsim(Q, qmask, index: ShardedIndex, chunk_p: int = 128,
-                   impl: str = "xla") -> jnp.ndarray:
-    """Full (Q, N) scores, sharded over (dp-groups x doc shards)."""
-    mesh = index.mesh
-    if mesh.devices.size == 1:
-        # shard_map measured ~200x slower than plain jit on the remote-TPU
-        # backend; a 1-device mesh needs no collectives anyway
-        sc = _single_device_scores(Q, qmask, index.P, index.pmask,
-                                   chunk_p, impl, index.scales)
-        return sc[:, : index.n_docs]
+@functools.lru_cache(maxsize=64)
+def _sharded_scores_prog(mesh: Mesh, chunk_p: int, impl: str, quant: bool):
+    """Build ONE jitted shard_map scoring program per (mesh, config).
+
+    Rebuilding the shard_map closure per call re-traced AND re-compiled on
+    every invocation (measured ~0.63 s/call on a 4-device CPU mesh; 40 s-3
+    min per compile through the TPU tunnel) — the jit wrapper makes repeat
+    calls with the same shapes hit the executable cache like the
+    single-device path does."""
     qs = _q_spec(mesh)
     row_axis = DP_AXIS if DP_AXIS in mesh.axis_names else None
-    quant = index.scales is not None
 
     @functools.partial(
         jax.shard_map,
@@ -131,6 +136,21 @@ def sharded_maxsim(Q, qmask, index: ShardedIndex, chunk_p: int = 128,
         return _local_scores(Qr, qmr, P_loc, pm_loc, chunk_p, impl,
                              sc_loc[0] if sc_loc else None)
 
+    return jax.jit(score)
+
+
+def sharded_maxsim(Q, qmask, index: ShardedIndex, chunk_p: int = 128,
+                   impl: str = "xla") -> jnp.ndarray:
+    """Full (Q, N) scores, sharded over (dp-groups x doc shards)."""
+    mesh = index.mesh
+    if mesh.devices.size == 1:
+        # shard_map measured ~200x slower than plain jit on the remote-TPU
+        # backend; a 1-device mesh needs no collectives anyway
+        sc = _single_device_scores(Q, qmask, index.P, index.pmask,
+                                   chunk_p, impl, index.scales)
+        return sc[:, : index.n_docs]
+    quant = index.scales is not None
+    score = _sharded_scores_prog(mesh, chunk_p, impl, quant)
     args = (Q, qmask, index.P, index.pmask) + (
         (index.scales,) if quant else ())
     scores = score(*args)
@@ -152,7 +172,8 @@ def sharded_topk(Q, qmask, index: ShardedIndex, k: int, chunk_p: int = 128,
     if mesh.devices.size == 1:
         return _single_device_topk(Q, qmask, index.P, index.pmask,
                                    min(k, index.n_pad), chunk_p, impl,
-                                   approx, index.scales)
+                                   approx, index.scales,
+                                   n_docs=index.n_docs)
     import os
 
     if os.environ.get("EVDR_TOPK_IMPL") == "gspmd" and index.scales is None:
@@ -161,13 +182,23 @@ def sharded_topk(Q, qmask, index: ShardedIndex, k: int, chunk_p: int = 128,
         from evdr_tpu.parallel.gspmd import gspmd_topk
 
         return gspmd_topk(Q, qmask, index, k, approx=approx)
+    quant = index.scales is not None
+    prog = _sharded_topk_prog(mesh, k, index.n_pad, index.n_docs, chunk_p,
+                              impl, approx, quant)
+    args = (Q, qmask, index.P, index.pmask) + ((index.scales,) if quant else ())
+    return prog(*args)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_topk_prog(mesh: Mesh, k: int, n_pad: int, n_docs: int,
+                       chunk_p: int, impl: str, approx: bool, quant: bool):
+    """One jitted shard_map top-k program per (mesh, corpus, k, config) —
+    see _sharded_scores_prog for why the per-call closure was a per-call
+    recompile."""
     world = dict(mesh.shape).get(DOC_AXIS, mesh.devices.size)
-    n_pad = index.n_pad
     shard_size = n_pad // world
     k_local = min(k, shard_size)
     qs = _q_spec(mesh)
-
-    quant = index.scales is not None
 
     @functools.partial(
         jax.shard_map,
@@ -183,15 +214,17 @@ def sharded_topk(Q, qmask, index: ShardedIndex, k: int, chunk_p: int = 128,
     def topk_local_merge(Qr, qmr, P_loc, pm_loc, *sc_loc):
         sc = _local_scores(Qr, qmr, P_loc, pm_loc, chunk_p, impl,
                            sc_loc[0] if sc_loc else None)  # (Qn, shard)
-        # padded/fully-masked docs score exactly 0; push them below any real
-        # candidate so they cannot displace true results in the merge
-        valid_doc = jnp.any(pm_loc, axis=-1)[None, :]
-        sc = jnp.where(valid_doc, sc, -jnp.inf)
+        my = jax.lax.axis_index(DOC_AXIS)
+        # exclude only PADDING columns (global index >= n_docs): real docs
+        # with zero valid tokens keep their exact 0 score (MaxSim semantics,
+        # matching sharded_maxsim + argsort — the old any(pmask) proxy
+        # dropped them and the two public APIs disagreed)
+        gcol = my * shard_size + jnp.arange(shard_size)[None, :]
+        sc = jnp.where(gcol < n_docs, sc, -jnp.inf)
         if approx and k_local > 128:
             vals, idx = _select_topk(sc, k_local, True)  # hw approx selection
         else:
             vals, idx = chunked_topk(sc, k_local)  # (Qn, k_local)
-        my = jax.lax.axis_index(DOC_AXIS)
         gidx = idx + my * shard_size
         # gather candidates from all shards: (world*k_local) per query
         vals_g = jax.lax.all_gather(vals, DOC_AXIS, axis=1, tiled=True)
@@ -200,5 +233,4 @@ def sharded_topk(Q, qmask, index: ShardedIndex, k: int, chunk_p: int = 128,
         midx = jnp.take_along_axis(gidx_g, mpos, axis=1)
         return mvals, midx
 
-    args = (Q, qmask, index.P, index.pmask) + ((index.scales,) if quant else ())
-    return topk_local_merge(*args)
+    return jax.jit(topk_local_merge)

@@ -467,7 +467,8 @@ def precompute_teacher_scores_sharded(Q, qmask, P_sh, pm_sh, mesh: Mesh,
 
 def build_sharded_train_step(cfg: TrainConfig, mesh: Mesh, *, pmask_student,
                              P_teacher, pmask_teacher, n_docs: int,
-                             Q_all, qm_all, sct_all=None, pos_all=None
+                             Q_all, qm_all, sct_all=None, pos_all=None,
+                             optimizer: optax.GradientTransformation = None
                              ) -> Tuple[Callable, optax.GradientTransformation]:
     """Returns (step, optimizer).
 
@@ -479,8 +480,12 @@ def build_sharded_train_step(cfg: TrainConfig, mesh: Mesh, *, pmask_student,
     size (see build_sharded_index); ``sct_all`` is the (Mq, N_pad)
     doc-sharded teacher-score table from
     ``precompute_teacher_scores_sharded`` (None -> inline rescore each step).
+    Pass the SAME ``optimizer`` whose .init produced opt_state (the harness
+    does) — a separately-constructed default here could silently diverge
+    from the caller's update rule.
     """
-    optimizer = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+    if optimizer is None:
+        optimizer = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
     needs_labels = cfg.loss == "infonce_sup"
     use_sct = sct_all is not None and cfg.aug != "qnoise" and not needs_labels
     objective = _build_objective(cfg, mesh, n_docs, with_aug=True,

@@ -955,7 +955,7 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
             cfg, mesh, pmask_student=pmask_student, P_teacher=teacher_sh.P,
             pmask_teacher=teacher_sh.pmask, n_docs=n_docs,
             Q_all=Q_train_r, qm_all=qm_train_r, sct_all=sct_train_sh,
-            pos_all=pos_train_r)
+            pos_all=pos_train_r, optimizer=optimizer)
     else:
         train_step = build_train_step(cfg, bundle, pmask_student, optimizer)
 

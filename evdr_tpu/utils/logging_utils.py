@@ -49,10 +49,18 @@ class ScalarWriter:
             self._tb.close()
 
 
+# one ScalarWriter per directory: repeated get_logger calls on the same
+# out_dir (e.g. a resume) must not open a fresh scalars.jsonl append handle
+# each time — log handlers are already dedup-guarded, this mirrors that
+_WRITERS: Dict[str, ScalarWriter] = {}
+
+
 def get_logger(save_dir, name: str = "run", verbosity: int = 1, use_tb: bool = True):
     """File+stream logger writing ``train.log`` in the reference line format.
 
-    Returns (logger, ScalarWriter or None).
+    Returns (logger, ScalarWriter). ``use_tb=False`` only skips the (heavy)
+    TensorBoard event writer — the machine-readable scalars.jsonl is always
+    written, as ScalarWriter promises.
     """
     save_dir = Path(save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
@@ -74,7 +82,11 @@ def get_logger(save_dir, name: str = "run", verbosity: int = 1, use_tb: bool = T
         sh.setLevel(level)
         logger.addHandler(sh)
 
-    writer = ScalarWriter(save_dir, use_tb=use_tb) if use_tb else None
+    wkey = str(save_dir.resolve())
+    writer = _WRITERS.get(wkey)
+    if writer is None or writer._jsonl.closed:
+        writer = ScalarWriter(save_dir, use_tb=use_tb)
+        _WRITERS[wkey] = writer
     return logger, writer
 
 

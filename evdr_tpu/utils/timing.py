@@ -6,8 +6,8 @@ evaluator/retrieval.py:135-145)."""
 from __future__ import annotations
 
 import os
-import time
-from typing import Callable, Dict
+
+from typing import Dict
 
 import jax
 
@@ -26,30 +26,14 @@ def enable_persistent_cache(path: str = "/tmp/evdr_jax_cache") -> None:
         pass
 
 
-class Timer:
-    """Wall timer that blocks on device results for honest kernel timing."""
-
-    def __init__(self):
-        self.records: Dict[str, list] = {}
-
-    def timed(self, name: str, fn: Callable, *args, warmup: int = 1, iters: int = 10,
-              **kwargs):
-        for _ in range(warmup):
-            jax.block_until_ready(fn(*args, **kwargs))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / iters
-        self.records.setdefault(name, []).append(dt)
-        return out, dt
-
-    def stats(self, name: str) -> Dict[str, float]:
-        xs = self.records.get(name, [])
-        if not xs:
-            return {}
-        return {"mean_s": sum(xs) / len(xs), "min_s": min(xs), "max_s": max(xs),
-                "n": len(xs)}
+# NOTE: there is deliberately NO generic repeat-and-block wall timer here.
+# On this repo's remote-TPU backend, identical repeated dispatches are
+# MEMOIZED by the client and jax.block_until_ready does not reliably block,
+# so the obvious `for _ in range(iters): fn(*args)` pattern reports
+# arbitrarily inflated throughput. Honest timing needs distinct input
+# buffers per iteration, K applications chained inside ONE jit, and a
+# forced float(jnp.sum(...)) fetch — see bench.py:_timed_chained for the
+# canonical implementation.
 
 
 def device_memory_report() -> Dict[str, float]:

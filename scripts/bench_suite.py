@@ -42,7 +42,6 @@ def config1_bruteforce_fp32():
     from evdr_tpu.data.packing import preprocess_docs, preprocess_queries
     from evdr_tpu.data.synthetic import make_synthetic_corpus
     from evdr_tpu.eval.evaluator import CustomRetrievalEvaluator, eval_retrieval
-    from evdr_tpu.ops.maxsim import maxsim_numpy
 
     c = make_synthetic_corpus(n_docs=70, n_queries=64, dim=128,
                               doc_len_range=(500, 900), seed=0)
@@ -341,12 +340,19 @@ def config5b_pruned(n_pages: int = 250_048, tokens: int = 64, d: int = 128,
     import jax.numpy as jnp
 
     from evdr_tpu.parallel import (build_sharded_index, make_mesh, replicate,
-                                   shard_docs, sharded_topk)
+                                   shard_docs)
     from evdr_tpu.parallel.sharded_index import ShardedIndex
-    from evdr_tpu.ops.pruned import (build_summary_tokens, pruned_recall,
-                                     rerank_candidates)
+    from evdr_tpu.ops.pruned import build_summary_tokens, pruned_recall
 
     mesh = make_mesh()
+    if mesh.devices.size > 1:
+        # the timing below drives the SINGLE-device fused programs
+        # (_single_device_topk / pruned_topk_fused); on a multi-chip mesh
+        # those are not the designed serving path (sharded_topk + candidate
+        # merge) — flag it loudly rather than publish numbers for the wrong
+        # program (config5's _timed_topk has the two-branch pattern)
+        print("[5b] WARNING: multi-device mesh detected; config 5b times the "
+              "single-device fused programs only", file=sys.stderr, flush=True)
     # batch 256: amortizes fixed per-batch work and (at qb=128-aligned
     # query blocks) enables the token-major kernel epilogue; 64 was the
     # round-2 setting and left ~20% on the table at config-5 scale
