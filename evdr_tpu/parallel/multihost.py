@@ -1,0 +1,184 @@
+"""Multi-host deployment: one JAX process per host, doc shards per process.
+
+The in-process mesh layer (``parallel/mesh.py`` + ``sharded_index.py``)
+covers the chips one process can address. TPU pods and multi-slice
+deployments run ONE process PER HOST, so serving a corpus bigger than a
+host's HBM needs two extra pieces, and only these two — the shard_map
+programs in ``parallel/topk.py`` / ``parallel/train_sharded.py`` are
+expressed over a global mesh and lower their collectives to cross-host
+transports unchanged (ICI within a slice, DCN across slices; Gloo on the
+CPU rig the tests use):
+
+1. :func:`init_multihost` — wire this process into the global runtime
+   (``jax.distributed``). After it, ``jax.devices()`` is the GLOBAL device
+   list while ``jax.local_devices()`` is this host's slice.
+2. :func:`build_multihost_index` — assemble the global doc-sharded index
+   where each host materializes ONLY the rows its local devices own. Pair
+   it with an ``np.memmap``-backed packed file on shared storage
+   (``tools/convert_packed.py``, ``load_packed_payload(mmap_docs=True)``):
+   rows owned by other hosts are never paged in, so per-host IO and RSS
+   stay at one host's shard slice regardless of corpus size.
+
+The reference has no distributed layer at all (SURVEY.md §2.4 — one Python
+process, one GPU, ``mainv1.py:168-170``); this module is the cross-host
+half of the design BASELINE.json's 1M-page north star asks for.
+
+Validated without pod hardware by ``tests/test_multihost.py``: two OS
+processes x two virtual CPU devices each form a 4-device global mesh whose
+collectives cross real process boundaries (Gloo), and the sharded scores /
+top-k / int8 paths reproduce the process-local oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from evdr_tpu.parallel.mesh import DOC_AXIS, DP_AXIS
+from evdr_tpu.parallel.sharded_index import ShardedIndex
+
+
+def init_multihost(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> None:
+    """Wire this process into the global JAX runtime.
+
+    On TPU pods every argument auto-detects from the TPU metadata
+    (``jax.distributed.initialize()`` bare); on CPU/GPU rigs pass
+    ``coordinator_address`` ("host:port", process 0's address),
+    ``num_processes`` and ``process_id`` explicitly. Must run before the
+    first ``jax.devices()`` call of the process — backend wiring is
+    immutable once initialized.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = int(num_processes)
+    if process_id is not None:
+        kwargs["process_id"] = int(process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def global_doc_mesh(axis: str = DOC_AXIS) -> Mesh:
+    """1D mesh over ALL global devices (every process constructs the same)."""
+    return Mesh(np.array(jax.devices()), (axis,))
+
+
+def global_doc_mesh_2d(dp: int, docs: int) -> Mesh:
+    """Global dp x docs mesh (see mesh.make_mesh_2d for the layout intent)."""
+    devs = jax.devices()
+    if dp * docs != len(devs):
+        raise ValueError(f"dp*docs = {dp * docs} must equal the global "
+                         f"device count {len(devs)}")
+    return Mesh(np.array(devs).reshape(dp, docs), (DP_AXIS, DOC_AXIS))
+
+
+def replicate_global(x, mesh: Mesh):
+    """Fully-replicated global array from identical per-process host data.
+
+    (``jax.device_put`` covers the single-process case;
+    ``make_array_from_process_local_data`` is the multi-process-correct way
+    to feed every device the same host array, e.g. the query batch.)
+    """
+    x = np.asarray(x)
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P()), x, x.shape)
+
+
+def _assemble_rows(slicer, shardings, gshapes, n_valid: int):
+    """Assemble dim-0-sharded global arrays from per-device row slices.
+
+    ``slicer(lo, hi)`` returns one host array per output (rows [lo:hi),
+    ``hi`` already clipped to ``n_valid``); rows past ``n_valid`` become
+    zero padding. Only ADDRESSABLE shards are read — slicing an
+    ``np.memmap`` pages in just the touched rows, so this is the
+    bounded-RSS contract of sharded_index._shard_docs_streamed keyed off
+    the sharding's own index map, which is correct whatever rows THIS
+    process's devices own (device order on pods follows the physical
+    torus, not process rank).
+    """
+    pieces = [[] for _ in gshapes]
+    # every output shares dim-0 row ranges: use the first sharding's map
+    for dev, idx in shardings[0].addressable_devices_indices_map(
+            gshapes[0]).items():
+        rows = idx[0]
+        lo = 0 if rows.start is None else int(rows.start)
+        hi = gshapes[0][0] if rows.stop is None else int(rows.stop)
+        outs = slicer(lo, min(hi, n_valid))
+        for slot, o in zip(pieces, outs):
+            if o.shape[0] < hi - lo:  # rows past n_valid: zero padding
+                o = np.pad(o, ((0, hi - lo - o.shape[0]),)
+                           + ((0, 0),) * (o.ndim - 1))
+            slot.append(jax.device_put(o, dev))
+    mk = jax.make_array_from_single_device_arrays
+    return [mk(gs, sh, ps) for gs, sh, ps in zip(gshapes, shardings, pieces)]
+
+
+def build_multihost_index(P_full, pmask, mesh: Mesh, docids=None,
+                          dtype: Optional[str] = None, pad_docs_to: int = 1,
+                          scales=None) -> ShardedIndex:
+    """Global doc-sharded index; each host touches ONLY its own rows.
+
+    Every process calls this with the SAME (mmap-able) full-corpus view and
+    the same arguments; each slices out just the row ranges its local
+    devices own (lazy reads — combine with ``load_packed_payload(...,
+    mmap_docs=True)`` so remote rows are never paged in), transforms them
+    shard-locally (``dtype`` cast; int8 per-token quantization is
+    doc-independent, hence shard-local == global bit-for-bit), and the
+    pieces assemble into one global array. Semantics (doc padding, n_docs,
+    int8 scales; pass pre-quantized codes + ``scales`` for --normalize
+    packed files) match ``build_sharded_index`` exactly, so the resulting
+    :class:`ShardedIndex` drives sharded_maxsim / sharded_topk / the
+    sharded train step unchanged.
+    """
+    n, lp = int(P_full.shape[0]), int(P_full.shape[1])
+    n_shards = dict(mesh.shape).get(DOC_AXIS, mesh.devices.size)
+    quantum = n_shards * max(1, int(pad_docs_to))
+    n_pad = ((n + quantum - 1) // quantum) * quantum
+    tail = tuple(int(s) for s in P_full.shape[2:])
+
+    np_cast = None
+    if dtype is not None and dtype != "int8":
+        import ml_dtypes
+
+        np_cast = (np.dtype(dtype) if dtype != "bfloat16"
+                   else np.dtype(ml_dtypes.bfloat16))
+
+    sh3 = NamedSharding(mesh, P(DOC_AXIS, *([None] * (1 + len(tail)))))
+    sh2 = NamedSharding(mesh, P(DOC_AXIS, None))
+    g3 = (n_pad, lp) + tail
+    g2 = (n_pad, lp)
+
+    if dtype == "int8" and scales is None:
+        from evdr_tpu.ops.quantize import quantize_tokens_int8
+
+        def slice_quant(lo, hi):
+            sl = np.asarray(P_full[lo:hi])
+            ms = np.asarray(pmask[lo:hi], dtype=bool)
+            codes, sc = quantize_tokens_int8(sl, ms)
+            return codes, sc, ms
+
+        codes_arr, scales_arr, pm_arr = _assemble_rows(
+            slice_quant, [sh3, sh2, sh2], [g3, g2, g2], n)
+        return ShardedIndex(P=codes_arr, pmask=pm_arr, n_docs=n,
+                            docids=docids, mesh=mesh, scales=scales_arr)
+
+    def slice_cast(lo, hi):
+        sl = np.asarray(P_full[lo:hi])
+        if np_cast is not None and sl.dtype != np_cast:
+            sl = sl.astype(np_cast)
+        outs = [sl, np.asarray(pmask[lo:hi], dtype=bool)]
+        if scales is not None:  # pre-quantized packed file (--normalize)
+            outs.append(np.asarray(scales[lo:hi]))
+        return outs
+
+    shardings = [sh3, sh2] + ([sh2] if scales is not None else [])
+    gshapes = [g3, g2] + ([g2] if scales is not None else [])
+    arrs = _assemble_rows(slice_cast, shardings, gshapes, n)
+    return ShardedIndex(P=arrs[0], pmask=arrs[1], n_docs=n, docids=docids,
+                        mesh=mesh,
+                        scales=(arrs[2] if scales is not None else None))

@@ -1,0 +1,104 @@
+"""Worker for tests/test_multihost.py — NOT a pytest module.
+
+Runs as one of N OS processes wired by jax.distributed (Gloo collectives on
+the CPU backend): builds the global doc-sharded index from only its local
+rows, runs the sharded serving programs, and checks them against the
+process-local numpy oracle. Prints MULTIHOST_OK on success.
+
+Usage: python _multihost_worker.py <process_id> <num_processes> <host:port>
+"""
+
+import os
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    pid, nproc, coord = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    # sitecustomize preloads jax pointed at the accelerator platform; force
+    # CPU with 2 virtual devices BEFORE the backend initializes (the same
+    # dance as tests/conftest.py / __graft_entry__.py's dryrun child)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_num_cpu_devices", 2)
+    except Exception:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=2")
+
+    from evdr_tpu.parallel.multihost import (
+        build_multihost_index,
+        global_doc_mesh,
+        init_multihost,
+        replicate_global,
+    )
+
+    init_multihost(coord, nproc, pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    n_global = len(jax.devices())
+    n_local = len(jax.local_devices())
+    assert n_global == 2 * nproc and n_local == 2, (n_global, n_local)
+
+    import numpy as np
+
+    from evdr_tpu.ops.maxsim import maxsim_numpy
+    from evdr_tpu.ops.quantize import dequantize_int8, quantize_tokens_int8
+    from evdr_tpu.parallel.topk import sharded_maxsim, sharded_topk
+
+    # identical corpus on every process (seeded); deliberately NOT divisible
+    # by the 4-device mesh so doc padding engages, with one fully-masked doc
+    # to pin the exact-0-score semantics across the process boundary
+    rng = np.random.default_rng(7)
+    N, LP, LQ, D, NQ, K = 37, 6, 5, 16, 9, 5
+
+    def unit(x):
+        return x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+
+    P = unit(rng.normal(size=(N, LP, D))).astype(np.float32)
+    pmask = rng.random((N, LP)) > 0.2
+    pmask[3] = False
+    Q = unit(rng.normal(size=(NQ, LQ, D))).astype(np.float32)
+    qmask = rng.random((NQ, LQ)) > 0.15
+
+    mesh = global_doc_mesh()
+    idx = build_multihost_index(P, pmask, mesh)
+    Qg = replicate_global(Q, mesh)
+    qmg = replicate_global(qmask, mesh)
+
+    ref = maxsim_numpy(Q, P, qmask, pmask)
+
+    sc = np.asarray(sharded_maxsim(Qg, qmg, idx))
+    np.testing.assert_allclose(sc, ref, rtol=2e-5, atol=2e-5)
+
+    vals, ids = sharded_topk(Qg, qmg, idx, k=K)
+    order = np.argsort(-ref, axis=1, kind="stable")[:, :K]
+    np.testing.assert_allclose(np.asarray(vals),
+                               np.take_along_axis(ref, order, axis=1),
+                               rtol=2e-5, atol=2e-5)
+    # indices can differ from the oracle only on exact score ties
+    # (continuous random corpus: none); compare directly
+    np.testing.assert_array_equal(np.asarray(ids), order)
+
+    # int8 path: shard-local per-token quantization must equal the global
+    # quantize -> score pipeline
+    idx8 = build_multihost_index(P, pmask, mesh, dtype="int8")
+    codes, scales = quantize_tokens_int8(P, pmask)
+    ref8 = maxsim_numpy(Q, dequantize_int8(codes, scales), qmask, pmask)
+    sc8 = np.asarray(sharded_maxsim(Qg, qmg, idx8))
+    np.testing.assert_allclose(sc8, ref8, rtol=2e-5, atol=2e-5)
+
+    # pre-quantized build (--normalize packed files): codes + scales given
+    idx8p = build_multihost_index(codes, pmask, mesh, dtype="int8",
+                                  scales=scales)
+    sc8p = np.asarray(sharded_maxsim(Qg, qmg, idx8p))
+    np.testing.assert_allclose(sc8p, ref8, rtol=2e-5, atol=2e-5)
+
+    print(f"MULTIHOST_OK pid={pid} devices={n_global}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,51 @@
+"""Two-process global-mesh validation of the doc-sharded serving path.
+
+Spawns 2 OS processes (2 virtual CPU devices each -> a 4-device global
+mesh) wired by ``jax.distributed``; collectives cross REAL process
+boundaries (Gloo). Each process assembles the global index from only its
+locally-owned doc rows (parallel/multihost.py) and runs the same shard_map
+programs the in-process mesh tests cover — the closest multi-chip/pod
+validation obtainable without pod hardware.
+"""
+
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+WORKER = Path(__file__).with_name("_multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_sharded_serving():
+    port = _free_port()
+    nproc = 2
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), str(i), str(nproc),
+             f"localhost:{port}"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=str(WORKER.parent.parent),
+        )
+        for i in range(nproc)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out.decode(errors="replace"))
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert "MULTIHOST_OK" in out, f"worker {i} missing OK marker:\n{out}"
