@@ -118,6 +118,27 @@ def _assemble_rows(slicer, shardings, gshapes, n_valid: int):
     return [mk(gs, sh, ps) for gs, sh, ps in zip(gshapes, shardings, pieces)]
 
 
+def shard_docs_global(x, mesh: Mesh, n_pad: Optional[int] = None):
+    """Dim-0 (doc-axis) sharded GLOBAL array from per-process local rows.
+
+    The multi-process counterpart of ``mesh.shard_docs`` — used for arrays
+    that live alongside the index (the student param, its mask, sharded
+    teacher-score tables): every process passes the same full-corpus host
+    view ``x`` (mmap ok) and device_puts only its locally-owned rows.
+    ``n_pad`` (default: dim 0 rounded up to the doc-shard count) zero-pads
+    exactly like ``build_sharded_index``.
+    """
+    n = int(x.shape[0])
+    n_shards = dict(mesh.shape).get(DOC_AXIS, mesh.devices.size)
+    if n_pad is None:
+        n_pad = ((n + n_shards - 1) // n_shards) * n_shards
+    sh = NamedSharding(mesh, P(DOC_AXIS, *([None] * (x.ndim - 1))))
+    gshape = (n_pad,) + tuple(int(s) for s in x.shape[1:])
+    [arr] = _assemble_rows(lambda lo, hi: [np.asarray(x[lo:hi])],
+                           [sh], [gshape], n)
+    return arr
+
+
 def build_multihost_index(P_full, pmask, mesh: Mesh, docids=None,
                           dtype: Optional[str] = None, pad_docs_to: int = 1,
                           scales=None) -> ShardedIndex:

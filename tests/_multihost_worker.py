@@ -97,6 +97,64 @@ def main() -> None:
     sc8p = np.asarray(sharded_maxsim(Qg, qmg, idx8p))
     np.testing.assert_allclose(sc8p, ref8, rtol=2e-5, atol=2e-5)
 
+    # --- one sharded TRAIN step across the process boundary -------------
+    # identical unsharded reference computed process-locally; the global
+    # doc-sharded step must reproduce its loss and its local param rows
+    import jax.numpy as jnp
+    import optax
+
+    from evdr_tpu.parallel.multihost import shard_docs_global
+    from evdr_tpu.parallel.train_sharded import build_sharded_train_step
+    from evdr_tpu.train.config import TrainConfig
+    from evdr_tpu.train.harness import DatasetBundle, build_train_step
+
+    mf_keep = 3
+    Ps_raw = unit(P[:, :mf_keep] + 0.05 * rng.normal(size=(N, mf_keep, D))
+                  ).astype(np.float32)
+    pm_s = pmask[:, :mf_keep].copy()
+    pm_s[3, 0] = True  # student row of the all-masked doc stays trainable
+    param0 = (Ps_raw * pm_s[..., None]).astype(np.float32)
+    Pn = (P * pmask[..., None]).astype(np.float32)
+
+    cfg = TrainConfig(loss="liscore", k=6, temp=0.3, lambda_list=1.0,
+                      lambda_score=0.5, lr=1e-3, chunk_p=8)
+    optimizer = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+
+    bundle = DatasetBundle(
+        dataset="x", Q_train=jnp.asarray(Q), qmask_train=jnp.asarray(qmask),
+        pos_idx=None, Q_test=jnp.asarray(Q), qmask_test=jnp.asarray(qmask),
+        P_teacher_norm=jnp.asarray(Pn), pmask_teacher=jnp.asarray(pmask),
+        docid_teacher=None, relevant_docs_test={}, docidx_2_docid_test={},
+        qsidx_2_query_test=None,
+    )
+    p1 = jnp.asarray(param0)
+    st1 = optimizer.init(p1)
+    step1 = build_train_step(cfg, bundle, jnp.asarray(pm_s), optimizer)
+    idx_b = np.arange(NQ, dtype=np.int32)
+    key = np.asarray(jax.random.PRNGKey(0))
+    p1b, _, parts1 = step1(p1, st1, jnp.asarray(idx_b), jnp.asarray(key))
+
+    tidx = build_multihost_index(Pn, pmask, mesh)
+    p2 = shard_docs_global(param0, mesh)
+    step2, opt2 = build_sharded_train_step(
+        cfg, mesh, pmask_student=shard_docs_global(pm_s, mesh),
+        P_teacher=tidx.P, pmask_teacher=tidx.pmask, n_docs=N,
+        Q_all=replicate_global(Q, mesh), qm_all=replicate_global(qmask, mesh),
+        optimizer=optimizer)
+    st2 = opt2.init(p2)
+    p2b, _, parts2 = step2(p2, st2, replicate_global(idx_b, mesh),
+                           replicate_global(key, mesh))
+    np.testing.assert_allclose(float(parts2["total_loss"]),
+                               float(parts1["total_loss"]),
+                               rtol=1e-5, atol=1e-5)
+    p1b_np = np.asarray(p1b)
+    for shard in p2b.addressable_shards:  # only local rows are addressable
+        rows = shard.index[0]
+        lo = 0 if rows.start is None else rows.start
+        ref_rows = p1b_np[lo:min(rows.stop or N, N)]
+        got = np.asarray(shard.data)[: ref_rows.shape[0]]
+        np.testing.assert_allclose(got, ref_rows, rtol=1e-4, atol=2e-5)
+
     print(f"MULTIHOST_OK pid={pid} devices={n_global}", flush=True)
 
 
