@@ -48,8 +48,46 @@ class RetrievalEngine:
         if quantize_queries and dtype == "int8" and impl == "pallas":
             impl = "pallas_q8"
         self.impl = impl
+        # multi-host deployments (one process per pod host, wired by
+        # parallel/multihost.init_multihost + a global mesh): builds route
+        # through build_multihost_index (each host loads only its rows) and
+        # replication/fetches through the process-global helpers
+        self._multiproc = jax.process_count() > 1
         self.index: Optional[ShardedIndex] = None
         self.summary: Optional[ShardedIndex] = None
+
+    def _replicate(self, x):
+        if self._multiproc:
+            from evdr_tpu.parallel.multihost import replicate_global
+
+            return replicate_global(np.asarray(x), self.mesh)
+        return replicate(x, self.mesh)
+
+    def _fetch(self, x) -> np.ndarray:
+        """Global array -> host numpy. Search/score outputs on a single-host
+        mesh are already fully addressable; across processes they must be
+        resharded to fully-replicated before the host copy."""
+        if self._multiproc and not x.sharding.is_fully_replicated:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            x = jax.jit(lambda a: a, out_shardings=NamedSharding(
+                self.mesh, PartitionSpec()))(x)
+        return np.asarray(x)
+
+    def _build_index(self, P, pmask, docids=None, dtype=None, scales=None,
+                     streaming: bool = False) -> ShardedIndex:
+        ids = np.asarray(docids, dtype=object) if docids is not None else None
+        if self._multiproc:
+            from evdr_tpu.parallel.multihost import build_multihost_index
+
+            # inherently streamed: each host device_puts only its own rows
+            return build_multihost_index(P, pmask, self.mesh, docids=ids,
+                                         dtype=dtype, pad_docs_to=64,
+                                         scales=scales)
+        return build_sharded_index(P, pmask, self.mesh, docids=ids,
+                                   dtype=dtype, pad_docs_to=64, scales=scales,
+                                   streaming=streaming)
 
     # ------------------------------------------------------------------ build
     def build(self, P: np.ndarray, pmask: np.ndarray,
@@ -77,16 +115,13 @@ class RetrievalEngine:
         if normalize:
             P = np.asarray(l2_normalize(P * pmask[..., None].astype(np.float32)),
                            dtype=np.float32)
-        self.index = build_sharded_index(
-            P, pmask, self.mesh,
-            docids=np.asarray(docids, dtype=object) if docids is not None else None,
-            dtype=self.dtype, pad_docs_to=64, streaming=streaming)
+        self.index = self._build_index(P, pmask, docids=docids,
+                                       dtype=self.dtype, streaming=streaming)
         if self.prune_centroids > 0:
             from evdr_tpu.ops.pruned import build_summary_tokens
 
             S, smask = build_summary_tokens(P, pmask, self.prune_centroids)
-            self.summary = build_sharded_index(S, smask, self.mesh,
-                                               dtype=self.dtype, pad_docs_to=64)
+            self.summary = self._build_index(S, smask, dtype=self.dtype)
         return self
 
     def build_from_codes(self, codes, scales, pmask,
@@ -99,10 +134,9 @@ class RetrievalEngine:
         devices with bounded host RSS."""
         if self.dtype != "int8":
             raise ValueError("build_from_codes requires dtype='int8'")
-        self.index = build_sharded_index(
-            codes, pmask, self.mesh,
-            docids=np.asarray(docids, dtype=object) if docids is not None else None,
-            dtype="int8", scales=scales, pad_docs_to=64, streaming=streaming)
+        self.index = self._build_index(codes, pmask, docids=docids,
+                                       dtype="int8", scales=scales,
+                                       streaming=streaming)
         return self
 
     def build_from_ragged(self, documents_obj, doc_attnmask=None, doc_imgmask=None,
@@ -171,8 +205,8 @@ class RetrievalEngine:
                 "n_candidates requires a pruning summary index: construct "
                 "the engine with prune_centroids>0 and build() from float "
                 "embeddings (build_from_codes has no summary)")
-        Qd = replicate(jnp.asarray(Q, dtype=jnp.float32), self.mesh)
-        qmd = replicate(jnp.asarray(qmask, dtype=bool), self.mesh)
+        Qd = self._replicate(jnp.asarray(Q, dtype=jnp.float32))
+        qmd = self._replicate(jnp.asarray(qmask, dtype=bool))
         if n_candidates and self.summary is not None:
             c = min(n_candidates, self.index.n_docs)
             if self.mesh.devices.size == 1:
@@ -200,7 +234,7 @@ class RetrievalEngine:
         else:
             vals, idx = sharded_topk(Qd, qmd, self.index, k=k,
                                      chunk_p=self.chunk_p, impl=self.impl)
-        return np.asarray(vals), np.asarray(idx)
+        return self._fetch(vals), self._fetch(idx)
 
     def ids_for(self, idx) -> List[List[str]]:
         """Doc-index matrix -> per-query docid string lists."""
@@ -225,9 +259,9 @@ class RetrievalEngine:
         """Full (nq, N) score matrix (eval / reranking use)."""
         if self.index is None:
             raise RuntimeError("engine has no index; call build() first")
-        Qd = replicate(jnp.asarray(Q, dtype=jnp.float32), self.mesh)
-        qmd = replicate(jnp.asarray(qmask, dtype=bool), self.mesh)
-        return np.asarray(
+        Qd = self._replicate(jnp.asarray(Q, dtype=jnp.float32))
+        qmd = self._replicate(jnp.asarray(qmask, dtype=bool))
+        return self._fetch(
             sharded_maxsim(Qd, qmd, self.index, chunk_p=self.chunk_p,
                            impl=self.impl))
 

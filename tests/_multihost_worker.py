@@ -97,6 +97,55 @@ def main() -> None:
     sc8p = np.asarray(sharded_maxsim(Qg, qmg, idx8p))
     np.testing.assert_allclose(sc8p, ref8, rtol=2e-5, atol=2e-5)
 
+    # --- the public serving engine across the process boundary ----------
+    import tempfile
+    from pathlib import Path
+
+    from evdr_tpu.engine import RetrievalEngine
+
+    eng = RetrievalEngine(mesh=mesh, dtype="float32", impl="xla")
+    eng.build(P, pmask)
+    ev, ei = eng.search_dense(Q, qmask, k=K)
+    np.testing.assert_array_equal(ei, order)
+    np.testing.assert_allclose(ev, np.take_along_axis(ref, order, axis=1),
+                               rtol=2e-5, atol=2e-5)
+
+    eng8 = RetrievalEngine(mesh=mesh, dtype="int8", impl="xla")
+    eng8.build(P, pmask)
+    ev8, _ = eng8.search_dense(Q, qmask, k=K)
+    order8 = np.argsort(-ref8, axis=1, kind="stable")[:, :K]
+    np.testing.assert_allclose(ev8, np.take_along_axis(ref8, order8, axis=1),
+                               rtol=2e-5, atol=2e-5)
+
+    # two-stage pruned search with every doc as a candidate == exact top-k
+    engp = RetrievalEngine(mesh=mesh, dtype="float32", impl="xla",
+                           prune_centroids=2)
+    engp.build(P, pmask)
+    pv, pi = engp.search_dense(Q, qmask, k=K, n_candidates=N)
+    np.testing.assert_array_equal(pi, order)
+    np.testing.assert_allclose(pv, np.take_along_axis(ref, order, axis=1),
+                               rtol=2e-5, atol=2e-5)
+
+    # packed-file load path (per-host mmap-lazy reads of shared storage)
+    from evdr_tpu.data.npz_io import save_packed_npz
+    from evdr_tpu.data.packing import l2_normalize as _l2
+
+    with tempfile.TemporaryDirectory() as td:
+        Pn_norm = np.asarray(_l2(P * pmask[..., None].astype(np.float32)),
+                             dtype=np.float32)
+        save_packed_npz(Path(td) / "idx.npz",
+                        docid=[str(i) for i in range(N)], P_pad=Pn_norm,
+                        pmask=pmask, doc_normalized=np.asarray(True))
+        engf = RetrievalEngine.from_npz(Path(td) / "idx.npz", mmap=True,
+                                        mesh=mesh, dtype="float32",
+                                        impl="xla")
+        fv, fi = engf.search_dense(Q, qmask, k=K)
+        np.testing.assert_array_equal(fi, order)
+
+    # full score matrix fetch (doc-sharded output -> replicated -> host)
+    sc_all = eng.score_all(Q, qmask)
+    np.testing.assert_allclose(sc_all, ref, rtol=2e-5, atol=2e-5)
+
     # --- one sharded TRAIN step across the process boundary -------------
     # identical unsharded reference computed process-locally; the global
     # doc-sharded step must reproduce its loss and its local param rows
