@@ -118,6 +118,87 @@ def _assemble_rows(slicer, shardings, gshapes, n_valid: int):
     return [mk(gs, sh, ps) for gs, sh, ps in zip(gshapes, shardings, pieces)]
 
 
+class MultihostSearchCoordinator:
+    """SPMD search coordination for one-process-per-host serving.
+
+    Every program over a global mesh must be entered by ALL processes with
+    identical input shapes, so an online server cannot dispatch a search
+    from process 0 alone. This coordinator makes process 0 the frontend:
+    each search first broadcasts a fixed-shape int32 header (opcode, batch,
+    Lq, D, k, n_candidates), then the query tensors; follower processes sit
+    in :meth:`follow`, mirror the broadcasts, and enter the identical
+    search program. Query shapes should snap to buckets on the frontend
+    (``tools/serve_http.py`` does) so follower compile caches stay small.
+
+    Duck-types the engine surface ``make_server`` consumes, so it drops in
+    as the server's engine. The frontend must serialize searches (the HTTP
+    handler's dispatch lock does): two interleaved broadcast streams would
+    desynchronize the followers.
+    """
+
+    OP_STOP, OP_SEARCH = 0, 1
+
+    def __init__(self, engine):
+        self.engine = engine
+
+    # --- engine surface (frontend) --------------------------------------
+    @property
+    def n_docs(self):
+        return self.engine.n_docs
+
+    @property
+    def dtype(self):
+        return self.engine.dtype
+
+    @property
+    def impl(self):
+        return self.engine.impl
+
+    @property
+    def summary(self):
+        return self.engine.summary
+
+    @property
+    def index(self):
+        return self.engine.index
+
+    def ids_for(self, idx):
+        return self.engine.ids_for(idx)
+
+    @staticmethod
+    def _bcast(arr):
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.broadcast_one_to_all(arr))
+
+    def search_dense(self, Q, qmask, k: int = 10, n_candidates=None):
+        """Process-0 search: announce, ship queries, run the SPMD program."""
+        Q = np.asarray(Q, dtype=np.float32)
+        qmask = np.asarray(qmask, dtype=bool)
+        self._bcast(np.asarray([self.OP_SEARCH, Q.shape[0], Q.shape[1],
+                                Q.shape[2], int(k), int(n_candidates or 0)],
+                               dtype=np.int32))
+        self._bcast(Q)
+        self._bcast(qmask)
+        return self.engine.search_dense(Q, qmask, k=k,
+                                        n_candidates=n_candidates)
+
+    def follow(self) -> None:
+        """Follower loop (processes > 0): mirror searches until OP_STOP."""
+        while True:
+            hdr = self._bcast(np.zeros(6, dtype=np.int32))
+            op, b, lq, d, k, nc = (int(x) for x in hdr)
+            if op == self.OP_STOP:
+                return
+            Q = self._bcast(np.zeros((b, lq, d), dtype=np.float32))
+            qm = self._bcast(np.zeros((b, lq), dtype=bool))
+            self.engine.search_dense(Q, qm, k=k, n_candidates=nc or None)
+
+    def stop(self) -> None:
+        """Process 0: release the followers (e.g. at server shutdown)."""
+        self._bcast(np.zeros(6, dtype=np.int32))
+
+
 def shard_docs_global(x, mesh: Mesh, n_pad: Optional[int] = None):
     """Dim-0 (doc-axis) sharded GLOBAL array from per-process local rows.
 

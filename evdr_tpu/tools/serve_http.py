@@ -157,14 +157,51 @@ def main(argv=None) -> None:
                    help="comma list of batch buckets to pre-compile; requests "
                         "snap to power-of-two batches, so warmed buckets "
                         "answer without paying a 40s-3min remote compile")
+    p.add_argument("--multihost", action="store_true",
+                   help="one-process-per-host serving over a global mesh "
+                        "(parallel/multihost.py): every process loads its "
+                        "own doc shards; process 0 serves HTTP and "
+                        "broadcasts each search, the rest mirror it")
+    p.add_argument("--coordinator", default=None,
+                   help="multihost: process 0's host:port (TPU pods "
+                        "auto-detect when omitted)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     a = p.parse_args(argv)
+
+    mesh = None
+    if a.multihost:
+        import jax
+
+        from evdr_tpu.parallel.multihost import (global_doc_mesh,
+                                                 init_multihost)
+
+        init_multihost(a.coordinator, a.num_processes, a.process_id)
+        mesh = global_doc_mesh()
+        print(f"[serve] multihost process {jax.process_index()}/"
+              f"{jax.process_count()}: {len(jax.devices())} global devices",
+              flush=True)
 
     from evdr_tpu.engine import RetrievalEngine
 
     print(f"[serve] loading index {a.index}", flush=True)
     eng = RetrievalEngine.from_npz(
-        a.index, dtype=a.dtype, impl=a.impl, chunk_p=a.chunk_p,
-        prune_centroids=a.prune_centroids, quantize_queries=a.quantize_queries)
+        a.index, mesh=mesh, mmap=a.multihost, dtype=a.dtype, impl=a.impl,
+        chunk_p=a.chunk_p, prune_centroids=a.prune_centroids,
+        quantize_queries=a.quantize_queries)
+
+    if a.multihost:
+        import jax
+
+        from evdr_tpu.parallel.multihost import MultihostSearchCoordinator
+
+        coord = MultihostSearchCoordinator(eng)
+        if jax.process_index() != 0:
+            print(f"[serve] follower {jax.process_index()} entering the "
+                  "SPMD mirror loop", flush=True)
+            coord.follow()
+            return
+        eng = coord  # frontend: every search broadcasts before dispatching
     # warm the scoring program per batch bucket so a request at any warmed
     # shape never pays the compile while holding the dispatch lock
     d = int(eng.index.P.shape[-1])

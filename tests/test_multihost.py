@@ -16,6 +16,7 @@ from pathlib import Path
 import pytest
 
 WORKER = Path(__file__).with_name("_multihost_worker.py")
+SERVE_WORKER = Path(__file__).with_name("_multihost_serve_worker.py")
 
 
 def _free_port() -> int:
@@ -24,23 +25,22 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_sharded_serving():
+def _run_workers(script: Path, marker: str, nproc: int = 2,
+                 timeout: int = 300) -> None:
     port = _free_port()
-    nproc = 2
     procs = [
         subprocess.Popen(
-            [sys.executable, str(WORKER), str(i), str(nproc),
+            [sys.executable, str(script), str(i), str(nproc),
              f"localhost:{port}"],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            cwd=str(WORKER.parent.parent),
+            cwd=str(script.parent.parent),
         )
         for i in range(nproc)
     ]
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -48,4 +48,16 @@ def test_two_process_sharded_serving():
         outs.append(out.decode(errors="replace"))
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
-        assert "MULTIHOST_OK" in out, f"worker {i} missing OK marker:\n{out}"
+        assert marker in out, f"worker {i} missing {marker}:\n{out}"
+
+
+@pytest.mark.slow
+def test_two_process_sharded_serving():
+    _run_workers(WORKER, "MULTIHOST_OK")
+
+
+@pytest.mark.slow
+def test_two_process_http_serving():
+    """Process 0 answers real HTTP searches; process 1 mirrors each SPMD
+    dispatch through MultihostSearchCoordinator.follow()."""
+    _run_workers(SERVE_WORKER, "SERVE_OK")
