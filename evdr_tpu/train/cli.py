@@ -91,6 +91,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_docs", type=int, default=defaults.mesh_docs,
                    help="shard the doc axis over an N-device mesh (multi-chip "
                         "training; 0/1 = single device)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host training: process 0's host:port "
+                        "(parallel/multihost.py; TPU pods auto-detect when "
+                        "--num_processes is given without it). Requires "
+                        "--mesh_docs == the GLOBAL device count and shared "
+                        "storage for --out_root")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 
@@ -104,6 +112,12 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
 def main(argv=None) -> None:
     args = build_argparser().parse_args(argv)
     cfg = config_from_args(args)
+    if args.coordinator is not None or args.num_processes is not None:
+        # wire the global runtime BEFORE any backend use (jax.devices() is
+        # immutable once initialized); the harness detects process_count()>1
+        from evdr_tpu.parallel.multihost import init_multihost
+
+        init_multihost(args.coordinator, args.num_processes, args.process_id)
     from evdr_tpu.train.harness import run_training
 
     run_training(cfg)

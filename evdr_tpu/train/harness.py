@@ -757,7 +757,36 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
     # Scaled version of the single-device step, mainv2_iter_liscore.py:283-311.
     mesh = None
     n_docs = int(param.shape[0])
-    if cfg.mesh_docs > 1:
+    # multi-host training: one process per host (parallel/multihost.py wires
+    # the runtime; train/cli.py --coordinator). Index/param shards assemble
+    # from per-process local rows; artifacts are written by process 0 only,
+    # after collective gathers every process participates in.
+    multiproc = jax.process_count() > 1
+    is_main_proc = (not multiproc) or jax.process_index() == 0
+    if cfg.mesh_docs > 1 and multiproc:
+        from evdr_tpu.parallel.multihost import (
+            build_multihost_index, global_doc_mesh, replicate_global,
+            shard_docs_global)
+
+        ndev = len(jax.devices())
+        if cfg.mesh_docs != ndev:
+            raise ValueError(
+                f"multi-host training shards over ALL global devices: pass "
+                f"--mesh_docs {ndev} (got {cfg.mesh_docs})")
+        if cfg.checkpoint_backend == "orbax":
+            raise ValueError("multi-host training supports the npz "
+                             "checkpoint backend only")
+        mesh = global_doc_mesh()
+        teacher_sh = build_multihost_index(
+            np.asarray(bundle.P_teacher_norm),
+            np.asarray(bundle.pmask_teacher), mesh)
+        param = shard_docs_global(np.asarray(param), mesh,
+                                  n_pad=teacher_sh.n_pad)
+        pmask_student = shard_docs_global(np.asarray(pmask_student), mesh,
+                                          n_pad=teacher_sh.n_pad)
+        Q_train_r = replicate_global(np.asarray(bundle.Q_train), mesh)
+        qm_train_r = replicate_global(np.asarray(bundle.qmask_train), mesh)
+    elif cfg.mesh_docs > 1:
         from evdr_tpu.parallel import (build_sharded_index, make_mesh,
                                        replicate, shard_docs)
 
@@ -773,6 +802,17 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
         Q_train_r = replicate(jnp.asarray(bundle.Q_train), mesh)
         qm_train_r = replicate(jnp.asarray(bundle.qmask_train), mesh)
 
+    def _to_replicated(x):
+        """Collective reshard to fully-replicated (multi-host host fetches);
+        every process must call this — only process 0 consumes the copy."""
+        if multiproc and hasattr(x, "sharding") \
+                and not x.sharding.is_fully_replicated:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return jax.jit(lambda a: a, out_shardings=NamedSharding(
+                mesh, PartitionSpec()))(x)
+        return x
+
     def unpad(x):
         """Valid-doc view for export/eval paths (mesh pads the doc axis)."""
         return x[:n_docs] if mesh is not None else x
@@ -781,15 +821,26 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
     opt_state = optimizer.init(param)
 
     out_dir = Path(cfg.out_root) / cfg.name / f"mf{mf}" / dataset
-    out_dir.mkdir(parents=True, exist_ok=True)
-    logger, writer = get_logger(out_dir)
+    if is_main_proc:
+        out_dir.mkdir(parents=True, exist_ok=True)
+        logger, writer = get_logger(out_dir)
 
-    cfg_path = out_dir / "config.json"
-    if not cfg_path.exists():
-        cfg_path.write_text(
-            json.dumps({"dataset": dataset, "mf": mf,
-                        **dataclasses.asdict(cfg)}, ensure_ascii=False, indent=2),
-            encoding="utf-8")
+        cfg_path = out_dir / "config.json"
+        if not cfg_path.exists():
+            cfg_path.write_text(
+                json.dumps({"dataset": dataset, "mf": mf,
+                            **dataclasses.asdict(cfg)}, ensure_ascii=False,
+                           indent=2),
+                encoding="utf-8")
+    else:
+        # follower processes compute everything (SPMD) but write nothing —
+        # out_dir may be shared storage owned by process 0
+        import logging as _logging
+
+        logger = _logging.getLogger(f"evdr_follower_{os.getpid()}")
+        logger.addHandler(_logging.NullHandler())
+        logger.propagate = False
+        writer = None
 
     evaluator = CustomRetrievalEvaluator()
 
@@ -800,8 +851,14 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
         from evdr_tpu.parallel.train_sharded import (
             build_sharded_eval_loss, precompute_teacher_scores_sharded)
 
-        Q_test_r = _replicate(jnp.asarray(bundle.Q_test), mesh)
-        qm_test_r = _replicate(jnp.asarray(bundle.qmask_test), mesh)
+        if multiproc:
+            from evdr_tpu.parallel.multihost import replicate_global
+
+            Q_test_r = replicate_global(np.asarray(bundle.Q_test), mesh)
+            qm_test_r = replicate_global(np.asarray(bundle.qmask_test), mesh)
+        else:
+            Q_test_r = _replicate(jnp.asarray(bundle.Q_test), mesh)
+            qm_test_r = _replicate(jnp.asarray(bundle.qmask_test), mesh)
 
         # teacher-score precompute PER SHARD: each device computes and keeps
         # its doc columns (no host gather, no replicated full table). Teacher
@@ -810,13 +867,16 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
         sct_test_sh = None
         sct_train_sh = None
         if cfg.loss != "infonce_sup":
+            # the replicated query arrays double as the precompute inputs
+            # (multi-host: they are GLOBAL arrays, which the shard_map
+            # program requires; single-host: same values, same devices)
             sct_test_sh = precompute_teacher_scores_sharded(
-                jnp.asarray(bundle.Q_test), jnp.asarray(bundle.qmask_test),
+                Q_test_r, qm_test_r,
                 teacher_sh.P, teacher_sh.pmask, mesh, chunk_q=256,
                 chunk_p=cfg.chunk_p)
             if cfg.precompute_teacher and cfg.aug != "qnoise":
                 sct_train_sh = precompute_teacher_scores_sharded(
-                    jnp.asarray(bundle.Q_train), jnp.asarray(bundle.qmask_train),
+                    Q_train_r, qm_train_r,
                     teacher_sh.P, teacher_sh.pmask, mesh, chunk_q=256,
                     chunk_p=cfg.chunk_p)
 
@@ -833,7 +893,11 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
             Ps = l2_normalize(param * pmask_student[..., None].astype(jnp.float32))
             sidx = ShardedIndex(P=Ps, pmask=pmask_student, n_docs=n_docs,
                                 mesh=mesh)
-            return sharded_maxsim(Q_test_r, qm_test_r, sidx, chunk_p=cfg.chunk_p)
+            # multi-host: metric computation is host-side on every process
+            # (identical inputs -> identical best-tracking decisions), so the
+            # doc-sharded score matrix reshards to replicated first
+            return _to_replicated(
+                sharded_maxsim(Q_test_r, qm_test_r, sidx, chunk_p=cfg.chunk_p))
 
         def _mesh_eval_loss() -> Dict[str, float]:
             """Sharded eval loss: collective loss forms over the doc axis —
@@ -893,6 +957,14 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
     ckpt_path = out_dir / ("ckpt.orbax" if cfg.checkpoint_backend == "orbax"
                            else "ckpt.npz")
     resuming = cfg.resume and ckpt_path.exists()
+    if multiproc and cfg.resume:
+        # the resume decision must be process-uniform (an SPMD fork would
+        # desynchronize the collectives): process 0 decides; checkpoints
+        # live on shared storage, so followers read the same file
+        from jax.experimental import multihost_utils
+
+        resuming = bool(int(np.asarray(multihost_utils.broadcast_one_to_all(
+            np.asarray(int(resuming), dtype=np.int32)))))
     if not resuming:
         # step-0 eval (regression baseline: init metrics must match the
         # pooled index). Skipped on resume — the checkpoint carries the best
@@ -931,6 +1003,17 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
                     # leaves optimizer.init left on a single device (e.g.
                     # the adam step counter) replicate over the mesh
                     sh = NamedSharding(mesh, PartitionSpec())
+                if multiproc:
+                    # device_put cannot target non-addressable devices:
+                    # assemble from per-process local rows instead
+                    from evdr_tpu.parallel.multihost import (
+                        replicate_global, shard_docs_global)
+
+                    spec = getattr(sh, "spec", None)
+                    if spec is not None and len(spec) and spec[0] == "docs":
+                        return shard_docs_global(x.astype(like.dtype), mesh,
+                                                 n_pad=like.shape[0])
+                    return replicate_global(x.astype(like.dtype), mesh)
                 return jax.device_put(jnp.asarray(x, like.dtype), sh)
 
             param_l, opt_l, step0, best_r1, best_nd5 = load_checkpoint(
@@ -1078,41 +1161,59 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
             log_json(logger, rec)
 
         if save_every and step % save_every == 0:
-            # periodic compressed export (mainv1.py:375-395)
-            save_best_npz(out_dir, f"compressed_ep{step}.npz", cfg=cfg,
-                          dataset=dataset, mf=mf, step=step,
-                          best={"step": step}, metrics=last_metrics,
-                          param=unpad(param), pmask_student=unpad(pmask_student),
-                          docid=bundle.docid_teacher,
-                          doc_attn_in=doc_attn_in, doc_img_in=doc_img_in)
+            # periodic compressed export (mainv1.py:375-395); the gathers are
+            # collectives — every process runs them, process 0 writes
+            p_exp = unpad(_to_replicated(param))
+            pm_exp = unpad(_to_replicated(pmask_student))
+            if is_main_proc:
+                save_best_npz(out_dir, f"compressed_ep{step}.npz", cfg=cfg,
+                              dataset=dataset, mf=mf, step=step,
+                              best={"step": step}, metrics=last_metrics,
+                              param=p_exp, pmask_student=pm_exp,
+                              docid=bundle.docid_teacher,
+                              doc_attn_in=doc_attn_in, doc_img_in=doc_img_in)
 
         if (step % eval_every == 0) or (step == max_steps):
             metrics = eval_now(step)
             last_metrics = metrics
             best_r1, upd_r1 = update_best(best_r1, metrics, step, "r1")
             best_nd5, upd_nd5 = update_best(best_nd5, metrics, step, "nd5")
+            if upd_r1 or upd_nd5:
+                # best-tracking decisions are identical on every process
+                # (same score matrices), so the collective gathers below run
+                # everywhere; only process 0 writes the artifacts
+                p_exp = unpad(_to_replicated(param))
+                pm_exp = unpad(_to_replicated(pmask_student))
             if upd_r1:
                 logger.info(
                     f"best recall step| {step} | nDCG@5={best_r1['NDCG@5']:.5f} | "
                     f"Recall@1={best_r1['Recall@1']:.5f} | Latency {metrics['latency']:.5f}")
-                save_best_npz(out_dir, "best_recall.npz", cfg=cfg, dataset=dataset,
-                              mf=mf, step=step, best=best_r1, metrics=metrics,
-                              param=unpad(param), pmask_student=unpad(pmask_student),
-                              docid=bundle.docid_teacher,
-                              doc_attn_in=doc_attn_in, doc_img_in=doc_img_in)
+                if is_main_proc:
+                    save_best_npz(out_dir, "best_recall.npz", cfg=cfg, dataset=dataset,
+                                  mf=mf, step=step, best=best_r1, metrics=metrics,
+                                  param=p_exp, pmask_student=pm_exp,
+                                  docid=bundle.docid_teacher,
+                                  doc_attn_in=doc_attn_in, doc_img_in=doc_img_in)
             if upd_nd5:
                 logger.info(
                     f"best nDCG@5 step| {step} | nDCG@5={best_nd5['NDCG@5']:.5f} | "
                     f"Recall@1={best_nd5['Recall@1']:.5f} | Latency {metrics['latency']:.5f}")
-                save_best_npz(out_dir, "best_ndcg5.npz", cfg=cfg, dataset=dataset,
-                              mf=mf, step=step, best=best_nd5, metrics=metrics,
-                              param=unpad(param), pmask_student=unpad(pmask_student),
-                              docid=bundle.docid_teacher,
-                              doc_attn_in=doc_attn_in, doc_img_in=doc_img_in)
+                if is_main_proc:
+                    save_best_npz(out_dir, "best_ndcg5.npz", cfg=cfg, dataset=dataset,
+                                  mf=mf, step=step, best=best_nd5, metrics=metrics,
+                                  param=p_exp, pmask_student=pm_exp,
+                                  docid=bundle.docid_teacher,
+                                  doc_attn_in=doc_attn_in, doc_img_in=doc_img_in)
 
         if checkpoint_every and step % checkpoint_every == 0:
-            save_checkpoint(ckpt_path, param, opt_state, step, best_r1,
-                            best_nd5, backend=cfg.checkpoint_backend)
+            if multiproc:
+                p_ck = _to_replicated(param)
+                opt_ck = jax.tree_util.tree_map(_to_replicated, opt_state)
+            else:
+                p_ck, opt_ck = param, opt_state
+            if is_main_proc:
+                save_checkpoint(ckpt_path, p_ck, opt_ck, step, best_r1,
+                                best_nd5, backend=cfg.checkpoint_backend)
 
     summary = {
         "summary/latency": float(last_metrics.get("latency", 0.0)),

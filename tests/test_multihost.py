@@ -61,3 +61,12 @@ def test_two_process_http_serving():
     """Process 0 answers real HTTP searches; process 1 mirrors each SPMD
     dispatch through MultihostSearchCoordinator.follow()."""
     _run_workers(SERVE_WORKER, "SERVE_OK")
+
+
+@pytest.mark.slow
+def test_two_process_cli_training():
+    """The real training CLI as a 2-process multi-host run (mesh_docs=4 over
+    a global 4-device mesh) must reproduce the unsharded run's losses and
+    metrics step for step; artifacts written by process 0 only."""
+    _run_workers(Path(__file__).with_name("_multihost_train_worker.py"),
+                 "TRAIN_OK", timeout=600)
