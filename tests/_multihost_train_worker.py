@@ -38,10 +38,16 @@ def main() -> None:
     tmp = pathlib.Path(tempfile.mkdtemp(prefix=f"mh_train_{pid}_"))
     root = tmp / "data"
     root.mkdir()
-    # identical fixture on every process (what shared storage would hold)
+    # identical fixture on every process (each host's copy of the features)
     write_dataset_fixture(root, key="synth", n_docs=21, n_test_queries=8,
                           n_train_queries=32, dim=32, mfs=(5,), seed=0,
                           init_noise=2.0)
+    # out_root is SHARED across processes (the documented multi-host
+    # contract: process 0 owns the writes, --resume reads the same files) —
+    # keyed by the coordinator port so concurrent test runs cannot collide
+    out = (pathlib.Path(tempfile.gettempdir())
+           / f"mh_train_shared_{coord_addr.rsplit(':', 1)[-1]}" / "out")
+    out.mkdir(parents=True, exist_ok=True)
 
     common = [
         "--datasets", "synth", "--loss", "liscore", "--mfs", "5",
@@ -49,7 +55,7 @@ def main() -> None:
         "--q_batch", "8", "--k", "6", "--temp", "0.1", "--chunk_p", "8",
         "--query_root", str(root), "--teacher_root", str(root),
         "--init_root", str(root / "S3E_init"),
-        "--out_root", str(tmp / "out"),
+        "--out_root", str(out),
     ]
 
     # 1) multi-host run through the real CLI (it wires jax.distributed)
@@ -59,18 +65,25 @@ def main() -> None:
                        "--num_processes", str(nproc),
                        "--process_id", str(pid)])
 
-    # 2) unsharded reference, same config, run in-process (local arrays
+    # 2) multi-host RESUME from the step-20 checkpoint: exercises the
+    #    process-uniform resume broadcast and the per-host re-placement of
+    #    checkpoint leaves (device_put cannot target remote devices)
+    resumed = run_training(config_from_args(build_argparser().parse_args(
+        common + ["--name", "mh", "--mesh_docs", "4",
+                  "--checkpoint_every", "10", "--resume",
+                  "--max_steps", "30"])))["synth/mf5"]
+    assert np.isfinite(resumed["summary/best_ndcg5"]["NDCG@5"]), resumed
+
+    # 3) unsharded reference, same config, run in-process (local arrays
     #    only — no collectives, so the processes need not stay in step)
     args = build_argparser().parse_args(common + ["--name", "local"])
     local = run_training(config_from_args(args))["synth/mf5"]
+    assert np.isfinite(local["summary/best_ndcg5"]["NDCG@5"])
 
     if pid != 0:
-        # followers write nothing; their computed summary must still match
-        lb, mb = local["summary/best_ndcg5"], None
         print("TRAIN_OK follower", flush=True)
         return
 
-    out = tmp / "out"
     ckpt = out / "mh" / "mf5" / "synth" / "ckpt.npz"
     assert ckpt.exists(), "multi-host checkpoint not written by process 0"
 
@@ -79,10 +92,17 @@ def main() -> None:
         recs = [json.loads(m.group(0)) for m in re.finditer(r"\{.*\}", log)]
         return {r["step"]: r[key] for r in recs if key in r and "step" in r}
 
+    # the resume leg actually continued training past the checkpoint
+    mh_train = series("mh", "train/total loss")
+    assert {25, 30} <= set(mh_train), sorted(mh_train)
+
     for key in ("train/total loss", "eval/eval loss", "eval/NDCG@5",
                 "eval/Recall@1"):
         a, b = series("local", key), series("mh", key)
-        assert a and set(a) == set(b), (key, sorted(a), sorted(b))
+        # the mh log additionally carries the resume continuation
+        # (steps > 20 and a re-eval of the restored step-20 state, which
+        # must equal the original step-20 record it overwrites here)
+        assert a and set(a) <= set(b), (key, sorted(a), sorted(b))
         for step in a:
             np.testing.assert_allclose(b[step], a[step], rtol=2e-4,
                                        atol=2e-5,
