@@ -65,14 +65,13 @@ class RetrievalEngine:
 
     def _fetch(self, x) -> np.ndarray:
         """Global array -> host numpy. Search/score outputs on a single-host
-        mesh are already fully addressable; across processes they must be
-        resharded to fully-replicated before the host copy."""
-        if self._multiproc and not x.sharding.is_fully_replicated:
-            import jax
-            from jax.sharding import NamedSharding, PartitionSpec
+        mesh are already fully addressable; across processes they gather
+        with bounded per-device memory (multihost.gather_to_host — a
+        cached-program chunked reshard, not a per-call jit)."""
+        if self._multiproc:
+            from evdr_tpu.parallel.multihost import gather_to_host
 
-            x = jax.jit(lambda a: a, out_shardings=NamedSharding(
-                self.mesh, PartitionSpec()))(x)
+            return gather_to_host(x, self.mesh)
         return np.asarray(x)
 
     def _build_index(self, P, pmask, docids=None, dtype=None, scales=None,

@@ -31,6 +31,8 @@ top-k / int8 paths reproduce the process-local oracle.
 
 from __future__ import annotations
 
+import functools
+import sys
 from typing import Optional
 
 import jax
@@ -39,6 +41,43 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from evdr_tpu.parallel.mesh import DOC_AXIS, DP_AXIS
 from evdr_tpu.parallel.sharded_index import ShardedIndex
+
+
+@functools.lru_cache(maxsize=32)
+def _reshard_prog(sharding: NamedSharding):
+    """ONE jitted reshard program per target sharding (a fresh jit lambda
+    per call would retrace AND recompile every invocation — 40s-3min each
+    over a remote-TPU tunnel, paid while serving holds its dispatch lock)."""
+    return jax.jit(lambda a: a, out_shardings=sharding)
+
+
+def to_replicated(x, mesh: Mesh):
+    """Reshard a global array to fully-replicated (a collective — every
+    process must call it; typically only process 0 consumes the copy)."""
+    if hasattr(x, "sharding") and not x.sharding.is_fully_replicated:
+        return _reshard_prog(NamedSharding(mesh, P()))(x)
+    return x
+
+
+def gather_to_host(x, mesh: Mesh, chunk_bytes: int = 1 << 28) -> np.ndarray:
+    """Host numpy copy of a global array with BOUNDED device memory.
+
+    ``to_replicated`` of a whole doc-sharded array puts the full array on
+    every device — impossible at exactly the beyond-one-host scale this
+    layer exists for. Instead, reshard and fetch dim-0 row chunks (device
+    working set = one ~``chunk_bytes`` chunk per device) and concatenate on
+    the host. A collective: every process must run it with the same args.
+    """
+    if not hasattr(x, "sharding"):
+        return np.asarray(x)
+    if x.sharding.is_fully_replicated or x.ndim == 0:
+        return np.asarray(x)
+    row_bytes = max(1, int(np.prod(x.shape[1:])) * x.dtype.itemsize)
+    rows = max(1, min(int(x.shape[0]), chunk_bytes // row_bytes))
+    parts = []
+    for lo in range(0, int(x.shape[0]), rows):
+        parts.append(np.asarray(to_replicated(x[lo:lo + rows], mesh)))
+    return np.concatenate(parts, axis=0)
 
 
 def init_multihost(coordinator_address: Optional[str] = None,
@@ -172,7 +211,16 @@ class MultihostSearchCoordinator:
         return np.asarray(multihost_utils.broadcast_one_to_all(arr))
 
     def search_dense(self, Q, qmask, k: int = 10, n_candidates=None):
-        """Process-0 search: announce, ship queries, run the SPMD program."""
+        """Process-0 search: announce, ship queries, run the SPMD program.
+
+        Validation happens BEFORE the broadcasts: once the header is out,
+        every follower enters the same search, so an error the frontend
+        would catch per-request must not be one the followers die on.
+        """
+        if n_candidates and self.engine.summary is None:
+            raise ValueError(
+                "n_candidates requires a pruning summary index (construct "
+                "the engine with prune_centroids>0)")
         Q = np.asarray(Q, dtype=np.float32)
         qmask = np.asarray(qmask, dtype=bool)
         self._bcast(np.asarray([self.OP_SEARCH, Q.shape[0], Q.shape[1],
@@ -184,7 +232,15 @@ class MultihostSearchCoordinator:
                                         n_candidates=n_candidates)
 
     def follow(self) -> None:
-        """Follower loop (processes > 0): mirror searches until OP_STOP."""
+        """Follower loop (processes > 0): mirror searches until OP_STOP.
+
+        A per-request failure is logged and the loop continues — the
+        frontend's HTTP handler catches the same exception and answers the
+        client; a follower that died on it would leave the next broadcast
+        blocking forever on a missing peer (the whole deployment bricked by
+        one bad request). Desync is not a risk: both sides run the same
+        program on the same inputs, so they fail (or not) together.
+        """
         while True:
             hdr = self._bcast(np.zeros(6, dtype=np.int32))
             op, b, lq, d, k, nc = (int(x) for x in hdr)
@@ -192,7 +248,12 @@ class MultihostSearchCoordinator:
                 return
             Q = self._bcast(np.zeros((b, lq, d), dtype=np.float32))
             qm = self._bcast(np.zeros((b, lq), dtype=bool))
-            self.engine.search_dense(Q, qm, k=k, n_candidates=nc or None)
+            try:
+                self.engine.search_dense(Q, qm, k=k, n_candidates=nc or None)
+            except Exception as e:  # mirror of the HTTP handler's catch-all
+                print(f"[multihost follower] search failed (frontend "
+                      f"answers the client): {type(e).__name__}: {e}",
+                      file=sys.stderr, flush=True)
 
     def stop(self) -> None:
         """Process 0: release the followers (e.g. at server shutdown)."""

@@ -190,6 +190,7 @@ def main(argv=None) -> None:
         chunk_p=a.chunk_p, prune_centroids=a.prune_centroids,
         quantize_queries=a.quantize_queries)
 
+    coord = None
     if a.multihost:
         import jax
 
@@ -218,7 +219,14 @@ def main(argv=None) -> None:
                       length_multiple=a.length_multiple)
     print(f"[serve] {eng.n_docs} docs ready on http://{a.host}:{a.port}",
           flush=True)
-    srv.serve_forever()
+    try:
+        srv.serve_forever()
+    finally:
+        if coord is not None:
+            # release the follower processes from their broadcast wait —
+            # without OP_STOP a frontend exit (Ctrl-C, systemd stop) leaves
+            # every pod host blocked in the collective forever
+            coord.stop()
 
 
 if __name__ == "__main__":

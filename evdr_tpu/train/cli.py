@@ -113,6 +113,14 @@ def main(argv=None) -> None:
     args = build_argparser().parse_args(argv)
     cfg = config_from_args(args)
     if args.coordinator is not None or args.num_processes is not None:
+        if cfg.mesh_docs <= 1:
+            # without this, N processes would each silently run a FULL
+            # duplicate unsharded training (followers discarding all writes)
+            # while the user believes they launched one multi-host run
+            raise SystemExit(
+                "--coordinator/--num_processes requires --mesh_docs set to "
+                "the GLOBAL device count (multi-host training shards the "
+                "doc axis over every device)")
         # wire the global runtime BEFORE any backend use (jax.devices() is
         # immutable once initialized); the harness detects process_count()>1
         from evdr_tpu.parallel.multihost import init_multihost

@@ -803,14 +803,14 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
         qm_train_r = replicate(jnp.asarray(bundle.qmask_train), mesh)
 
     def _to_replicated(x):
-        """Collective reshard to fully-replicated (multi-host host fetches);
-        every process must call this — only process 0 consumes the copy."""
-        if multiproc and hasattr(x, "sharding") \
-                and not x.sharding.is_fully_replicated:
-            from jax.sharding import NamedSharding, PartitionSpec
+        """Multi-host host gather (collective: every process calls it, only
+        process 0 consumes the copy). Chunked reshard with bounded device
+        memory — full-array replication would OOM at exactly the
+        beyond-one-host index scale the mesh exists for."""
+        if multiproc:
+            from evdr_tpu.parallel.multihost import gather_to_host
 
-            return jax.jit(lambda a: a, out_shardings=NamedSharding(
-                mesh, PartitionSpec()))(x)
+            return gather_to_host(x, mesh)
         return x
 
     def unpad(x):

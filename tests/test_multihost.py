@@ -27,25 +27,37 @@ def _free_port() -> int:
 
 def _run_workers(script: Path, marker: str, nproc: int = 2,
                  timeout: int = 300) -> None:
+    import tempfile
+
     port = _free_port()
+    # per-worker output FILES, not pipes: a worker blocked writing to a full
+    # pipe while its peer spins in a collective turns a real failure into a
+    # diagnostic-free timeout (pipes only drain sequentially below)
+    logs = [tempfile.NamedTemporaryFile("w+", suffix=f"_w{i}.log",
+                                        delete=False) for i in range(nproc)]
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(i), str(nproc),
              f"localhost:{port}"],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            stdout=logs[i], stderr=subprocess.STDOUT,
             cwd=str(script.parent.parent),
         )
         for i in range(nproc)
     ]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=timeout)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(out.decode(errors="replace"))
+    try:
+        for p in procs:
+            p.wait(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        for q in procs:
+            q.kill()
+        raise
+    finally:
+        outs = []
+        for f in logs:
+            f.flush()
+            outs.append(Path(f.name).read_text(errors="replace"))
+            f.close()
+            Path(f.name).unlink(missing_ok=True)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert marker in out, f"worker {i} missing {marker}:\n{out}"
