@@ -97,6 +97,17 @@ def main() -> None:
     sc8p = np.asarray(sharded_maxsim(Qg, qmg, idx8p))
     np.testing.assert_allclose(sc8p, ref8, rtol=2e-5, atol=2e-5)
 
+    # bounded-memory host gather on a genuinely doc-SHARDED array (idx.P),
+    # forcing multiple row chunks with an uneven remainder (40 rows in
+    # chunks of 16 -> 16+16+8); must equal the zero-padded host corpus
+    from evdr_tpu.parallel.multihost import gather_to_host
+
+    assert not idx.P.sharding.is_fully_replicated
+    row_b = int(np.prod(idx.P.shape[1:])) * idx.P.dtype.itemsize
+    P_pad = np.pad(P, ((0, idx.n_pad - N), (0, 0), (0, 0)))
+    np.testing.assert_array_equal(
+        gather_to_host(idx.P, mesh, chunk_bytes=16 * row_b), P_pad)
+
     # --- the public serving engine across the process boundary ----------
     import tempfile
     from pathlib import Path
