@@ -26,7 +26,8 @@ from evdr_tpu.parallel.topk import sharded_maxsim, sharded_topk
 class RetrievalEngine:
     def __init__(self, mesh=None, dtype: str = "bfloat16", chunk_p: int = 512,
                  impl: str = "auto", normalize: bool = True,
-                 prune_centroids: int = 0, quantize_queries: bool = False):
+                 prune_centroids: int = 0, quantize_queries: bool = False,
+                 pq_m: int = 16):
         """``prune_centroids > 0`` additionally builds a per-page centroid
         summary index enabling two-stage pruned search (PLAID-style):
         ``search_dense(..., n_candidates=C)`` scores the cheap summary index
@@ -35,12 +36,21 @@ class RetrievalEngine:
         ``dtype='int8'`` stores the index quantized (ops/quantize.py, half the
         HBM of bf16); adding ``quantize_queries=True`` also quantizes queries
         on device so scoring runs int8 x int8 on the MXU (~1.3x bf16 kernel
-        throughput, measured 1.000 top-1 agreement vs fp32)."""
+        throughput, measured 1.000 top-1 agreement vs fp32).
+
+        ``dtype='pq'`` product-quantizes the index (ops/pq.py): ``pq_m``
+        bytes per token — 8x smaller than int8 at D=128, M=16 — scored via
+        per-query lookup tables (asymmetric distance; lossy). Exact search
+        only; combining with ``prune_centroids`` is not supported yet."""
         self.mesh = mesh or make_mesh()
         self.dtype = dtype
         self.chunk_p = chunk_p
         self.normalize = normalize
         self.prune_centroids = prune_centroids
+        self.pq_m = pq_m
+        if dtype == "pq" and prune_centroids:
+            raise ValueError("dtype='pq' does not support prune_centroids "
+                             "yet (the exact rerank needs float tokens)")
         import jax
 
         if impl == "auto":
@@ -105,15 +115,23 @@ class RetrievalEngine:
         """
         normalize = self.normalize if normalize is None else normalize
         if streaming and not (normalize is False
-                              and self.prune_centroids == 0):
-            raise ValueError("streaming build needs normalize=False and "
-                             "prune_centroids=0 (both touch the full array)")
+                              and self.prune_centroids == 0
+                              and self.dtype != "pq"):
+            raise ValueError("streaming build needs normalize=False, "
+                             "prune_centroids=0 and a non-pq dtype (each "
+                             "touches the full array)")
         if not streaming:
             P = np.asarray(P, dtype=np.float32)
             pmask = np.asarray(pmask, dtype=bool)
         if normalize:
             P = np.asarray(l2_normalize(P * pmask[..., None].astype(np.float32)),
                            dtype=np.float32)
+        if self.dtype == "pq":
+            from evdr_tpu.ops.pq import encode_pq, train_pq
+
+            books = train_pq(P, pmask, m=self.pq_m)
+            return self.build_from_pq(encode_pq(P, books, pmask), books,
+                                      pmask, docids=docids)
         self.index = self._build_index(P, pmask, docids=docids,
                                        dtype=self.dtype, streaming=streaming)
         if self.prune_centroids > 0:
@@ -136,6 +154,20 @@ class RetrievalEngine:
         self.index = self._build_index(codes, pmask, docids=docids,
                                        dtype="int8", scales=scales,
                                        streaming=streaming)
+        return self
+
+    def build_from_pq(self, codes, books, pmask,
+                      docids: Optional[Sequence[str]] = None
+                      ) -> "RetrievalEngine":
+        """Index pre-trained PQ codes + codebooks directly (ops/pq.py;
+        packed files written with --dtype pq). Codes shard over the doc
+        axis like any index; the small codebooks replicate."""
+        if self.dtype != "pq":
+            raise ValueError("build_from_pq requires dtype='pq'")
+        self.index = self._build_index(np.asarray(codes, np.uint8),
+                                       pmask, docids=docids)
+        self.index.books = self._replicate(
+            jnp.asarray(np.asarray(books, np.float32)))
         return self
 
     def build_from_ragged(self, documents_obj, doc_attnmask=None, doc_imgmask=None,
@@ -162,6 +194,18 @@ class RetrievalEngine:
             payload = load_packed_payload(npz_path, mmap_docs=mmap)
             normalized = bool(payload.get("doc_normalized", False))
             docids = payload.get("docid")
+            if "P_pq_codes" in payload:
+                if eng.dtype == "pq":
+                    return eng.build_from_pq(
+                        payload["P_pq_codes"], payload["P_pq_books"],
+                        payload["pmask"], docids=docids)
+                if "P_pad" not in payload:
+                    # PQ file + float/int8 engine under mmap (the eager
+                    # loader already reconstructed P_pad): decode here
+                    from evdr_tpu.ops.pq import decode_pq
+
+                    payload["P_pad"] = decode_pq(payload["P_pq_codes"],
+                                                 payload["P_pq_books"])
             if (eng.dtype == "int8" and "P_codes" in payload and normalized
                     and eng.prune_centroids == 0):
                 return eng.build_from_codes(

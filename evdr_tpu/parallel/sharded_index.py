@@ -27,6 +27,9 @@ class ShardedIndex:
     # int8-quantized indexes: per-token f32 scales (N_pad, Lp), sharded on
     # dim 0; None for float indexes (see ops/quantize.py)
     scales: Optional[jnp.ndarray] = None
+    # product-quantized indexes: replicated (M, K, D/M) f32 codebooks and
+    # P holds (N_pad, Lp, M) uint8 codes (see ops/pq.py)
+    books: Optional[jnp.ndarray] = None
 
     @property
     def n_pad(self) -> int:

@@ -23,7 +23,13 @@ from evdr_tpu.parallel.sharded_index import ShardedIndex
 
 
 def _local_scores(Q, qmask, P_loc, pm_loc, chunk_p: int, impl: str,
-                  scales=None):
+                  scales=None, books=None):
+    if books is not None:
+        # product-quantized index: P_loc holds (N_loc, Lp, M) uint8 codes,
+        # books the replicated (M, K, D/M) codebooks (ops/pq.py)
+        from evdr_tpu.ops.pq import maxsim_pq_xla
+
+        return maxsim_pq_xla(Q, P_loc, qmask, pm_loc, books, chunk_p=chunk_p)
     if scales is not None:
         # int8-quantized index (ops/quantize.py)
         if impl == "pallas_q8":
@@ -82,10 +88,12 @@ def chunked_topk(scores, k: int, chunk: int = 4096):
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_p", "impl"))
-def _single_device_scores(Q, qmask, P_loc, pm_loc, chunk_p, impl, scales=None):
-    # scales=None is an empty pytree: the float and int8-quantized paths
+def _single_device_scores(Q, qmask, P_loc, pm_loc, chunk_p, impl, scales=None,
+                          books=None):
+    # scales/books=None are empty pytrees: the float, int8 and PQ paths
     # share this one jitted entry point
-    return _local_scores(Q, qmask, P_loc, pm_loc, chunk_p, impl, scales)
+    return _local_scores(Q, qmask, P_loc, pm_loc, chunk_p, impl, scales,
+                         books)
 
 
 def _select_topk(sc, k: int, approx: bool):
@@ -100,8 +108,8 @@ def _select_topk(sc, k: int, approx: bool):
 @functools.partial(jax.jit, static_argnames=("k", "chunk_p", "impl", "approx",
                                               "n_docs"))
 def _single_device_topk(Q, qmask, P_loc, pm_loc, k, chunk_p, impl,
-                        approx=False, scales=None, n_docs=None):
-    sc = _local_scores(Q, qmask, P_loc, pm_loc, chunk_p, impl, scales)
+                        approx=False, scales=None, n_docs=None, books=None):
+    sc = _local_scores(Q, qmask, P_loc, pm_loc, chunk_p, impl, scales, books)
     # exclude only PADDING columns (global index >= n_docs). A REAL doc with
     # zero valid tokens scores exactly 0 under MaxSim semantics and must stay
     # rankable — the old any(pmask) proxy pushed it to -inf, disagreeing with
@@ -114,7 +122,8 @@ def _single_device_topk(Q, qmask, P_loc, pm_loc, k, chunk_p, impl,
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_scores_prog(mesh: Mesh, chunk_p: int, impl: str, quant: bool):
+def _sharded_scores_prog(mesh: Mesh, chunk_p: int, impl: str, quant: bool,
+                         pq: bool = False):
     """Build ONE jitted shard_map scoring program per (mesh, config).
 
     Rebuilding the shard_map closure per call re-traced AND re-compiled on
@@ -124,17 +133,22 @@ def _sharded_scores_prog(mesh: Mesh, chunk_p: int, impl: str, quant: bool):
     single-device path does."""
     qs = _q_spec(mesh)
     row_axis = DP_AXIS if DP_AXIS in mesh.axis_names else None
+    specs = [qs, qs, P(DOC_AXIS), P(DOC_AXIS)]
+    if quant:
+        specs.append(P(DOC_AXIS))   # int8 per-token scales shard with docs
+    if pq:
+        specs.append(P())           # PQ codebooks replicate
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=((qs, qs, P(DOC_AXIS), P(DOC_AXIS), P(DOC_AXIS)) if quant
-                  else (qs, qs, P(DOC_AXIS), P(DOC_AXIS))),
+        in_specs=tuple(specs),
         out_specs=P(row_axis, DOC_AXIS),
     )
-    def score(Qr, qmr, P_loc, pm_loc, *sc_loc):
+    def score(Qr, qmr, P_loc, pm_loc, *ex):
         return _local_scores(Qr, qmr, P_loc, pm_loc, chunk_p, impl,
-                             sc_loc[0] if sc_loc else None)
+                             ex[0] if quant else None,
+                             ex[-1] if pq else None)
 
     return jax.jit(score)
 
@@ -147,12 +161,14 @@ def sharded_maxsim(Q, qmask, index: ShardedIndex, chunk_p: int = 128,
         # shard_map measured ~200x slower than plain jit on the remote-TPU
         # backend; a 1-device mesh needs no collectives anyway
         sc = _single_device_scores(Q, qmask, index.P, index.pmask,
-                                   chunk_p, impl, index.scales)
+                                   chunk_p, impl, index.scales,
+                                   getattr(index, "books", None))
         return sc[:, : index.n_docs]
     quant = index.scales is not None
-    score = _sharded_scores_prog(mesh, chunk_p, impl, quant)
+    pq = getattr(index, "books", None) is not None
+    score = _sharded_scores_prog(mesh, chunk_p, impl, quant, pq)
     args = (Q, qmask, index.P, index.pmask) + (
-        (index.scales,) if quant else ())
+        (index.scales,) if quant else ()) + ((index.books,) if pq else ())
     scores = score(*args)
     return scores[:, : index.n_docs]
 
@@ -173,25 +189,31 @@ def sharded_topk(Q, qmask, index: ShardedIndex, k: int, chunk_p: int = 128,
         return _single_device_topk(Q, qmask, index.P, index.pmask,
                                    min(k, index.n_pad), chunk_p, impl,
                                    approx, index.scales,
-                                   n_docs=index.n_docs)
+                                   n_docs=index.n_docs,
+                                   books=getattr(index, "books", None))
     import os
 
-    if os.environ.get("EVDR_TOPK_IMPL") == "gspmd" and index.scales is None:
+    if (os.environ.get("EVDR_TOPK_IMPL") == "gspmd"
+            and index.scales is None
+            and getattr(index, "books", None) is None):
         # GSPMD-partitioned alternative (no shard_map dispatch overhead on
         # backends where that matters; see parallel/gspmd.py + RESULTS.md)
         from evdr_tpu.parallel.gspmd import gspmd_topk
 
         return gspmd_topk(Q, qmask, index, k, approx=approx)
     quant = index.scales is not None
+    pq = getattr(index, "books", None) is not None
     prog = _sharded_topk_prog(mesh, k, index.n_pad, index.n_docs, chunk_p,
-                              impl, approx, quant)
-    args = (Q, qmask, index.P, index.pmask) + ((index.scales,) if quant else ())
+                              impl, approx, quant, pq)
+    args = (Q, qmask, index.P, index.pmask) + (
+        (index.scales,) if quant else ()) + ((index.books,) if pq else ())
     return prog(*args)
 
 
 @functools.lru_cache(maxsize=64)
 def _sharded_topk_prog(mesh: Mesh, k: int, n_pad: int, n_docs: int,
-                       chunk_p: int, impl: str, approx: bool, quant: bool):
+                       chunk_p: int, impl: str, approx: bool, quant: bool,
+                       pq: bool = False):
     """One jitted shard_map top-k program per (mesh, corpus, k, config) —
     see _sharded_scores_prog for why the per-call closure was a per-call
     recompile."""
@@ -200,20 +222,26 @@ def _sharded_topk_prog(mesh: Mesh, k: int, n_pad: int, n_docs: int,
     k_local = min(k, shard_size)
     qs = _q_spec(mesh)
 
+    specs = [qs, qs, P(DOC_AXIS), P(DOC_AXIS)]
+    if quant:
+        specs.append(P(DOC_AXIS))   # int8 per-token scales shard with docs
+    if pq:
+        specs.append(P())           # PQ codebooks replicate
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=((qs, qs, P(DOC_AXIS), P(DOC_AXIS), P(DOC_AXIS)) if quant
-                  else (qs, qs, P(DOC_AXIS), P(DOC_AXIS))),
+        in_specs=tuple(specs),
         out_specs=(qs, qs),
         # outputs ARE replicated across the doc axis (identical merge on
         # every doc shard) but the varying-manual-axes checker can't infer
         # that through all_gather
         check_vma=False,
     )
-    def topk_local_merge(Qr, qmr, P_loc, pm_loc, *sc_loc):
+    def topk_local_merge(Qr, qmr, P_loc, pm_loc, *ex):
         sc = _local_scores(Qr, qmr, P_loc, pm_loc, chunk_p, impl,
-                           sc_loc[0] if sc_loc else None)  # (Qn, shard)
+                           ex[0] if quant else None,
+                           ex[-1] if pq else None)  # (Qn, shard)
         my = jax.lax.axis_index(DOC_AXIS)
         # exclude only PADDING columns (global index >= n_docs): real docs
         # with zero valid tokens keep their exact 0 score (MaxSim semantics,

@@ -13,7 +13,9 @@ Python objects. ``load_dataset_bundle`` consumes either transparently.
 Storage dtypes (docs side only; queries stay float32 — they are tiny and
 pre-normalized): ``bfloat16`` halves disk/RAM/IO for GB-scale corpora;
 ``int8`` stores per-token symmetric codes + f32 scales (ops/quantize.py),
-~4x smaller than f32 with measured 0.000 nDCG@5 delta (RESULTS.md).
+~4x smaller than f32 with measured 0.000 nDCG@5 delta (RESULTS.md);
+``pq`` product-quantizes to --pq_m bytes/token (ops/pq.py — 8x smaller
+than int8 at D=128/M=16; lossy, stores ``P_pq_codes`` + ``P_pq_books``).
 """
 
 from __future__ import annotations
@@ -26,12 +28,13 @@ import numpy as np
 from evdr_tpu.data.npz_io import load_payload
 from evdr_tpu.data.packing import preprocess_docs, preprocess_queries
 
-PACKED_DTYPES = ("float32", "bfloat16", "int8")
+PACKED_DTYPES = ("float32", "bfloat16", "int8", "pq")
 
 
 def convert_payload_to_packed(payload: dict, length_multiple: int = 1,
                               dtype: str = "float32",
-                              normalize: bool = False) -> dict:
+                              normalize: bool = False,
+                              pq_m: int = 16) -> dict:
     """``normalize=True`` stores doc tokens masked + L2-normalized (the form
     every consumer ends up computing anyway — harness and engine re-normalize
     idempotently) and marks the file, which lets int8 serving consume
@@ -55,6 +58,12 @@ def convert_payload_to_packed(payload: dict, length_multiple: int = 1,
             from evdr_tpu.ops.quantize import quantize_tokens_int8
 
             out["P_codes"], out["P_scale"] = quantize_tokens_int8(P, pmask)
+        elif dtype == "pq":
+            from evdr_tpu.ops.pq import encode_pq, train_pq
+
+            books = train_pq(P, pmask, m=pq_m)
+            out["P_pq_codes"] = encode_pq(P, books, pmask)
+            out["P_pq_books"] = books
         elif dtype == "bfloat16":
             import ml_dtypes
 
@@ -127,7 +136,8 @@ def load_packed_payload(npz_path, mmap_docs: bool = False) -> dict:
     stay mapped end-to-end, consume ``P_codes`` directly (RetrievalEngine
     does for dtype='int8').
     """
-    mmap_keys = {"P_pad", "P_codes", "P_scale", "pmask"} if mmap_docs else set()
+    mmap_keys = ({"P_pad", "P_codes", "P_scale", "pmask", "P_pq_codes"}
+                 if mmap_docs else set())
     out = {}
     # with-block: NpzFile holds an open fd until closed — long-lived
     # processes that load many files (eval_run, serving) must not leak one
@@ -154,6 +164,13 @@ def load_packed_payload(npz_path, mmap_docs: bool = False) -> dict:
         from evdr_tpu.ops.quantize import dequantize_int8
 
         out["P_pad"] = dequantize_int8(out["P_codes"], out["P_scale"])
+    if "P_pq_codes" in out and "P_pad" not in out and not mmap_docs:
+        # same contract for PQ files: eager loads reconstruct floats for
+        # consumers that need them; raw codes/books ride along for engines
+        # that score codes directly (RetrievalEngine dtype='pq')
+        from evdr_tpu.ops.pq import decode_pq
+
+        out["P_pad"] = decode_pq(out["P_pq_codes"], out["P_pq_books"])
     for key in ("relevant_docs", "docidx_2_docid"):
         jk = f"{key}_json"
         if jk in decoded_json:
@@ -164,7 +181,8 @@ def load_packed_payload(npz_path, mmap_docs: bool = False) -> dict:
 def is_packed(npz_path) -> bool:
     with np.load(str(npz_path), allow_pickle=True) as z:
         return ("P_pad" in z.files or "Q_norm" in z.files
-                or "P_codes" in z.files or "P_pad_bf16" in z.files)
+                or "P_codes" in z.files or "P_pad_bf16" in z.files
+                or "P_pq_codes" in z.files)
 
 
 def main(argv=None) -> None:
@@ -179,10 +197,12 @@ def main(argv=None) -> None:
     p.add_argument("--normalize", action="store_true",
                    help="store doc tokens masked + L2-normalized (enables "
                         "direct int8-code serving without requantization)")
+    p.add_argument("--pq_m", type=int, default=16,
+                   help="PQ subspaces = bytes/token (--dtype pq)")
     a = p.parse_args(argv)
     payload = load_payload(a.in_npz)
     packed = convert_payload_to_packed(payload, a.length_multiple, a.dtype,
-                                       normalize=a.normalize)
+                                       normalize=a.normalize, pq_m=a.pq_m)
     np.savez(a.out_npz, **packed)
     shapes = {k: getattr(v, "shape", None) for k, v in packed.items()}
     print(f"[packed] {a.out_npz}: {shapes}")

@@ -143,7 +143,7 @@ def main(argv=None) -> None:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--k", type=int, default=10)
-    p.add_argument("--dtype", choices=("float32", "bfloat16", "int8"),
+    p.add_argument("--dtype", choices=("float32", "bfloat16", "int8", "pq"),
                    default="bfloat16")
     p.add_argument("--impl", default="auto")
     p.add_argument("--chunk_p", type=int, default=512)
@@ -205,7 +205,10 @@ def main(argv=None) -> None:
         eng = coord  # frontend: every search broadcasts before dispatching
     # warm the scoring program per batch bucket so a request at any warmed
     # shape never pays the compile while holding the dispatch lock
-    d = int(eng.index.P.shape[-1])
+    if eng.index.books is not None:  # PQ: P holds M codes, not D floats
+        d = int(eng.index.books.shape[0] * eng.index.books.shape[2])
+    else:
+        d = int(eng.index.P.shape[-1])
     for b in sorted({int(x) for x in a.warm.split(",") if x.strip()}):
         warm = np.zeros((b, a.length_multiple, d), np.float32)
         wm = np.zeros((b, a.length_multiple), bool)

@@ -1,0 +1,143 @@
+"""Product-quantized index: training/encode/score parity and quality."""
+
+import numpy as np
+import pytest
+
+from evdr_tpu.ops.maxsim import maxsim_numpy
+from evdr_tpu.ops.pq import decode_pq, encode_pq, maxsim_pq_xla, train_pq
+
+
+def _corpus(rng, n=40, lp=6, lq=5, nq=12, d=64):
+    def unit(x):
+        return x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+
+    # clustered tokens (PQ presumes structure): a few shared prototypes
+    # plus small noise, like real patch embeddings
+    protos = unit(rng.normal(size=(8, d)))
+    pick = rng.integers(0, 8, size=(n, lp))
+    P = unit(protos[pick] + 0.15 * rng.normal(size=(n, lp, d))).astype(
+        np.float32)
+    pmask = rng.random((n, lp)) > 0.15
+    pmask[3] = False  # fully-masked doc: exact-0 score semantics
+    # queries = noisy copies of doc tokens -> ground-truth top-1 is known
+    src = rng.integers(0, n, size=nq)
+    Q = np.stack([P[s, :lq] for s in src])
+    Q = unit(Q + 0.05 * rng.normal(size=Q.shape)).astype(np.float32)
+    qmask = rng.random((nq, lq)) > 0.1
+    return P, pmask, Q, qmask, src
+
+
+def test_pq_scoring_equals_reconstruction_oracle(rng):
+    P, pmask, Q, qmask, _ = _corpus(rng)
+    books = train_pq(P, pmask, m=16, iters=6, seed=0)
+    codes = encode_pq(P, books, pmask)
+    assert codes.dtype == np.uint8 and codes.shape == (*P.shape[:2], 16)
+    ref = maxsim_numpy(Q, decode_pq(codes, books), qmask, pmask)
+    got = np.asarray(maxsim_pq_xla(Q, codes, qmask, pmask, books, chunk_p=8))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+    # fully-masked doc scores exactly 0 (reference all-invalid semantics)
+    np.testing.assert_array_equal(got[:, 3], 0.0)
+
+
+def test_pq_chunking_invariant(rng):
+    P, pmask, Q, qmask, _ = _corpus(rng, n=23)
+    books = train_pq(P, pmask, m=8, iters=4, seed=1)
+    codes = encode_pq(P, books, pmask)
+    a = np.asarray(maxsim_pq_xla(Q, codes, qmask, pmask, books, chunk_p=23))
+    b = np.asarray(maxsim_pq_xla(Q, codes, qmask, pmask, books, chunk_p=5))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_pq_retrieval_quality(rng):
+    """Clustered corpus + near-duplicate queries: PQ at 8 subspaces must
+    keep top-1 retrieval (scores are lossy, ranks of near-dups are not)."""
+    P, pmask, Q, qmask, src = _corpus(rng, n=60, nq=24)
+    exact = maxsim_numpy(Q, P, qmask, pmask)
+    books = train_pq(P, pmask, m=16, iters=8, seed=0)
+    codes = encode_pq(P, books, pmask)
+    got = np.asarray(maxsim_pq_xla(Q, codes, qmask, pmask, books))
+    agree = float(np.mean(np.argmax(got, 1) == np.argmax(exact, 1)))
+    assert agree >= 0.85, agree
+
+
+def test_pq_train_validates(rng):
+    P = rng.normal(size=(4, 3, 30)).astype(np.float32)
+    with pytest.raises(ValueError):
+        train_pq(P, m=16)  # 30 % 16 != 0
+    with pytest.raises(ValueError):
+        train_pq(np.zeros((2, 2, 32), np.float32),
+                 pmask=np.zeros((2, 2), bool), m=8)  # no valid tokens
+
+
+def test_pq_engine_exact_and_sharded(rng, tmp_path):
+    """dtype='pq' through the public engine: single-device and the 8-device
+    mesh must agree with scoring the reconstructed index, and a --dtype pq
+    packed file must round-trip through from_npz."""
+    import jax
+
+    from evdr_tpu.engine import RetrievalEngine
+    from evdr_tpu.parallel.mesh import make_mesh
+
+    P, pmask, Q, qmask, _ = _corpus(rng, n=41)
+    eng = RetrievalEngine(dtype="pq", impl="xla", pq_m=16,
+                          mesh=make_mesh(1))
+    eng.build(P, pmask, docids=[f"d{i}" for i in range(41)])
+    vals, idx = eng.search_dense(Q, qmask, k=5)
+    # oracle: reconstruct the engine's own (normalized) index
+    Pn = P * pmask[..., None]
+    Pn = Pn / (np.linalg.norm(Pn, axis=-1, keepdims=True) + 1e-12)
+    books = np.asarray(eng.index.books)
+    rec = decode_pq(np.asarray(eng.index.P)[:41], books)
+    ref = maxsim_numpy(Q, rec, qmask, pmask)
+    order = np.argsort(-ref, axis=1, kind="stable")[:, :5]
+    np.testing.assert_array_equal(idx, order)
+    np.testing.assert_allclose(vals, np.take_along_axis(ref, order, 1),
+                               rtol=2e-5, atol=2e-5)
+
+    # 8-device doc-sharded mesh: identical results
+    eng8 = RetrievalEngine(dtype="pq", impl="xla", pq_m=16,
+                           mesh=make_mesh(len(jax.devices())))
+    eng8.build(P, pmask, docids=[f"d{i}" for i in range(41)])
+    v8, i8 = eng8.search_dense(Q, qmask, k=5)
+    # PQ training is seeded identically -> same codes -> same scores
+    np.testing.assert_allclose(v8, vals, rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(i8, idx)
+
+    # packed --dtype pq file -> from_npz round trip
+    from evdr_tpu.tools.convert_packed import convert_payload_to_packed
+
+    packed = convert_payload_to_packed(
+        {"documents": _as_ragged(P, pmask),
+         "docid": [f"d{i}" for i in range(41)]},
+        dtype="pq", normalize=True, pq_m=16)
+    np.savez(tmp_path / "pq.npz", **packed)
+    engf = RetrievalEngine.from_npz(tmp_path / "pq.npz", dtype="pq",
+                                    impl="xla", mesh=make_mesh(1))
+    fv, fi = engf.search_dense(Q, qmask, k=5)
+    assert fi.shape == (Q.shape[0], 5)
+    # quality floor: packed-file PQ top-1 agrees with the exact fp32 search
+    exact = maxsim_numpy(Q, Pn, qmask, pmask)
+    agree = float(np.mean(fi[:, 0] == np.argmax(exact, 1)))
+    assert agree >= 0.8, agree
+
+
+def _as_ragged(P, pmask):
+    """Dense padded (N, Lp, D) + mask -> the interchange object-array form."""
+    out = np.empty(P.shape[0], dtype=object)
+    for i in range(P.shape[0]):
+        rows = P[i][pmask[i]]
+        if rows.shape[0] == 0:
+            rows = np.zeros((1, P.shape[2]), np.float32)
+        out[i] = rows
+    return out
+
+
+def test_pq_tiny_corpus_fewer_tokens_than_centroids(rng):
+    """n*lp < K: codebooks degrade to the token set itself; encode/decode
+    must round-trip those tokens exactly."""
+    P = rng.normal(size=(3, 4, 16)).astype(np.float32)
+    pmask = np.ones((3, 4), bool)
+    books = train_pq(P, pmask, m=4, k=256, iters=2, seed=0)
+    codes = encode_pq(P, books, pmask)
+    np.testing.assert_allclose(decode_pq(codes, books), P, rtol=1e-5,
+                               atol=1e-6)
