@@ -40,17 +40,15 @@ class RetrievalEngine:
 
         ``dtype='pq'`` product-quantizes the index (ops/pq.py): ``pq_m``
         bytes per token — 8x smaller than int8 at D=128, M=16 — scored via
-        per-query lookup tables (asymmetric distance; lossy). Exact search
-        only; combining with ``prune_centroids`` is not supported yet."""
+        per-query lookup tables (asymmetric distance; lossy). Composes with
+        ``prune_centroids`` when built from float embeddings (the PLAID
+        combination: float summaries prune, PQ candidates rerank)."""
         self.mesh = mesh or make_mesh()
         self.dtype = dtype
         self.chunk_p = chunk_p
         self.normalize = normalize
         self.prune_centroids = prune_centroids
         self.pq_m = pq_m
-        if dtype == "pq" and prune_centroids:
-            raise ValueError("dtype='pq' does not support prune_centroids "
-                             "yet (the exact rerank needs float tokens)")
         import jax
 
         if impl == "auto":
@@ -130,15 +128,20 @@ class RetrievalEngine:
             from evdr_tpu.ops.pq import encode_pq, train_pq
 
             books = train_pq(P, pmask, m=self.pq_m)
-            return self.build_from_pq(encode_pq(P, books, pmask), books,
-                                      pmask, docids=docids)
-        self.index = self._build_index(P, pmask, docids=docids,
-                                       dtype=self.dtype, streaming=streaming)
+            self.build_from_pq(encode_pq(P, books, pmask), books,
+                               pmask, docids=docids)
+        else:
+            self.index = self._build_index(P, pmask, docids=docids,
+                                           dtype=self.dtype,
+                                           streaming=streaming)
         if self.prune_centroids > 0:
             from evdr_tpu.ops.pruned import build_summary_tokens
 
             S, smask = build_summary_tokens(P, pmask, self.prune_centroids)
-            self.summary = self._build_index(S, smask, dtype=self.dtype)
+            # the summary stage stays float (PQ engines: stage-1 cost is
+            # tiny — k centroids/page — and the PQ win is the FULL index)
+            sdtype = "bfloat16" if self.dtype == "pq" else self.dtype
+            self.summary = self._build_index(S, smask, dtype=sdtype)
         return self
 
     def build_from_codes(self, codes, scales, pmask,
@@ -196,6 +199,11 @@ class RetrievalEngine:
             docids = payload.get("docid")
             if "P_pq_codes" in payload:
                 if eng.dtype == "pq":
+                    if eng.prune_centroids:
+                        raise ValueError(
+                            "prune_centroids with a PQ file needs float "
+                            "tokens for the summary stage: build from a "
+                            "float/interchange file with dtype='pq' instead")
                     return eng.build_from_pq(
                         payload["P_pq_codes"], payload["P_pq_books"],
                         payload["pmask"], docids=docids)
@@ -262,7 +270,7 @@ class RetrievalEngine:
                     Qd, qmd, self.index.P, self.index.pmask,
                     self.summary.P, self.summary.pmask, k=k, n_cand=c,
                     impl=self.impl, scales=self.index.scales,
-                    sscales=self.summary.scales)
+                    sscales=self.summary.scales, books=self.index.books)
             else:
                 from evdr_tpu.ops.pruned import rerank_candidates
 
@@ -273,7 +281,8 @@ class RetrievalEngine:
                                        approx=True)
                 vals, idx = rerank_candidates(Qd, qmd, self.index.P,
                                               self.index.pmask, cand, k=k,
-                                              scales=self.index.scales)
+                                              scales=self.index.scales,
+                                              books=self.index.books)
         else:
             vals, idx = sharded_topk(Qd, qmd, self.index, k=k,
                                      chunk_p=self.chunk_p, impl=self.impl)

@@ -51,9 +51,17 @@ def build_summary_tokens(P: np.ndarray, pmask: np.ndarray, k_centroids: int = 4,
     return S, smask
 
 
-def _rerank_block(Q, qmask, P, pmask, cand_idx, k: int, scales=None):
+def _rerank_block(Q, qmask, P, pmask, cand_idx, k: int, scales=None,
+                  books=None):
     """One query block of the exact candidate rerank (see rerank_candidates)."""
-    Pg = jnp.take(P, cand_idx, axis=0)        # (nq, C, Lp, D)
+    Pg = jnp.take(P, cand_idx, axis=0)        # (nq, C, Lp, D) or PQ codes
+    if books is not None:
+        # PQ index: P holds (N, Lp, M) uint8 codes — reconstruct only the
+        # gathered candidates (same footprint as the float gather)
+        m = books.shape[0]
+        rec = [jnp.take(books[j], Pg[..., j].astype(jnp.int32), axis=0)
+               for j in range(m)]
+        Pg = jnp.concatenate(rec, axis=-1)    # (nq, C, Lp, D)
     if scales is not None:
         Pg = Pg.astype(jnp.float32) * jnp.take(scales, cand_idx,
                                                axis=0)[..., None]
@@ -77,12 +85,13 @@ def _rerank_block(Q, qmask, P, pmask, cand_idx, k: int, scales=None):
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk_q"))
 def rerank_candidates(Q, qmask, P, pmask, cand_idx, k: int, scales=None,
-                      chunk_q: int = 32):
+                      chunk_q: int = 32, books=None):
     """Exact masked MaxSim over per-query candidate sets.
 
     Q (nq, Lq, D); P (N, Lp, D); cand_idx (nq, C) -> top-k (values, GLOBAL doc
     indices) among the candidates. ``scales`` dequantizes int8 indexes
-    (ops/quantize.py) after the gather.
+    (ops/quantize.py) after the gather; ``books`` reconstructs PQ candidates
+    (ops/pq.py) — "exact" then means exact over the reconstruction.
 
     Chunked over queries (``lax.map`` blocks of ``chunk_q``): the gathered
     candidate tokens are upcast to f32 for the exact einsum, which at
@@ -93,7 +102,7 @@ def rerank_candidates(Q, qmask, P, pmask, cand_idx, k: int, scales=None,
     nq = Q.shape[0]
     kk = min(k, cand_idx.shape[1])
     if nq <= chunk_q:
-        return _rerank_block(Q, qmask, P, pmask, cand_idx, k, scales)
+        return _rerank_block(Q, qmask, P, pmask, cand_idx, k, scales, books)
     nb = -(-nq // chunk_q)
     pad = nb * chunk_q - nq
 
@@ -106,7 +115,7 @@ def rerank_candidates(Q, qmask, P, pmask, cand_idx, k: int, scales=None,
 
     def body(args):
         q, qm, c = args
-        return _rerank_block(q, qm, P, pmask, c, k, scales)
+        return _rerank_block(q, qm, P, pmask, c, k, scales, books)
 
     vals, idx = jax.lax.map(body, (Qb, qmb, cb))
     return (vals.reshape(nb * chunk_q, kk)[:nq],
@@ -115,7 +124,8 @@ def rerank_candidates(Q, qmask, P, pmask, cand_idx, k: int, scales=None,
 
 @functools.partial(jax.jit, static_argnames=("k", "n_cand", "impl"))
 def pruned_topk_fused(Q, qmask, P, pmask, S, smask, k: int, n_cand: int,
-                      impl: str = "pallas", scales=None, sscales=None):
+                      impl: str = "pallas", scales=None, sscales=None,
+                      books=None):
     """Both pruning stages in ONE compiled program (single-device serving).
 
     Remote/tunneled backends pay ~30ms per dispatch; splitting candidate
@@ -137,7 +147,8 @@ def pruned_topk_fused(Q, qmask, P, pmask, S, smask, k: int, n_cand: int,
         _, cand = jax.lax.approx_max_k(sc, n_cand, recall_target=0.95)
     else:
         _, cand = jax.lax.top_k(sc, n_cand)
-    return rerank_candidates(Q, qmask, P, pmask, cand, k=k, scales=scales)
+    return rerank_candidates(Q, qmask, P, pmask, cand, k=k, scales=scales,
+                             books=books)
 
 
 def pruned_recall(exact_idx: np.ndarray, pruned_idx: np.ndarray) -> float:

@@ -121,6 +121,30 @@ def test_pq_engine_exact_and_sharded(rng, tmp_path):
     assert agree >= 0.8, agree
 
 
+def test_pq_with_pruning(rng):
+    """The PLAID combination: float summaries prune, PQ candidates rerank.
+    With every doc as a candidate the result equals the exact PQ search."""
+    from evdr_tpu.engine import RetrievalEngine
+    from evdr_tpu.parallel.mesh import make_mesh
+
+    P, pmask, Q, qmask, _ = _corpus(rng, n=41)
+    exact = RetrievalEngine(dtype="pq", impl="xla", mesh=make_mesh(1))
+    exact.build(P, pmask)
+    ev, ei = exact.search_dense(Q, qmask, k=5)
+
+    eng = RetrievalEngine(dtype="pq", impl="xla", prune_centroids=2,
+                          mesh=make_mesh(1))
+    eng.build(P, pmask)
+    pv, pi = eng.search_dense(Q, qmask, k=5, n_candidates=41)
+    np.testing.assert_array_equal(pi, ei)
+    np.testing.assert_allclose(pv, ev, rtol=2e-5, atol=2e-5)
+
+    # pruned-for-real (a fraction of the corpus) keeps top-1
+    pv1, pi1 = eng.search_dense(Q, qmask, k=1, n_candidates=8)
+    agree = float(np.mean(pi1[:, 0] == ei[:, 0]))
+    assert agree >= 0.8, agree
+
+
 def _as_ragged(P, pmask):
     """Dense padded (N, Lp, D) + mask -> the interchange object-array form."""
     out = np.empty(P.shape[0], dtype=object)
