@@ -1,4 +1,4 @@
-"""Serving-index dtype quality sweep: fp32 vs bf16 vs int8 (VERDICT r1 #10).
+"""Serving-index dtype quality sweep: fp32 vs bf16 vs int8 vs PQ (VERDICT r1 #10).
 
 For each synthetic dataset, builds the serving index at each storage dtype,
 scores the test queries through the standard engine path, and reports
@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
-def evaluate(corpus, dtype, impl):
+def evaluate(corpus, dtype, impl, pq_m=16):
     import jax.numpy as jnp
 
     from evdr_tpu.data.packing import preprocess_queries
@@ -26,7 +26,7 @@ def evaluate(corpus, dtype, impl):
     from evdr_tpu.eval.evaluator import (CustomRetrievalEvaluator,
                                          scores_to_results)
 
-    eng = RetrievalEngine(dtype=dtype, impl=impl)
+    eng = RetrievalEngine(dtype=dtype, impl=impl, pq_m=pq_m)
     eng.build_from_ragged(corpus["documents"], corpus["doc_attnmask"],
                           corpus["doc_imgmask"], docids=corpus["docid"])
     Q, qm = preprocess_queries(corpus["query"], corpus["query_attnmask"])
@@ -47,6 +47,8 @@ def main():
     p.add_argument("--n_docs", type=int, default=512)
     p.add_argument("--n_queries", type=int, default=64)
     p.add_argument("--dim", type=int, default=128)
+    p.add_argument("--pq_m", type=int, default=16,
+                   help="PQ subspaces (bytes/token) for the pq column")
     p.add_argument("--noise", type=float, default=3.0,
                    help="query noise: high enough that rankings have near-ties")
     a = p.parse_args()
@@ -57,8 +59,8 @@ def main():
                                   dim=a.dim, seed=100 + ds, noise=a.noise)
         row = {"dataset": f"synth{ds}"}
         for label, dtype in (("fp32", None), ("bf16", "bfloat16"),
-                             ("int8", "int8")):
-            m = evaluate(c, dtype, a.impl)
+                             ("int8", "int8"), ("pq", "pq")):
+            m = evaluate(c, dtype, a.impl, pq_m=a.pq_m)
             row[f"{label}_N@5"] = round(m["NDCG@5"], 5)
             row[f"{label}_R@1"] = round(m["Recall@1"], 5)
         rows.append(row)
@@ -72,10 +74,13 @@ def main():
         "fp32_N@5": round(avg("fp32_N@5"), 5),
         "bf16_N@5_delta": round(avg("bf16_N@5") - avg("fp32_N@5"), 5),
         "int8_N@5_delta": round(avg("int8_N@5") - avg("fp32_N@5"), 5),
+        "pq_N@5_delta": round(avg("pq_N@5") - avg("fp32_N@5"), 5),
         "fp32_R@1": round(avg("fp32_R@1"), 5),
         "bf16_R@1_delta": round(avg("bf16_R@1") - avg("fp32_R@1"), 5),
         "int8_R@1_delta": round(avg("int8_R@1") - avg("fp32_R@1"), 5),
+        "pq_R@1_delta": round(avg("pq_R@1") - avg("fp32_R@1"), 5),
         "impl": a.impl,
+        "pq_m": a.pq_m,
     }
     print(json.dumps(summary))
 
