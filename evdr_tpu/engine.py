@@ -27,7 +27,7 @@ class RetrievalEngine:
     def __init__(self, mesh=None, dtype: str = "bfloat16", chunk_p: int = 512,
                  impl: str = "auto", normalize: bool = True,
                  prune_centroids: int = 0, quantize_queries: bool = False,
-                 pq_m: int = 16):
+                 pq_m: int = 16, pq_opq: bool = False):
         """``prune_centroids > 0`` additionally builds a per-page centroid
         summary index enabling two-stage pruned search (PLAID-style):
         ``search_dense(..., n_candidates=C)`` scores the cheap summary index
@@ -42,13 +42,18 @@ class RetrievalEngine:
         bytes per token — 8x smaller than int8 at D=128, M=16 — scored via
         per-query lookup tables (asymmetric distance; lossy). Composes with
         ``prune_centroids`` when built from float embeddings (the PLAID
-        combination: float summaries prune, PQ candidates rerank)."""
+        combination: float summaries prune, PQ candidates rerank).
+        ``pq_opq=True`` additionally learns an OPQ rotation at build time
+        (ops/pq.train_opq) — lower quantization error at the SAME index
+        bytes; the rotation is folded into expanded codebooks once, so the
+        serving path is unchanged."""
         self.mesh = mesh or make_mesh()
         self.dtype = dtype
         self.chunk_p = chunk_p
         self.normalize = normalize
         self.prune_centroids = prune_centroids
         self.pq_m = pq_m
+        self.pq_opq = pq_opq
         import jax
 
         if impl == "auto":
@@ -125,11 +130,17 @@ class RetrievalEngine:
             P = np.asarray(l2_normalize(P * pmask[..., None].astype(np.float32)),
                            dtype=np.float32)
         if self.dtype == "pq":
-            from evdr_tpu.ops.pq import encode_pq, train_pq
+            from evdr_tpu.ops.pq import (encode_pq, expand_books, train_opq,
+                                         train_pq)
 
-            books = train_pq(P, pmask, m=self.pq_m)
-            self.build_from_pq(encode_pq(P, books, pmask), books,
-                               pmask, docids=docids)
+            if self.pq_opq:
+                books, rot = train_opq(P, pmask, m=self.pq_m)
+                codes = encode_pq(P, books, pmask, rot=rot)
+                books = expand_books(books, rot)
+            else:
+                books = train_pq(P, pmask, m=self.pq_m)
+                codes = encode_pq(P, books, pmask)
+            self.build_from_pq(codes, books, pmask, docids=docids)
         else:
             self.index = self._build_index(P, pmask, docids=docids,
                                            dtype=self.dtype,
@@ -212,8 +223,9 @@ class RetrievalEngine:
                     # loader already reconstructed P_pad): decode here
                     from evdr_tpu.ops.pq import decode_pq
 
-                    payload["P_pad"] = decode_pq(payload["P_pq_codes"],
-                                                 payload["P_pq_books"])
+                    payload["P_pad"] = decode_pq(
+                        payload["P_pq_codes"], payload["P_pq_books"],
+                        expanded=bool(payload.get("P_pq_expanded", False)))
             if (eng.dtype == "int8" and "P_codes" in payload and normalized
                     and eng.prune_centroids == 0):
                 return eng.build_from_codes(

@@ -35,11 +35,14 @@ import numpy as np
 from evdr_tpu.ops.maxsim import NEG_FILL
 
 
-def _kmeans_np(X: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
+def _kmeans_np(X: np.ndarray, k: int, iters: int, rng,
+               init: np.ndarray | None = None) -> np.ndarray:
     """Plain-numpy Lloyd with kmeans++ seeding (host-side, training-time).
 
     Small by construction: X is a <=``sample``-row slice of one subspace
     (ds = D/M dims). Empty clusters re-seed from the farthest points.
+    ``init`` warm-starts Lloyd from existing centers (OPQ's alternating
+    refits), skipping the kmeans++ pass.
     """
     n = X.shape[0]
     if n <= k:
@@ -47,16 +50,19 @@ def _kmeans_np(X: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
         # the rest duplicate row 0 (harmless — never the argmin winner)
         reps = np.concatenate([X, np.repeat(X[:1], k - n, axis=0)], axis=0)
         return reps.astype(np.float32)
-    centers = np.empty((k, X.shape[1]), np.float32)
-    centers[0] = X[rng.integers(n)]
-    d2 = np.full(n, np.inf, np.float32)
-    for j in range(1, k):
-        d2 = np.minimum(d2, ((X - centers[j - 1]) ** 2).sum(-1))
-        tot = float(d2.sum())
-        if tot <= 0.0:  # all remaining points coincide with a center
-            centers[j:] = centers[j - 1]
-            break
-        centers[j] = X[rng.choice(n, p=d2 / tot)]
+    if init is not None:
+        centers = np.array(init, np.float32, copy=True)
+    else:
+        centers = np.empty((k, X.shape[1]), np.float32)
+        centers[0] = X[rng.integers(n)]
+        d2 = np.full(n, np.inf, np.float32)
+        for j in range(1, k):
+            d2 = np.minimum(d2, ((X - centers[j - 1]) ** 2).sum(-1))
+            tot = float(d2.sum())
+            if tot <= 0.0:  # all remaining points coincide with a center
+                centers[j:] = centers[j - 1]
+                break
+            centers[j] = X[rng.choice(n, p=d2 / tot)]
     for _ in range(iters):
         # assignment via the dot trick: ||x-c||^2 = ||x||^2 - 2x.c + ||c||^2
         dist = (centers * centers).sum(-1)[None, :] - 2.0 * (X @ centers.T)
@@ -70,13 +76,8 @@ def _kmeans_np(X: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
     return centers
 
 
-def train_pq(P, pmask=None, m: int = 16, k: int = 256, iters: int = 10,
-             sample: int = 65536, seed: int = 0) -> np.ndarray:
-    """Fit per-subspace codebooks on the valid tokens: (M, K, D/M) f32.
-
-    Tokens are pooled across docs (masked ones dropped); at most ``sample``
-    tokens train each subspace (uniform subsample — PQ codebooks saturate
-    long before full-corpus kmeans pays off)."""
+def _pooled_tokens(P, pmask, m: int, sample: int, rng) -> np.ndarray:
+    """Pool valid tokens across docs + uniform-subsample: (n_tok, D) f32."""
     P = np.asarray(P, dtype=np.float32)
     n, lp, d = P.shape
     if d % m:
@@ -86,44 +87,162 @@ def train_pq(P, pmask=None, m: int = 16, k: int = 256, iters: int = 10,
         toks = toks[np.asarray(pmask, bool).reshape(-1)]
     if toks.shape[0] == 0:
         raise ValueError("no valid tokens to train PQ on")
-    rng = np.random.default_rng(seed)
     if toks.shape[0] > sample:
         toks = toks[rng.choice(toks.shape[0], sample, replace=False)]
-    ds = d // m
+    return toks
+
+
+def _fit_books(toks: np.ndarray, m: int, k: int, iters: int, rng,
+               init: np.ndarray | None = None) -> np.ndarray:
+    """Per-subspace kmeans over pooled tokens: (M, K, D/M) f32."""
+    ds = toks.shape[1] // m
     sub = toks.reshape(-1, m, ds)
-    return np.stack([_kmeans_np(np.ascontiguousarray(sub[:, j]), k, iters,
-                                rng) for j in range(m)]).astype(np.float32)
+    return np.stack([
+        _kmeans_np(np.ascontiguousarray(sub[:, j]), k, iters, rng,
+                   init=None if init is None else init[j])
+        for j in range(m)]).astype(np.float32)
 
 
-def encode_pq(P, books: np.ndarray, pmask=None) -> np.ndarray:
-    """(N, Lp, D) float -> (N, Lp, M) uint8 nearest-centroid codes.
-
-    Masked tokens encode as code 0 (they are score-inert behind pmask, same
-    convention as int8's zeroed codes)."""
-    P = np.asarray(P, dtype=np.float32)
-    n, lp, d = P.shape
+def _encode_tokens(toks: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n_tok, D) float -> (n_tok, M) uint8 nearest-centroid codes."""
     m, k, ds = books.shape
-    sub = P.reshape(n * lp, m, ds)
-    codes = np.empty((n * lp, m), np.uint8)
+    sub = toks.reshape(-1, m, ds)
+    codes = np.empty((toks.shape[0], m), np.uint8)
     cnorm = (books * books).sum(-1)  # (M, K)
     for j in range(m):
         x = sub[:, j]
         dist = cnorm[j][None, :] - 2.0 * (x @ books[j].T)
         codes[:, j] = np.argmin(dist, axis=1).astype(np.uint8)
-    codes = codes.reshape(n, lp, m)
+    return codes
+
+
+def train_pq(P, pmask=None, m: int = 16, k: int = 256, iters: int = 10,
+             sample: int = 65536, seed: int = 0) -> np.ndarray:
+    """Fit per-subspace codebooks on the valid tokens: (M, K, D/M) f32.
+
+    Tokens are pooled across docs (masked ones dropped); at most ``sample``
+    tokens train each subspace (uniform subsample — PQ codebooks saturate
+    long before full-corpus kmeans pays off)."""
+    rng = np.random.default_rng(seed)
+    toks = _pooled_tokens(P, pmask, m, sample, rng)
+    return _fit_books(toks, m, k, iters, rng)
+
+
+def train_opq(P, pmask=None, m: int = 16, k: int = 256, iters: int = 10,
+              opq_iters: int = 8, sample: int = 65536, seed: int = 0
+              ) -> Tuple[np.ndarray, np.ndarray]:
+    """Optimized PQ (OPQ-NP): learn an orthogonal rotation R that the
+    codebooks quantize better, by alternating (a) codebook refit on the
+    rotated tokens and (b) the orthogonal-Procrustes solve
+    ``R = argmin ||X R^T - decode(encode(X R^T))||_F`` (SVD of X^T X̂).
+
+    MaxSim is rotation-invariant (<Rq, Rd> = <q, d>), so rotated codes
+    score EXACTLY like plain PQ once the rotation is folded into the
+    query side — which :func:`expand_books` does once at build time, after
+    which no scoring path needs to know about R at all.
+
+    Returns ``(books, rot)``: (M, K, D/M) codebooks in the ROTATED space
+    and the (D, D) rotation. Encode with ``encode_pq(P, books, rot=rot)``;
+    serve with ``expand_books(books, rot)``.
+    """
+    rng = np.random.default_rng(seed)
+    X = _pooled_tokens(P, pmask, m, sample, rng)
+    d = X.shape[1]
+    R = np.eye(d, dtype=np.float32)
+    books = None
+    for _ in range(opq_iters):
+        Y = X @ R.T
+        # few Lloyd iters per outer step, warm-started: OPQ converges on
+        # the alternation, not on per-step kmeans accuracy
+        books = _fit_books(Y, m, k, max(2, iters // 3), rng, init=books)
+        Yhat = _decode_tokens(_encode_tokens(Y, books), books)
+        # orthogonal Procrustes: max_R tr(R X^T Yhat) -> R = V U^T
+        U, _, Vt = np.linalg.svd(X.T.astype(np.float64)
+                                 @ Yhat.astype(np.float64))
+        R = (U @ Vt).T.astype(np.float32)
+    # final full-strength codebook fit under the converged rotation
+    books = _fit_books(X @ R.T, m, k, iters, rng, init=books)
+    return books, R
+
+
+def expand_books(books: np.ndarray, rot: np.ndarray) -> np.ndarray:
+    """Fold an OPQ rotation into the codebooks: (M, K, D/M) + (D, D) ->
+    (M, K, D) full-width codebooks in the ORIGINAL (un-rotated) space.
+
+    Derivation: sim(q, d) = <Rq, ĉ> = Σ_m <(Rq)[m-block], C[m, code_m]>
+    = Σ_m <q, E[m, code_m]> with E[m,k,:] = R[m-block rows]^T @ C[m,k].
+    Every downstream consumer (LUT scoring, candidate rerank, decode) then
+    treats PQ as "sum of per-subspace full-D vectors" and the rotation
+    disappears from the serving path entirely. Expanded books are detected
+    by shape (last dim == D, impossible for compact books when M > 1);
+    reconstruction = Σ_m E[m, code_m] (sum, not concat)."""
+    m, k, ds = books.shape
+    rot = np.asarray(rot, np.float32)
+    d = rot.shape[0]
+    if d != m * ds:
+        raise ValueError(f"rotation dim {d} != m*ds = {m * ds}")
+    # E[m,k,j] = Σ_s C[m,k,s] * R[m*ds+s, j]
+    return np.einsum("mks,msj->mkj", books.astype(np.float32),
+                     rot.reshape(m, ds, d)).astype(np.float32)
+
+
+def books_expanded(books, d: int) -> bool:
+    """True if ``books`` are full-width (M, K, D) expanded codebooks for
+    token dim ``d`` (sum-decode), False for compact (M, K, D/M) (concat-
+    decode). Unambiguous: compact books have last dim D/M != D for M > 1,
+    and for M == 1 the two layouts coincide semantically."""
+    return int(books.shape[-1]) == int(d)
+
+
+def encode_pq(P, books: np.ndarray, pmask=None, rot=None) -> np.ndarray:
+    """(N, Lp, D) float -> (N, Lp, M) uint8 nearest-centroid codes.
+
+    Masked tokens encode as code 0 (they are score-inert behind pmask, same
+    convention as int8's zeroed codes). ``rot`` (from :func:`train_opq`)
+    rotates tokens into the codebooks' space before encoding; ``books``
+    must then be the COMPACT rotated-space codebooks, not expanded ones."""
+    P = np.asarray(P, dtype=np.float32)
+    n, lp, d = P.shape
+    m, k, ds = books.shape
+    if m * ds != d:
+        raise ValueError(
+            f"encode_pq needs compact (M, K, D/M) books; got {books.shape} "
+            f"for token dim {d} (expanded books cannot encode)")
+    toks = P.reshape(n * lp, d)
+    if rot is not None:
+        toks = toks @ np.asarray(rot, np.float32).T
+    codes = _encode_tokens(toks, books).reshape(n, lp, m)
     if pmask is not None:
         codes = np.where(np.asarray(pmask, bool)[..., None], codes,
                          np.uint8(0))
     return codes
 
 
-def decode_pq(codes, books) -> np.ndarray:
-    """Reconstruct (N, Lp, D) f32 from codes — the scoring oracle."""
+def _decode_tokens(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n_tok, M) codes -> (n_tok, M*ds) reconstructions (compact books)."""
+    m = books.shape[0]
+    rec = books[np.arange(m)[None, :], codes.astype(np.int64)]
+    return rec.reshape(codes.shape[0], -1)
+
+
+def decode_pq(codes, books, expanded: bool = False) -> np.ndarray:
+    """Reconstruct (N, Lp, D) f32 from codes — the scoring oracle.
+
+    ``expanded=False`` (default): compact (M, K, D/M) books — subspace
+    centroids CONCATENATE to a D-vector. ``expanded=True``: full-width
+    (M, K, D) OPQ books (:func:`expand_books`) — per-subspace vectors SUM
+    (each carries its subspace un-rotated into the original space). Packed
+    files record the layout in the ``P_pq_expanded`` key; in-memory callers
+    can test with :func:`books_expanded` when the token dim is known."""
     codes = np.asarray(codes)
     books = np.asarray(books, np.float32)
-    m, k, ds = books.shape
-    rec = books[np.arange(m)[None, None, :], codes.astype(np.int64)]
-    return rec.reshape(*codes.shape[:2], m * ds)
+    m, k, w = books.shape
+    if codes.shape[-1] != m:
+        raise ValueError(f"codes last dim {codes.shape[-1]} != M={m}")
+    gathered = books[np.arange(m)[None, None, :], codes.astype(np.int64)]
+    if expanded:
+        return gathered.sum(axis=2)                       # (N, Lp, D)
+    return gathered.reshape(*codes.shape[:2], m * w)      # concat subspaces
 
 
 def _pq_chunk(lut, qmask_f, codes_c, pmc):
@@ -156,19 +275,26 @@ def maxsim_pq_xla(Q, codes, qmask, pmask, books, chunk_p: int = 128):
       codes:  (N, Lp, M) uint8 PQ codes
       qmask:  (B, Lq) bool
       pmask:  (N, Lp) bool
-      books:  (M, K, D/M) f32 codebooks
+      books:  (M, K, D/M) f32 compact codebooks, or (M, K, D) expanded
+        OPQ codebooks (expand_books) — the rotation rides inside them, so
+        the two layouts share every line below except the LUT einsum
       chunk_p: doc-axis chunk (bounds the (B, chunk, Lq, Lp) transient,
         same blocking as maxsim_xla)
     """
     Q = Q.astype(jnp.float32)
     qmask_f = qmask.astype(jnp.float32)
     pmask = pmask.astype(bool)
-    m, k, ds = books.shape
+    m, k, w = books.shape
     b, lq, d = Q.shape
     # per-(query-token, subspace) lookup table: ONE MXU einsum per batch
-    lut = jnp.einsum("blms,mks->blmk", Q.reshape(b, lq, m, ds),
-                     books.astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
+    if w == d and m > 1:
+        # expanded OPQ books: LUT[b,l,m,k] = <q, E[m,k]> over full D
+        lut = jnp.einsum("bld,mkd->blmk", Q, books.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+    else:
+        lut = jnp.einsum("blms,mks->blmk", Q.reshape(b, lq, m, w),
+                         books.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
 
     pn = codes.shape[0]
     chunk_p = min(chunk_p, pn)

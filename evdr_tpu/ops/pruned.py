@@ -57,11 +57,16 @@ def _rerank_block(Q, qmask, P, pmask, cand_idx, k: int, scales=None,
     Pg = jnp.take(P, cand_idx, axis=0)        # (nq, C, Lp, D) or PQ codes
     if books is not None:
         # PQ index: P holds (N, Lp, M) uint8 codes — reconstruct only the
-        # gathered candidates (same footprint as the float gather)
+        # gathered candidates (same footprint as the float gather). Compact
+        # (M, K, D/M) books concatenate subspaces; expanded (M, K, D) OPQ
+        # books (ops/pq.expand_books) sum full-width vectors.
         m = books.shape[0]
         rec = [jnp.take(books[j], Pg[..., j].astype(jnp.int32), axis=0)
                for j in range(m)]
-        Pg = jnp.concatenate(rec, axis=-1)    # (nq, C, Lp, D)
+        if m > 1 and books.shape[-1] == Q.shape[-1]:
+            Pg = functools.reduce(jnp.add, rec)  # (nq, C, Lp, D)
+        else:
+            Pg = jnp.concatenate(rec, axis=-1)   # (nq, C, Lp, D)
     if scales is not None:
         Pg = Pg.astype(jnp.float32) * jnp.take(scales, cand_idx,
                                                axis=0)[..., None]

@@ -34,7 +34,7 @@ PACKED_DTYPES = ("float32", "bfloat16", "int8", "pq")
 def convert_payload_to_packed(payload: dict, length_multiple: int = 1,
                               dtype: str = "float32",
                               normalize: bool = False,
-                              pq_m: int = 16) -> dict:
+                              pq_m: int = 16, pq_opq: bool = False) -> dict:
     """``normalize=True`` stores doc tokens masked + L2-normalized (the form
     every consumer ends up computing anyway — harness and engine re-normalize
     idempotently) and marks the file, which lets int8 serving consume
@@ -59,11 +59,20 @@ def convert_payload_to_packed(payload: dict, length_multiple: int = 1,
 
             out["P_codes"], out["P_scale"] = quantize_tokens_int8(P, pmask)
         elif dtype == "pq":
-            from evdr_tpu.ops.pq import encode_pq, train_pq
+            from evdr_tpu.ops.pq import (encode_pq, expand_books, train_opq,
+                                         train_pq)
 
-            books = train_pq(P, pmask, m=pq_m)
-            out["P_pq_codes"] = encode_pq(P, books, pmask)
-            out["P_pq_books"] = books
+            if pq_opq:
+                books, rot = train_opq(P, pmask, m=pq_m)
+                out["P_pq_codes"] = encode_pq(P, books, pmask, rot=rot)
+                # rotation folded into full-width books: consumers score/
+                # decode them with sum semantics (ops/pq.py docstrings)
+                out["P_pq_books"] = expand_books(books, rot)
+                out["P_pq_expanded"] = np.asarray(True)
+            else:
+                books = train_pq(P, pmask, m=pq_m)
+                out["P_pq_codes"] = encode_pq(P, books, pmask)
+                out["P_pq_books"] = books
         elif dtype == "bfloat16":
             import ml_dtypes
 
@@ -170,7 +179,9 @@ def load_packed_payload(npz_path, mmap_docs: bool = False) -> dict:
         # that score codes directly (RetrievalEngine dtype='pq')
         from evdr_tpu.ops.pq import decode_pq
 
-        out["P_pad"] = decode_pq(out["P_pq_codes"], out["P_pq_books"])
+        out["P_pad"] = decode_pq(out["P_pq_codes"], out["P_pq_books"],
+                                 expanded=bool(out.get("P_pq_expanded",
+                                                       False)))
     for key in ("relevant_docs", "docidx_2_docid"):
         jk = f"{key}_json"
         if jk in decoded_json:
@@ -199,10 +210,14 @@ def main(argv=None) -> None:
                         "direct int8-code serving without requantization)")
     p.add_argument("--pq_m", type=int, default=16,
                    help="PQ subspaces = bytes/token (--dtype pq)")
+    p.add_argument("--pq_opq", action="store_true",
+                   help="learn an OPQ rotation before encoding (--dtype pq; "
+                        "lower quantization error at the same bytes)")
     a = p.parse_args(argv)
     payload = load_payload(a.in_npz)
     packed = convert_payload_to_packed(payload, a.length_multiple, a.dtype,
-                                       normalize=a.normalize, pq_m=a.pq_m)
+                                       normalize=a.normalize, pq_m=a.pq_m,
+                                       pq_opq=a.pq_opq)
     np.savez(a.out_npz, **packed)
     shapes = {k: getattr(v, "shape", None) for k, v in packed.items()}
     print(f"[packed] {a.out_npz}: {shapes}")

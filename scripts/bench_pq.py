@@ -136,6 +136,21 @@ def main():
         "qps": timed_qps(lambda q, m, *r: f_pq(q, m, *r),
                          (Qd, qmd, PQd, pmd, Bd), a.batch),
         "index_bytes": int(a.n_docs * a.lp * a.pq_m)}
+    del PQd, Bd
+
+    # --- OPQ (same bytes; expanded (M, K, D) books -> a D-wide LUT einsum,
+    # the only serving-cost difference vs plain PQ)
+    from evdr_tpu.ops.pq import expand_books, train_opq
+
+    obooks, rot = train_opq(P, pm, m=a.pq_m)
+    opq_codes = encode_pq(P, obooks, pm, rot=rot)
+    ebooks = expand_books(obooks, rot)
+    OQd, EBd = jnp.asarray(opq_codes), jnp.asarray(ebooks)
+    results["opq"] = {
+        "qps": timed_qps(lambda q, m, *r: f_pq(q, m, *r),
+                         (Qd, qmd, OQd, pmd, EBd), a.batch),
+        "index_bytes": int(a.n_docs * a.lp * a.pq_m)}
+    del OQd, EBd
 
     # quality: top-1 agreement vs the bf16 path on a small exact slice
     from evdr_tpu.ops.maxsim import maxsim_numpy
@@ -147,6 +162,10 @@ def main():
                                      pm[:ns], books, chunk_p=2048))
     results["pq"]["top1_vs_exact"] = float(
         np.mean(np.argmax(pq_sc, 1) == np.argmax(ex, 1)))
+    opq_sc = np.asarray(maxsim_pq_xla(Q[:16], opq_codes[:ns], qm[:16],
+                                      pm[:ns], ebooks, chunk_p=2048))
+    results["opq"]["top1_vs_exact"] = float(
+        np.mean(np.argmax(opq_sc, 1) == np.argmax(ex, 1)))
 
     print(json.dumps({"backend": jax.default_backend(),
                       "shape": [a.n_docs, a.lp, a.d, a.batch],

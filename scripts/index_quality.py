@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
-def evaluate(corpus, dtype, impl, pq_m=16):
+def evaluate(corpus, dtype, impl, pq_m=16, pq_opq=False):
     import jax.numpy as jnp
 
     from evdr_tpu.data.packing import preprocess_queries
@@ -26,7 +26,7 @@ def evaluate(corpus, dtype, impl, pq_m=16):
     from evdr_tpu.eval.evaluator import (CustomRetrievalEvaluator,
                                          scores_to_results)
 
-    eng = RetrievalEngine(dtype=dtype, impl=impl, pq_m=pq_m)
+    eng = RetrievalEngine(dtype=dtype, impl=impl, pq_m=pq_m, pq_opq=pq_opq)
     eng.build_from_ragged(corpus["documents"], corpus["doc_attnmask"],
                           corpus["doc_imgmask"], docids=corpus["docid"])
     Q, qm = preprocess_queries(corpus["query"], corpus["query_attnmask"])
@@ -58,9 +58,12 @@ def main():
         c = make_synthetic_corpus(n_docs=a.n_docs, n_queries=a.n_queries,
                                   dim=a.dim, seed=100 + ds, noise=a.noise)
         row = {"dataset": f"synth{ds}"}
-        for label, dtype in (("fp32", None), ("bf16", "bfloat16"),
-                             ("int8", "int8"), ("pq", "pq")):
-            m = evaluate(c, dtype, a.impl, pq_m=a.pq_m)
+        for label, dtype, opq in (("fp32", None, False),
+                                  ("bf16", "bfloat16", False),
+                                  ("int8", "int8", False),
+                                  ("pq", "pq", False),
+                                  ("opq", "pq", True)):
+            m = evaluate(c, dtype, a.impl, pq_m=a.pq_m, pq_opq=opq)
             row[f"{label}_N@5"] = round(m["NDCG@5"], 5)
             row[f"{label}_R@1"] = round(m["Recall@1"], 5)
         rows.append(row)
@@ -75,10 +78,12 @@ def main():
         "bf16_N@5_delta": round(avg("bf16_N@5") - avg("fp32_N@5"), 5),
         "int8_N@5_delta": round(avg("int8_N@5") - avg("fp32_N@5"), 5),
         "pq_N@5_delta": round(avg("pq_N@5") - avg("fp32_N@5"), 5),
+        "opq_N@5_delta": round(avg("opq_N@5") - avg("fp32_N@5"), 5),
         "fp32_R@1": round(avg("fp32_R@1"), 5),
         "bf16_R@1_delta": round(avg("bf16_R@1") - avg("fp32_R@1"), 5),
         "int8_R@1_delta": round(avg("int8_R@1") - avg("fp32_R@1"), 5),
         "pq_R@1_delta": round(avg("pq_R@1") - avg("fp32_R@1"), 5),
+        "opq_R@1_delta": round(avg("opq_R@1") - avg("fp32_R@1"), 5),
         "impl": a.impl,
         "pq_m": a.pq_m,
     }

@@ -156,6 +156,117 @@ def _as_ragged(P, pmask):
     return out
 
 
+def test_opq_scoring_matches_expanded_reconstruction(rng):
+    """Expanded OPQ books score exactly like the float MaxSim over the
+    sum-decoded reconstruction, and identically to scoring ROTATED queries
+    against the compact rotated-space books (the rotation-invariance
+    identity the fold-in relies on)."""
+    from evdr_tpu.ops.pq import expand_books, train_opq
+
+    P, pmask, Q, qmask, _ = _corpus(rng)
+    books, rot = train_opq(P, pmask, m=16, iters=6, opq_iters=3, seed=0)
+    # rotation is orthogonal
+    np.testing.assert_allclose(rot @ rot.T, np.eye(rot.shape[0]),
+                               rtol=0, atol=1e-5)
+    codes = encode_pq(P, books, pmask, rot=rot)
+    exp = expand_books(books, rot)
+    assert exp.shape == (16, 256, P.shape[2])
+    got = np.asarray(maxsim_pq_xla(Q, codes, qmask, pmask, exp, chunk_p=8))
+    # oracle 1: float MaxSim over the expanded (sum) reconstruction
+    ref = maxsim_numpy(Q, decode_pq(codes, exp, expanded=True), qmask, pmask)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    # oracle 2: rotated queries against the compact rotated-space books
+    Qr = (Q.reshape(-1, Q.shape[-1]) @ rot.T).reshape(Q.shape)
+    ref2 = np.asarray(maxsim_pq_xla(Qr, codes, qmask, pmask, books,
+                                    chunk_p=8))
+    np.testing.assert_allclose(got, ref2, rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(got[:, 3], 0.0)  # all-invalid doc -> 0
+
+
+def test_opq_reduces_reconstruction_error_on_correlated_tokens(rng):
+    """On tokens with strong CROSS-subspace correlation (a random linear
+    mix of a low-dim latent), the learned rotation must cut quantization
+    error vs plain PQ at identical bytes."""
+    from evdr_tpu.ops.pq import expand_books, train_opq, train_pq
+
+    d, m = 64, 16
+    latent = rng.normal(size=(2000, 12)).astype(np.float32)
+    mix = rng.normal(size=(12, d)).astype(np.float32)
+    X = (latent @ mix + 0.05 * rng.normal(size=(2000, d))).astype(np.float32)
+    X /= np.linalg.norm(X, axis=-1, keepdims=True)
+    P = X.reshape(200, 10, d)
+    pmask = np.ones((200, 10), bool)
+
+    books_pq = train_pq(P, pmask, m=m, iters=8, seed=0)
+    err_pq = np.mean((decode_pq(encode_pq(P, books_pq, pmask), books_pq)
+                      - P) ** 2)
+    books_o, rot = train_opq(P, pmask, m=m, iters=8, opq_iters=6, seed=0)
+    codes_o = encode_pq(P, books_o, pmask, rot=rot)
+    rec_o = decode_pq(codes_o, expand_books(books_o, rot), expanded=True)
+    err_opq = np.mean((rec_o - P) ** 2)
+    assert err_opq < 0.9 * err_pq, (err_opq, err_pq)
+
+
+def test_opq_engine_pruning_and_packed_roundtrip(rng, tmp_path):
+    """pq_opq=True through the public engine (exact + pruned rerank with
+    expanded books), and a --pq_opq packed file through from_npz with both
+    a PQ engine and a float engine (the sum-decode path)."""
+    from evdr_tpu.engine import RetrievalEngine
+    from evdr_tpu.ops.pq import books_expanded
+    from evdr_tpu.parallel.mesh import make_mesh
+    from evdr_tpu.tools.convert_packed import convert_payload_to_packed
+
+    P, pmask, Q, qmask, _ = _corpus(rng, n=41)
+    eng = RetrievalEngine(dtype="pq", impl="xla", pq_opq=True,
+                          mesh=make_mesh(1))
+    eng.build(P, pmask)
+    assert books_expanded(np.asarray(eng.index.books), P.shape[2])
+    vals, idx = eng.search_dense(Q, qmask, k=5)
+    rec = decode_pq(np.asarray(eng.index.P)[:41],
+                    np.asarray(eng.index.books), expanded=True)
+    ref = maxsim_numpy(Q, rec, qmask, pmask)
+    order = np.argsort(-ref, axis=1, kind="stable")[:, :5]
+    np.testing.assert_array_equal(idx, order)
+    np.testing.assert_allclose(vals, np.take_along_axis(ref, order, 1),
+                               rtol=2e-4, atol=2e-4)
+
+    # pruned rerank over expanded books: all-candidates == exact PQ search
+    engp = RetrievalEngine(dtype="pq", impl="xla", pq_opq=True,
+                           prune_centroids=2, mesh=make_mesh(1))
+    engp.build(P, pmask)
+    pv, pi = engp.search_dense(Q, qmask, k=5, n_candidates=41)
+    np.testing.assert_array_equal(pi, idx)
+    np.testing.assert_allclose(pv, vals, rtol=2e-4, atol=2e-4)
+
+    packed = convert_payload_to_packed(
+        {"documents": _as_ragged(P, pmask)}, dtype="pq", normalize=True,
+        pq_opq=True)
+    assert bool(packed["P_pq_expanded"])
+    np.savez(tmp_path / "opq.npz", **packed)
+    engf = RetrievalEngine.from_npz(tmp_path / "opq.npz", dtype="pq",
+                                    impl="xla", mesh=make_mesh(1))
+    fv, fi = engf.search_dense(Q, qmask, k=5)
+    # identical training seeds -> identical codes/books -> same results as
+    # an in-memory build from the same normalized tokens
+    Pn = P * pmask[..., None]
+    Pn = (Pn / (np.linalg.norm(Pn, axis=-1, keepdims=True) + 1e-12)).astype(
+        np.float32)
+    engm = RetrievalEngine(dtype="pq", impl="xla", pq_opq=True,
+                           normalize=False, mesh=make_mesh(1))
+    engm.build(Pn, pmask)
+    mv, mi = engm.search_dense(Q, qmask, k=5)
+    np.testing.assert_array_equal(fi, mi)
+    np.testing.assert_allclose(fv, mv, rtol=2e-4, atol=2e-4)
+
+    # float engine over the same OPQ file: decode path honors the expanded
+    # flag, so scores match the PQ engine's (same reconstructions)
+    engd = RetrievalEngine.from_npz(tmp_path / "opq.npz", dtype="float32",
+                                    impl="xla", mesh=make_mesh(1))
+    dv, di = engd.search_dense(Q, qmask, k=5)
+    np.testing.assert_array_equal(di, fi)
+    np.testing.assert_allclose(dv, fv, rtol=2e-4, atol=2e-4)
+
+
 def test_pq_tiny_corpus_fewer_tokens_than_centroids(rng):
     """n*lp < K: codebooks degrade to the token set itself; encode/decode
     must round-trip those tokens exactly."""
