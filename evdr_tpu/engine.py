@@ -140,7 +140,8 @@ class RetrievalEngine:
             else:
                 books = train_pq(P, pmask, m=self.pq_m)
                 codes = encode_pq(P, books, pmask)
-            self.build_from_pq(codes, books, pmask, docids=docids)
+            self.build_from_pq(codes, books, pmask, docids=docids,
+                               expanded=self.pq_opq)
         else:
             self.index = self._build_index(P, pmask, docids=docids,
                                            dtype=self.dtype,
@@ -171,17 +172,25 @@ class RetrievalEngine:
         return self
 
     def build_from_pq(self, codes, books, pmask,
-                      docids: Optional[Sequence[str]] = None
-                      ) -> "RetrievalEngine":
+                      docids: Optional[Sequence[str]] = None,
+                      expanded: bool = False) -> "RetrievalEngine":
         """Index pre-trained PQ codes + codebooks directly (ops/pq.py;
         packed files written with --dtype pq). Codes shard over the doc
-        axis like any index; the small codebooks replicate."""
+        axis like any index; the small codebooks replicate.
+
+        ``expanded=True`` marks full-width (M, K, D) OPQ codebooks
+        (ops/pq.expand_books). Scoring paths detect the layout from the
+        query dim, but shape-only consumers (e.g. evdr-serve's warm-up,
+        which must derive D with no query in hand) read the recorded
+        ``index.books_expanded`` flag — the layouts are ambiguous from the
+        books tensor alone."""
         if self.dtype != "pq":
             raise ValueError("build_from_pq requires dtype='pq'")
         self.index = self._build_index(np.asarray(codes, np.uint8),
                                        pmask, docids=docids)
         self.index.books = self._replicate(
             jnp.asarray(np.asarray(books, np.float32)))
+        self.index.books_expanded = bool(expanded)
         return self
 
     def build_from_ragged(self, documents_obj, doc_attnmask=None, doc_imgmask=None,
@@ -217,7 +226,8 @@ class RetrievalEngine:
                             "float/interchange file with dtype='pq' instead")
                     return eng.build_from_pq(
                         payload["P_pq_codes"], payload["P_pq_books"],
-                        payload["pmask"], docids=docids)
+                        payload["pmask"], docids=docids,
+                        expanded=bool(payload.get("P_pq_expanded", False)))
                 if "P_pad" not in payload:
                     # PQ file + float/int8 engine under mmap (the eager
                     # loader already reconstructed P_pad): decode here

@@ -30,6 +30,10 @@ class ShardedIndex:
     # product-quantized indexes: replicated (M, K, D/M) f32 codebooks and
     # P holds (N_pad, Lp, M) uint8 codes (see ops/pq.py)
     books: Optional[jnp.ndarray] = None
+    # True for full-width (M, K, D) OPQ codebooks (ops/pq.expand_books):
+    # shape-only consumers (serve warm-up) can't tell the layouts apart
+    # without a query dim in hand, so the builder records it
+    books_expanded: bool = False
 
     @property
     def n_pad(self) -> int:

@@ -58,6 +58,20 @@ def bucket_queries(Q, qmask):
     return Q, qmask
 
 
+def warm_query_dim(engine) -> int:
+    """Token dim for the warm-up queries. PQ indexes store uint8 codes, so
+    D must come from the codebooks — whose layout (compact (M, K, D/M) vs
+    expanded OPQ (M, K, D)) is ambiguous from shape alone; the builder
+    records it as ``index.books_expanded``. Float/int8 indexes read D off
+    the stored tokens."""
+    idx = engine.index
+    if idx.books is not None:
+        b = idx.books
+        return (int(b.shape[-1]) if getattr(idx, "books_expanded", False)
+                else int(b.shape[0] * b.shape[-1]))
+    return int(idx.P.shape[-1])
+
+
 def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
                 default_k: int = 10, default_candidates: int = 0,
                 max_body_mb: int = 256, length_multiple: int = 8):
@@ -205,10 +219,7 @@ def main(argv=None) -> None:
         eng = coord  # frontend: every search broadcasts before dispatching
     # warm the scoring program per batch bucket so a request at any warmed
     # shape never pays the compile while holding the dispatch lock
-    if eng.index.books is not None:  # PQ: P holds M codes, not D floats
-        d = int(eng.index.books.shape[0] * eng.index.books.shape[2])
-    else:
-        d = int(eng.index.P.shape[-1])
+    d = warm_query_dim(eng)
     for b in sorted({int(x) for x in a.warm.split(",") if x.strip()}):
         warm = np.zeros((b, a.length_multiple, d), np.float32)
         wm = np.zeros((b, a.length_multiple), bool)

@@ -267,6 +267,26 @@ def test_opq_engine_pruning_and_packed_roundtrip(rng, tmp_path):
     np.testing.assert_allclose(dv, fv, rtol=2e-4, atol=2e-4)
 
 
+def test_serve_warm_dim_for_both_book_layouts(rng):
+    """evdr-serve's warm-up derives the query dim with no query in hand:
+    compact books -> M * (D/M), expanded OPQ books -> D directly. A wrong
+    dim would warm (and cache) a shape no real request ever hits."""
+    from evdr_tpu.engine import RetrievalEngine
+    from evdr_tpu.parallel.mesh import make_mesh
+    from evdr_tpu.tools.serve_http import warm_query_dim
+
+    P, pmask, _, _, _ = _corpus(rng, n=20)
+    d = P.shape[2]
+    for opq in (False, True):
+        eng = RetrievalEngine(dtype="pq", impl="xla", pq_opq=opq,
+                              mesh=make_mesh(1))
+        eng.build(P, pmask)
+        assert warm_query_dim(eng) == d, (opq, warm_query_dim(eng))
+    engf = RetrievalEngine(dtype="bfloat16", impl="xla", mesh=make_mesh(1))
+    engf.build(P, pmask)
+    assert warm_query_dim(engf) == d
+
+
 def test_pq_tiny_corpus_fewer_tokens_than_centroids(rng):
     """n*lp < K: codebooks degrade to the token set itself; encode/decode
     must round-trip those tokens exactly."""
