@@ -519,6 +519,10 @@ def test_http_server_search_and_health(tmp_path):
         assert len(res2["docids"][0]) == 10  # clamped to n_docs
         assert set(res2["docids"][0]) <= {str(d) for d in c["docid"]}
 
+        # every 200 reply reports its dispatch-group size (observability
+        # for tuning --batch_wait_ms)
+        assert res["batched_with"] >= 1
+
         # malformed request -> 400, not a crash
         bad = urllib.request.Request(f"{base}/search", data=b"{}",
                                      headers={"Content-Type": "application/json"})
@@ -527,6 +531,18 @@ def test_http_server_search_and_health(tmp_path):
             assert False, "expected HTTP 400"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+        # wrong query dim -> 400 BEFORE submission (a wrong-dim request
+        # inside a coalesced group would fail the whole group)
+        bad_dim = urllib.request.Request(
+            f"{base}/search",
+            data=json.dumps({"queries": [[[0.0] * 8] * 2]}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad_dim)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and "dim" in json.loads(e.read())["error"]
     finally:
         srv.shutdown()
 
@@ -557,6 +573,92 @@ def test_serve_bucket_queries_inert():
                                rtol=1e-6, atol=1e-6)
     # padded rows score exactly 0 (all tokens masked)
     assert np.all(np.asarray(sc)[5:] == 0.0)
+
+
+def test_microbatcher_parity_under_concurrency():
+    """Concurrent searches through the MicroBatcher return exactly what
+    per-request engine.search_dense returns — coalescing (shared batch,
+    max-k dispatch, per-request slicing) must be invisible to callers."""
+    import threading
+
+    from evdr_tpu.data.packing import preprocess_docs, preprocess_queries
+    from evdr_tpu.engine import RetrievalEngine
+    from evdr_tpu.tools.serve_http import MicroBatcher
+
+    c = make_synthetic_corpus(n_docs=30, n_queries=12, dim=16, seed=7)
+    eng = RetrievalEngine(dtype="float32", impl="xla")
+    P, pmask, _ = preprocess_docs(c["documents"], c["doc_attnmask"],
+                                  c["doc_imgmask"])
+    eng.build(P, pmask)
+    Q, qmask = preprocess_queries(c["query"], c["query_attnmask"])
+    batcher = MicroBatcher(eng, wait_ms=30.0, max_batch=16)
+
+    ks = [2, 3, 5, 3]
+    slices = [(0, 3), (3, 6), (6, 9), (9, 12)]
+    got = [None] * 4
+
+    def worker(j):
+        a, b = slices[j]
+        got[j] = batcher.search_dense(Q[a:b], qmask[a:b], k=ks[j])
+
+    threads = [threading.Thread(target=worker, args=(j,)) for j in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+        assert not t.is_alive()
+    for j, (a, b) in enumerate(slices):
+        rv, ri = eng.search_dense(Q[a:b], qmask[a:b], k=ks[j])
+        np.testing.assert_array_equal(got[j][1], np.asarray(ri))
+        np.testing.assert_allclose(got[j][0], np.asarray(rv),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_microbatcher_coalesces_and_groups_by_candidates():
+    """Requests queued while a dispatch is in flight share the NEXT
+    dispatch; requests with different n_candidates never share one (they
+    compile different programs). Scatter offsets must line up."""
+    import threading
+
+    from evdr_tpu.tools.serve_http import MicroBatcher
+
+    class FakeEngine:
+        def __init__(self):
+            self.calls = []
+            self.release = threading.Event()
+            self.entered = threading.Event()
+
+        def search_dense(self, Q, qmask, k, n_candidates=None):
+            self.calls.append((int(Q.shape[0]), n_candidates))
+            if len(self.calls) == 1:  # hold the FIRST dispatch in flight
+                self.entered.set()
+                assert self.release.wait(timeout=30)
+            # row-numbered indices expose wrong scatter offsets downstream
+            idx = np.tile(np.arange(Q.shape[0])[:, None], (1, k))
+            return np.zeros((Q.shape[0], k), np.float32), idx
+
+    fake = FakeEngine()
+    batcher = MicroBatcher(fake, wait_ms=0.0, max_batch=16)
+    D, LQ = 8, 4
+    q = np.zeros((1, LQ, D), np.float32)
+    m = np.ones((1, LQ), bool)
+
+    first = batcher.submit(q, m, k=2)
+    assert fake.entered.wait(timeout=30)  # dispatcher is inside call #1
+    exact = [batcher.submit(q, m, k=2) for _ in range(3)]
+    pruned = [batcher.submit(q, m, k=2, n_candidates=5) for _ in range(2)]
+    fake.release.set()
+    for r in [first] + exact + pruned:
+        assert r.done.wait(timeout=30) and r.err is None
+
+    assert first.batched_with == 1
+    assert all(r.batched_with == 3 for r in exact)
+    assert all(r.batched_with == 2 for r in pruned)
+    # three dispatches total; candidate settings never mixed
+    assert [c[1] for c in fake.calls] == [None, None, 5]
+    # scatter: request j of the exact group got row j of the shared batch
+    for j, r in enumerate(exact):
+        np.testing.assert_array_equal(r.idx, np.full((1, 2), j))
 
 
 def test_trec_run_sanitizes_whitespace_qids(tmp_path):
