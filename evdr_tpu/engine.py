@@ -38,6 +38,10 @@ class RetrievalEngine:
         on device so scoring runs int8 x int8 on the MXU (~1.3x bf16 kernel
         throughput, measured 1.000 top-1 agreement vs fp32).
 
+        ``dtype='int4'`` packs two 4-bit codes per byte + per-token scales
+        (ops/int4.py) — half of int8's HBM, the capacity rung between int8
+        and PQ; scored by chunked unpack-and-matmul.
+
         ``dtype='pq'`` product-quantizes the index (ops/pq.py): ``pq_m``
         bytes per token — 8x smaller than int8 at D=128, M=16 — scored via
         per-query lookup tables (asymmetric distance; lossy). Composes with
@@ -171,6 +175,19 @@ class RetrievalEngine:
                                        streaming=streaming)
         return self
 
+    def build_from_codes4(self, packed, scales, pmask,
+                          docids: Optional[Sequence[str]] = None,
+                          streaming: bool = False) -> "RetrievalEngine":
+        """Index pre-packed int4 codes + per-token scales directly
+        (tools/convert_packed.py --dtype int4 --normalize) — no unpack/
+        requantize round trip; mmap-backed files stream shard-by-shard."""
+        if self.dtype != "int4":
+            raise ValueError("build_from_codes4 requires dtype='int4'")
+        self.index = self._build_index(np.asarray(packed, np.uint8), pmask,
+                                       docids=docids, dtype="int4",
+                                       scales=scales, streaming=streaming)
+        return self
+
     def build_from_pq(self, codes, books, pmask,
                       docids: Optional[Sequence[str]] = None,
                       expanded: bool = False) -> "RetrievalEngine":
@@ -241,13 +258,24 @@ class RetrievalEngine:
                 return eng.build_from_codes(
                     payload["P_codes"], payload["P_scale"], payload["pmask"],
                     docids=docids, streaming=mmap)
+            if (eng.dtype == "int4" and "P_codes4" in payload and normalized
+                    and eng.prune_centroids == 0):
+                return eng.build_from_codes4(
+                    payload["P_codes4"], payload["P_scale"],
+                    payload["pmask"], docids=docids, streaming=mmap)
             if "P_pad" not in payload:
-                # mmap int8 without the --normalize marker: dequantize here
-                # (the bounded-RSS guarantee needs a normalized file)
-                from evdr_tpu.ops.quantize import dequantize_int8
+                # mmap int8/int4 without the --normalize marker: dequantize
+                # here (the bounded-RSS guarantee needs a normalized file)
+                if "P_codes4" in payload:
+                    from evdr_tpu.ops.int4 import dequantize_int4
 
-                payload["P_pad"] = dequantize_int8(payload["P_codes"],
-                                                   payload["P_scale"])
+                    payload["P_pad"] = dequantize_int4(payload["P_codes4"],
+                                                       payload["P_scale"])
+                else:
+                    from evdr_tpu.ops.quantize import dequantize_int8
+
+                    payload["P_pad"] = dequantize_int8(payload["P_codes"],
+                                                       payload["P_scale"])
             eng.build(payload["P_pad"], payload["pmask"], docids=docids,
                       streaming=(mmap and normalized
                                  and eng.prune_centroids == 0),

@@ -67,6 +67,12 @@ def _rerank_block(Q, qmask, P, pmask, cand_idx, k: int, scales=None,
             Pg = functools.reduce(jnp.add, rec)  # (nq, C, Lp, D)
         else:
             Pg = jnp.concatenate(rec, axis=-1)   # (nq, C, Lp, D)
+    elif Pg.dtype == jnp.uint8:
+        # packed-int4 index (ops/int4.py): unpack only the gathered
+        # candidates; per-token scales apply below like int8's
+        from evdr_tpu.ops.int4 import unpack_int4_jnp
+
+        Pg = unpack_int4_jnp(Pg)
     if scales is not None:
         Pg = Pg.astype(jnp.float32) * jnp.take(scales, cand_idx,
                                                axis=0)[..., None]

@@ -305,24 +305,31 @@ def build_multihost_index(P_full, pmask, mesh: Mesh, docids=None,
     tail = tuple(int(s) for s in P_full.shape[2:])
 
     np_cast = None
-    if dtype is not None and dtype != "int8":
+    if dtype is not None and dtype not in ("int8", "int4"):
         import ml_dtypes
 
         np_cast = (np.dtype(dtype) if dtype != "bfloat16"
                    else np.dtype(ml_dtypes.bfloat16))
+
+    if dtype == "int4" and scales is None:
+        # per-slice packing halves the stored tail dim (ops/int4.py)
+        tail = tuple(list(tail[:-1]) + [tail[-1] // 2])
 
     sh3 = NamedSharding(mesh, P(DOC_AXIS, *([None] * (1 + len(tail)))))
     sh2 = NamedSharding(mesh, P(DOC_AXIS, None))
     g3 = (n_pad, lp) + tail
     g2 = (n_pad, lp)
 
-    if dtype == "int8" and scales is None:
-        from evdr_tpu.ops.quantize import quantize_tokens_int8
+    if dtype in ("int8", "int4") and scales is None:
+        if dtype == "int8":
+            from evdr_tpu.ops.quantize import quantize_tokens_int8 as _quant
+        else:
+            from evdr_tpu.ops.int4 import quantize_tokens_int4 as _quant
 
         def slice_quant(lo, hi):
             sl = np.asarray(P_full[lo:hi])
             ms = np.asarray(pmask[lo:hi], dtype=bool)
-            codes, sc = quantize_tokens_int8(sl, ms)
+            codes, sc = _quant(sl, ms)
             return codes, sc, ms
 
         codes_arr, scales_arr, pm_arr = _assemble_rows(

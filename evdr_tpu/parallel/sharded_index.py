@@ -118,7 +118,7 @@ def build_sharded_index(P, pmask, mesh: Mesh, docids=None, dtype=None,
     host copy (pairs with mmap-backed inputs; 1D doc mesh only).
     """
     np_cast = None
-    if dtype is not None and dtype != "int8":
+    if dtype is not None and dtype not in ("int8", "int4"):
         import ml_dtypes  # numpy bf16 support
 
         np_cast = (np.dtype(dtype) if dtype != "bfloat16"
@@ -147,6 +147,12 @@ def build_sharded_index(P, pmask, mesh: Mesh, docids=None, dtype=None,
                 P=P_sh, pmask=_shard_docs_streamed(pmask, mesh, n_pad,
                                                    cast=bool),
                 n_docs=n, docids=docids, mesh=mesh, scales=sc_sh)
+        if dtype == "int4" and scales is None:
+            # falling through would stream FLOAT tokens under an int4 label;
+            # quantize-on-stream is unimplemented — pack the file instead
+            # (tools/convert_packed.py --dtype int4) and pass codes+scales
+            raise ValueError("streaming int4 builds need pre-packed codes "
+                             "+ scales (convert_packed --dtype int4)")
         return ShardedIndex(
             P=_shard_docs_streamed(P, mesh, n_pad, cast=np_cast),
             pmask=_shard_docs_streamed(pmask, mesh, n_pad, cast=bool),
@@ -159,6 +165,10 @@ def build_sharded_index(P, pmask, mesh: Mesh, docids=None, dtype=None,
         from evdr_tpu.ops.quantize import quantize_tokens_int8
 
         P, scales = quantize_tokens_int8(P, pmask)
+    elif dtype == "int4" and scales is None:
+        from evdr_tpu.ops.int4 import quantize_tokens_int4
+
+        P, scales = quantize_tokens_int4(P, pmask)
     elif np_cast is not None and P.dtype != np_cast:
         P = P.astype(np_cast)
     pmask = np.asarray(pmask, dtype=bool)

@@ -30,6 +30,15 @@ def _local_scores(Q, qmask, P_loc, pm_loc, chunk_p: int, impl: str,
         from evdr_tpu.ops.pq import maxsim_pq_xla
 
         return maxsim_pq_xla(Q, P_loc, qmask, pm_loc, books, chunk_p=chunk_p)
+    if scales is not None and P_loc.dtype == jnp.uint8:
+        # packed-int4 index (ops/int4.py): uint8 nibble pairs + per-token
+        # scales. Chunked-unpack XLA scoring on every backend — the packed
+        # stream is the HBM win; a dedicated Pallas unpack kernel can slot
+        # in here later without touching callers.
+        from evdr_tpu.ops.int4 import maxsim_int4_xla
+
+        return maxsim_int4_xla(Q, P_loc, scales, qmask, pm_loc,
+                               chunk_p=chunk_p)
     if scales is not None:
         # int8-quantized index (ops/quantize.py)
         if impl == "pallas_q8":

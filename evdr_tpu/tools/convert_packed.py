@@ -28,7 +28,7 @@ import numpy as np
 from evdr_tpu.data.npz_io import load_payload
 from evdr_tpu.data.packing import preprocess_docs, preprocess_queries
 
-PACKED_DTYPES = ("float32", "bfloat16", "int8", "pq")
+PACKED_DTYPES = ("float32", "bfloat16", "int8", "int4", "pq")
 
 
 def convert_payload_to_packed(payload: dict, length_multiple: int = 1,
@@ -58,6 +58,10 @@ def convert_payload_to_packed(payload: dict, length_multiple: int = 1,
             from evdr_tpu.ops.quantize import quantize_tokens_int8
 
             out["P_codes"], out["P_scale"] = quantize_tokens_int8(P, pmask)
+        elif dtype == "int4":
+            from evdr_tpu.ops.int4 import quantize_tokens_int4
+
+            out["P_codes4"], out["P_scale"] = quantize_tokens_int4(P, pmask)
         elif dtype == "pq":
             from evdr_tpu.ops.pq import (encode_pq, expand_books, train_opq,
                                          train_pq)
@@ -145,8 +149,8 @@ def load_packed_payload(npz_path, mmap_docs: bool = False) -> dict:
     stay mapped end-to-end, consume ``P_codes`` directly (RetrievalEngine
     does for dtype='int8').
     """
-    mmap_keys = ({"P_pad", "P_codes", "P_scale", "pmask", "P_pq_codes"}
-                 if mmap_docs else set())
+    mmap_keys = ({"P_pad", "P_codes", "P_codes4", "P_scale", "pmask",
+                  "P_pq_codes"} if mmap_docs else set())
     out = {}
     # with-block: NpzFile holds an open fd until closed — long-lived
     # processes that load many files (eval_run, serving) must not leak one
@@ -173,6 +177,11 @@ def load_packed_payload(npz_path, mmap_docs: bool = False) -> dict:
         from evdr_tpu.ops.quantize import dequantize_int8
 
         out["P_pad"] = dequantize_int8(out["P_codes"], out["P_scale"])
+    if "P_codes4" in out and "P_pad" not in out and not mmap_docs:
+        # same contract for packed-int4 files (ops/int4.py)
+        from evdr_tpu.ops.int4 import dequantize_int4
+
+        out["P_pad"] = dequantize_int4(out["P_codes4"], out["P_scale"])
     if "P_pq_codes" in out and "P_pad" not in out and not mmap_docs:
         # same contract for PQ files: eager loads reconstruct floats for
         # consumers that need them; raw codes/books ride along for engines
@@ -193,7 +202,7 @@ def is_packed(npz_path) -> bool:
     with np.load(str(npz_path), allow_pickle=True) as z:
         return ("P_pad" in z.files or "Q_norm" in z.files
                 or "P_codes" in z.files or "P_pad_bf16" in z.files
-                or "P_pq_codes" in z.files)
+                or "P_pq_codes" in z.files or "P_codes4" in z.files)
 
 
 def main(argv=None) -> None:

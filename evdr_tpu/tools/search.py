@@ -100,7 +100,7 @@ def main(argv=None) -> None:
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--out", default="-", help="output path ('-' = stdout)")
     p.add_argument("--format", choices=("trec", "json"), default="trec")
-    p.add_argument("--dtype", choices=("float32", "bfloat16", "int8", "pq"),
+    p.add_argument("--dtype", choices=("float32", "bfloat16", "int8", "int4", "pq"),
                    default="bfloat16")
     p.add_argument("--impl", default="auto")
     p.add_argument("--chunk_p", type=int, default=512)

@@ -197,6 +197,9 @@ def warm_query_dim(engine) -> int:
         b = idx.books
         return (int(b.shape[-1]) if getattr(idx, "books_expanded", False)
                 else int(b.shape[0] * b.shape[-1]))
+    if idx.P.dtype == np.uint8:
+        # packed int4 (ops/int4.py): two dims per stored byte
+        return int(idx.P.shape[-1]) * 2
     return int(idx.P.shape[-1])
 
 
@@ -300,7 +303,8 @@ def main(argv=None) -> None:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--k", type=int, default=10)
-    p.add_argument("--dtype", choices=("float32", "bfloat16", "int8", "pq"),
+    p.add_argument("--dtype",
+                   choices=("float32", "bfloat16", "int8", "int4", "pq"),
                    default="bfloat16")
     p.add_argument("--impl", default="auto")
     p.add_argument("--chunk_p", type=int, default=512)

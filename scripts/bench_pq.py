@@ -6,7 +6,8 @@ inputs, K chained applications in one jit, forced fetch — CLAUDE.md):
 
 - bf16 tokens + fused Pallas kernel      (2 D bytes/token)
 - int8 tokens + int8-index kernel        (D + 4 bytes/token)
-- PQ codes + LUT scoring (ops/pq.py)     (M bytes/token)
+- int4 packed codes (ops/int4.py)        (D/2 + 4 bytes/token)
+- PQ / OPQ codes + LUT (ops/pq.py)       (M bytes/token)
 
 PQ trades MXU-kernel throughput for an 8x (at D=128, M=16) smaller index —
 the pages-per-chip lever. Run: python scripts/bench_pq.py
@@ -123,6 +124,23 @@ def main():
             "index_bytes": int(a.n_docs * a.lp * (a.d + 4))}
     del Cd, Sd
 
+    # --- int4 packed index (chunked unpack + matmul; capacity rung
+    # between int8 and PQ)
+    from evdr_tpu.ops.int4 import maxsim_int4_xla, quantize_tokens_int4
+
+    packed4, scales4 = quantize_tokens_int4(P, pm)
+    C4d, S4d = jnp.asarray(packed4), jnp.asarray(scales4)
+
+    def f_i4(q, m, C_, S_, pm_):
+        sc = maxsim_int4_xla(q, C_, S_, m, pm_, chunk_p=a.chunk_p)
+        return jax.lax.top_k(sc, a.k)
+
+    results["int4"] = {
+        "qps": timed_qps(lambda q, m, *r: f_i4(q, m, *r),
+                         (Qd, qmd, C4d, S4d, pmd), a.batch),
+        "index_bytes": int(a.n_docs * a.lp * (a.d // 2 + 4))}
+    del C4d, S4d
+
     # --- PQ
     books = train_pq(P, pm, m=a.pq_m)
     pq_codes = encode_pq(P, books, pm)
@@ -166,6 +184,10 @@ def main():
                                       pm[:ns], ebooks, chunk_p=2048))
     results["opq"]["top1_vs_exact"] = float(
         np.mean(np.argmax(opq_sc, 1) == np.argmax(ex, 1)))
+    i4_sc = np.asarray(maxsim_int4_xla(Q[:16], packed4[:ns], scales4[:ns],
+                                       qm[:16], pm[:ns], chunk_p=2048))
+    results["int4"]["top1_vs_exact"] = float(
+        np.mean(np.argmax(i4_sc, 1) == np.argmax(ex, 1)))
 
     print(json.dumps({"backend": jax.default_backend(),
                       "shape": [a.n_docs, a.lp, a.d, a.batch],

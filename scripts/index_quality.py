@@ -61,6 +61,7 @@ def main():
         for label, dtype, opq in (("fp32", None, False),
                                   ("bf16", "bfloat16", False),
                                   ("int8", "int8", False),
+                                  ("int4", "int4", False),
                                   ("pq", "pq", False),
                                   ("opq", "pq", True)):
             m = evaluate(c, dtype, a.impl, pq_m=a.pq_m, pq_opq=opq)
@@ -77,11 +78,13 @@ def main():
         "fp32_N@5": round(avg("fp32_N@5"), 5),
         "bf16_N@5_delta": round(avg("bf16_N@5") - avg("fp32_N@5"), 5),
         "int8_N@5_delta": round(avg("int8_N@5") - avg("fp32_N@5"), 5),
+        "int4_N@5_delta": round(avg("int4_N@5") - avg("fp32_N@5"), 5),
         "pq_N@5_delta": round(avg("pq_N@5") - avg("fp32_N@5"), 5),
         "opq_N@5_delta": round(avg("opq_N@5") - avg("fp32_N@5"), 5),
         "fp32_R@1": round(avg("fp32_R@1"), 5),
         "bf16_R@1_delta": round(avg("bf16_R@1") - avg("fp32_R@1"), 5),
         "int8_R@1_delta": round(avg("int8_R@1") - avg("fp32_R@1"), 5),
+        "int4_R@1_delta": round(avg("int4_R@1") - avg("fp32_R@1"), 5),
         "pq_R@1_delta": round(avg("pq_R@1") - avg("fp32_R@1"), 5),
         "opq_R@1_delta": round(avg("opq_R@1") - avg("fp32_R@1"), 5),
         "impl": a.impl,

@@ -1,0 +1,193 @@
+"""Packed-int4 index tier: pack/unpack, scoring parity, engine paths."""
+
+import numpy as np
+import pytest
+
+from evdr_tpu.ops.int4 import (dequantize_int4, maxsim_int4_xla,
+                               quantize_tokens_int4, unpack_int4)
+from evdr_tpu.ops.maxsim import maxsim_numpy
+
+
+def _corpus(rng, n=40, lp=6, lq=5, nq=12, d=64):
+    def unit(x):
+        return x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+
+    protos = unit(rng.normal(size=(8, d)))
+    pick = rng.integers(0, 8, size=(n, lp))
+    P = unit(protos[pick] + 0.15 * rng.normal(size=(n, lp, d))).astype(
+        np.float32)
+    pmask = rng.random((n, lp)) > 0.15
+    pmask[3] = False  # fully-masked doc: exact-0 score semantics
+    src = rng.integers(0, n, size=nq)
+    Q = np.stack([P[s, :lq] for s in src])
+    Q = unit(Q + 0.05 * rng.normal(size=Q.shape)).astype(np.float32)
+    qmask = rng.random((nq, lq)) > 0.1
+    return P, pmask, Q, qmask, src
+
+
+def test_int4_pack_unpack_roundtrip(rng):
+    """Packing is lossless over the code grid: unpack(pack(q)) == q for
+    every code in [-7, 7], and dequantization error is bounded by half a
+    quantization step per dim."""
+    P = rng.normal(size=(20, 5, 32)).astype(np.float32)
+    pmask = rng.random((20, 5)) > 0.2
+    packed, scale = quantize_tokens_int4(P, pmask)
+    assert packed.dtype == np.uint8 and packed.shape == (20, 5, 16)
+    codes = unpack_int4(packed)
+    assert codes.min() >= -7 and codes.max() <= 7
+    # reference codes computed directly
+    amax = np.max(np.abs(P), axis=-1)
+    safe = np.where(amax > 0, amax / 7.0, 1.0)
+    want = np.clip(np.rint(P / safe[..., None]), -7, 7).astype(np.int8)
+    want = np.where(pmask[..., None], want, 0)
+    np.testing.assert_array_equal(codes, want)
+    # dequant error bound: half a step = scale/2 per dim on valid tokens
+    rec = dequantize_int4(packed, scale)
+    err = np.abs(rec - P * pmask[..., None])
+    bound = (scale / 2.0 + 1e-6)[..., None]
+    assert np.all(err <= bound + (~pmask[..., None]) * 1e9)
+    # masked tokens decode to exact zero
+    assert np.all(rec[~pmask] == 0.0)
+
+
+def test_int4_all_negative_token(rng):
+    """Sign extension: tokens with only negative values survive the nibble
+    round trip (high-bit codes are the regression surface)."""
+    P = -np.abs(rng.normal(size=(4, 3, 8)).astype(np.float32)) - 0.1
+    packed, scale = quantize_tokens_int4(P)
+    rec = dequantize_int4(packed, scale)
+    assert np.all(rec <= 0.0)
+    assert np.max(np.abs(rec - P)) <= float(np.max(scale)) / 2 + 1e-6
+
+
+def test_int4_scoring_equals_dequant_oracle(rng):
+    P, pmask, Q, qmask, _ = _corpus(rng)
+    packed, scale = quantize_tokens_int4(P, pmask)
+    ref = maxsim_numpy(Q, dequantize_int4(packed, scale), qmask, pmask)
+    got = np.asarray(maxsim_int4_xla(Q, packed, scale, qmask, pmask,
+                                     chunk_p=8))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(got[:, 3], 0.0)  # all-invalid doc -> 0
+    # chunking invariance
+    got1 = np.asarray(maxsim_int4_xla(Q, packed, scale, qmask, pmask,
+                                      chunk_p=40))
+    np.testing.assert_allclose(got, got1, rtol=1e-6, atol=1e-6)
+
+
+def test_int4_retrieval_quality(rng):
+    """4 bits/dim + per-token scale on clustered tokens: top-1 matches the
+    fp32 exact search (the int8 tier measures 0.000 delta; int4 must stay
+    near it on structured data)."""
+    P, pmask, Q, qmask, _ = _corpus(rng, n=60, nq=24)
+    exact = maxsim_numpy(Q, P, qmask, pmask)
+    packed, scale = quantize_tokens_int4(P, pmask)
+    got = np.asarray(maxsim_int4_xla(Q, packed, scale, qmask, pmask))
+    agree = float(np.mean(np.argmax(got, 1) == np.argmax(exact, 1)))
+    assert agree >= 0.9, agree
+
+
+def test_int4_engine_exact_sharded_pruned_and_packed(rng, tmp_path):
+    """dtype='int4' through the public engine: single-device, 8-device
+    mesh, pruned rerank (all-candidates == exact), --dtype int4 packed file
+    through from_npz (direct-code path), and a float engine over the same
+    file (dequant path)."""
+    import jax
+
+    from evdr_tpu.engine import RetrievalEngine
+    from evdr_tpu.parallel.mesh import make_mesh
+    from evdr_tpu.tools.convert_packed import (convert_payload_to_packed,
+                                               load_packed_payload)
+
+    P, pmask, Q, qmask, _ = _corpus(rng, n=41)
+    eng = RetrievalEngine(dtype="int4", impl="xla", mesh=make_mesh(1))
+    eng.build(P, pmask, docids=[f"d{i}" for i in range(41)])
+    assert eng.index.P.dtype == np.uint8
+    assert eng.index.P.shape[-1] == P.shape[2] // 2
+    vals, idx = eng.search_dense(Q, qmask, k=5)
+    # oracle: dequantized reconstruction of the engine's own index
+    rec = dequantize_int4(np.asarray(eng.index.P)[:41],
+                          np.asarray(eng.index.scales)[:41])
+    ref = maxsim_numpy(Q, rec, qmask, np.asarray(eng.index.pmask)[:41])
+    order = np.argsort(-ref, axis=1, kind="stable")[:, :5]
+    np.testing.assert_array_equal(idx, order)
+    np.testing.assert_allclose(vals, np.take_along_axis(ref, order, 1),
+                               rtol=2e-5, atol=2e-5)
+
+    # 8-device doc-sharded mesh: identical results
+    eng8 = RetrievalEngine(dtype="int4", impl="xla",
+                           mesh=make_mesh(len(jax.devices())))
+    eng8.build(P, pmask)
+    v8, i8 = eng8.search_dense(Q, qmask, k=5)
+    np.testing.assert_array_equal(i8, idx)
+    np.testing.assert_allclose(v8, vals, rtol=2e-5, atol=2e-5)
+
+    # pruned two-stage with every doc as candidate == exact int4 search
+    engp = RetrievalEngine(dtype="int4", impl="xla", prune_centroids=2,
+                           mesh=make_mesh(1))
+    engp.build(P, pmask)
+    pv, pi = engp.search_dense(Q, qmask, k=5, n_candidates=41)
+    np.testing.assert_array_equal(pi, idx)
+    np.testing.assert_allclose(pv, vals, rtol=2e-5, atol=2e-5)
+
+    # packed --dtype int4 --normalize file -> direct-code serving
+    packed = convert_payload_to_packed(
+        {"documents": _as_ragged(P, pmask),
+         "docid": [f"d{i}" for i in range(41)]},
+        dtype="int4", normalize=True)
+    assert packed["P_codes4"].shape[-1] == P.shape[2] // 2
+    np.savez(tmp_path / "i4.npz", **packed)
+    engf = RetrievalEngine.from_npz(tmp_path / "i4.npz", dtype="int4",
+                                    impl="xla", mesh=make_mesh(1))
+    assert engf.index.P.dtype == np.uint8  # codes consumed directly
+    fv, fi = engf.search_dense(Q, qmask, k=5)
+    # same normalized tokens -> same codes -> same results as an in-memory
+    # build from the normalized embeddings
+    Pn = P * pmask[..., None]
+    Pn = (Pn / (np.linalg.norm(Pn, axis=-1, keepdims=True) + 1e-12)).astype(
+        np.float32)
+    engm = RetrievalEngine(dtype="int4", impl="xla", normalize=False,
+                           mesh=make_mesh(1))
+    engm.build(Pn, pmask)
+    mv, mi = engm.search_dense(Q, qmask, k=5)
+    np.testing.assert_array_equal(fi, mi)
+    np.testing.assert_allclose(fv, mv, rtol=2e-5, atol=2e-5)
+
+    # eager load reconstructs P_pad for float consumers
+    payload = load_packed_payload(tmp_path / "i4.npz")
+    np.testing.assert_allclose(
+        payload["P_pad"],
+        dequantize_int4(packed["P_codes4"], packed["P_scale"]),
+        rtol=0, atol=0)
+
+    # float engine over the int4 file scores the same reconstructions
+    engd = RetrievalEngine.from_npz(tmp_path / "i4.npz", dtype="float32",
+                                    impl="xla", mesh=make_mesh(1))
+    dv, di = engd.search_dense(Q, qmask, k=5)
+    np.testing.assert_array_equal(di, fi)
+    np.testing.assert_allclose(dv, fv, rtol=2e-5, atol=2e-5)
+
+
+def test_int4_serve_warm_dim(rng):
+    from evdr_tpu.engine import RetrievalEngine
+    from evdr_tpu.parallel.mesh import make_mesh
+    from evdr_tpu.tools.serve_http import warm_query_dim
+
+    P, pmask, _, _, _ = _corpus(rng, n=20)
+    eng = RetrievalEngine(dtype="int4", impl="xla", mesh=make_mesh(1))
+    eng.build(P, pmask)
+    assert warm_query_dim(eng) == P.shape[2]
+
+
+def test_int4_odd_dim_rejected(rng):
+    with pytest.raises(ValueError):
+        quantize_tokens_int4(rng.normal(size=(2, 2, 31)).astype(np.float32))
+
+
+def _as_ragged(P, pmask):
+    out = np.empty(P.shape[0], dtype=object)
+    for i in range(P.shape[0]):
+        rows = P[i][pmask[i]]
+        if rows.shape[0] == 0:
+            rows = np.zeros((1, P.shape[2]), np.float32)
+        out[i] = rows
+    return out
