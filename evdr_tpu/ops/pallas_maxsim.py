@@ -850,3 +850,221 @@ def _maxsim_int8_impl(Q, q_weight, P_i8, scales, pmask,
         interpret=interpret,
     )(qf, qmf, Pp, sc_t)
     return finalize(out)[:nq, :nd]
+
+
+# ---------------------------------------------------------------------------
+# packed-int4 index variant (serving): P stored as TOKEN-PAIR packed uint8
+# (two Lp-tokens per byte, full-width D lanes — ops/int4.py) + per-token f32
+# scales. Halves the dominant HBM stream vs int8. The layout is chosen so
+# the unpack needs NO lane-axis work: the byte tile splits into an even-
+# token and an odd-token int8 plane, each runs the same full-K dot as the
+# int8 kernel at half the rows, and MaxSim's max-over-tokens absorbs the
+# interleave (max(bm_even, bm_odd) — token order never matters under max).
+# The two scale sentinels ride as separate planes of one prefetched row.
+# ---------------------------------------------------------------------------
+
+def _int4_blockmax(qf_ref, p_ref, sc_ref, db, tlp_half, compute_dtype,
+                   precision, qrow=None):
+    """Masked, dequantized per-doc blockmax (DB, QBL) from one packed tile."""
+    d = p_ref.shape[-1]
+    praw = p_ref[:].reshape(db * tlp_half, d).astype(jnp.int32)
+    lo = praw & 15
+    lo = lo - 16 * (lo >= 8).astype(jnp.int32)     # even tokens, sign-extended
+    hi = praw >> 4
+    hi = hi - 16 * (hi >= 8).astype(jnp.int32)     # odd tokens
+
+    def simT(codes):
+        if qf_ref.dtype == jnp.int8:
+            # full-quantized path: int8 x int8 -> int32 on the MXU (codes
+            # are ±7 — comfortably inside int8)
+            return jax.lax.dot_general(
+                codes.astype(jnp.int8), qf_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+        return jax.lax.dot_general(
+            codes.astype(compute_dtype), qf_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)                    # (DB*TLP/2, QBL)
+
+    def masked(sim, plane):
+        scol = jnp.transpose(sc_ref[0, plane:plane + 1])  # (DB*TLP/2, 1)
+        val = sim * scol if qrow is None else sim * scol * qrow
+        return jnp.where(scol >= 0, val, NEG_INIT)
+
+    bm_even = jnp.max(masked(simT(lo), 0).reshape(db, tlp_half, -1), axis=1)
+    bm_odd = jnp.max(masked(simT(hi), 1).reshape(db, tlp_half, -1), axis=1)
+    return jnp.maximum(bm_even, bm_odd)             # (DB, QBL)
+
+
+def _kernel_int4(qf_ref, qmf_ref, p_ref, sc_ref, out_ref, acc_ref, *, db,
+                 tlp_half, lq_pad, qb, out_dtype, precision, compute_dtype,
+                 epilogue="sublane", n_lp_static=None):
+    l = pl.program_id(2)
+    n_l = pl.num_programs(2)
+
+    if epilogue == "tokpre" and n_lp_static == 1:
+        # single-lp-tile direct path (the small-Lp serving shape)
+        bm = _int4_blockmax(qf_ref, p_ref, sc_ref, db, tlp_half,
+                            compute_dtype, precision, qrow=qmf_ref[0])
+        out_ref[0, 0] = _value_chain_sum(bm, db, qb, lq_pad).astype(out_dtype)
+        return
+
+    @pl.when(l == 0)
+    def _init():
+        acc_ref[:] = jnp.full_like(acc_ref, NEG_INIT)
+
+    bm = _int4_blockmax(qf_ref, p_ref, sc_ref, db, tlp_half, compute_dtype,
+                        precision,
+                        qrow=qmf_ref[0] if epilogue == "tokpre" else None)
+    acc_ref[:] = jnp.maximum(acc_ref[:], bm)
+
+    @pl.when(l == n_l - 1)
+    def _finish():
+        if epilogue == "tokchain":
+            out_ref[0, 0] = _chain_sum(acc_ref, qmf_ref, db, qb, lq_pad
+                                       ).astype(out_dtype)
+            return
+        if epilogue == "tokpre":
+            out_ref[0, 0] = _value_chain_sum(acc_ref[:], db, qb, lq_pad
+                                             ).astype(out_dtype)
+            return
+        acc = acc_ref[:]
+        mx = jnp.where(acc > NEG_THRESH, acc, 0.0)
+        weighted = mx * qmf_ref[0]
+        out = _finish_sum(weighted, db, qb, lq_pad, epilogue)
+        if epilogue == "sublane" or epilogue.startswith("tok"):
+            out_ref[0, 0] = out.astype(out_dtype)
+        else:
+            out_ref[0, 0] = jnp.transpose(out).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "target_rows", "target_cols",
+                              "epilogue", "max_tlp")
+)
+def maxsim_pallas_int4full(Q, P_u8, scales, qmask, pmask,
+                           interpret: bool = False, target_rows: int = 4096,
+                           target_cols: int = 3072, epilogue: str = "auto",
+                           max_tlp: int = None):
+    """Fully-quantized MaxSim over a packed-int4 index: int8 queries x int4
+    codes on the MXU (int8 dot). Query quantization and the q-side scale
+    placement match maxsim_pallas_int8full exactly."""
+    amax = jnp.max(jnp.abs(Q).astype(jnp.float32), axis=-1)
+    sq = amax / 127.0
+    safe = jnp.where(sq > 0, sq, 1.0)
+    Q_i8 = jnp.clip(jnp.round(Q.astype(jnp.float32) / safe[..., None]),
+                    -127, 127).astype(jnp.int8)
+    q_weight = qmask.astype(jnp.float32) * sq
+    return _maxsim_int4_impl(Q_i8, q_weight, P_u8, scales, pmask,
+                             compute_dtype=jnp.int8, interpret=interpret,
+                             target_rows=target_rows, target_cols=target_cols,
+                             epilogue=epilogue, max_tlp=max_tlp)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("compute_dtype", "interpret", "target_rows",
+                              "target_cols", "epilogue", "max_tlp")
+)
+def maxsim_pallas_int4(Q, P_u8, scales, qmask, pmask,
+                       compute_dtype=jnp.bfloat16, interpret: bool = False,
+                       target_rows: int = 4096, target_cols: int = 3072,
+                       epilogue: str = "auto", max_tlp: int = None):
+    """Fused MaxSim over a token-pair-packed int4 index (ops/int4.py).
+
+    Q (nq, Lq, D) float; P_u8 (nd, ceil(Lp/2), D) uint8 packed codes;
+    scales (nd, Lp) f32 per-token scales. Scores match the dequantized-fp32
+    oracle up to compute-dtype rounding."""
+    return _maxsim_int4_impl(Q, qmask.astype(jnp.float32), P_u8, scales,
+                             pmask, compute_dtype=compute_dtype,
+                             interpret=interpret, target_rows=target_rows,
+                             target_cols=target_cols, epilogue=epilogue,
+                             max_tlp=max_tlp)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("compute_dtype", "interpret", "target_rows",
+                              "target_cols", "epilogue", "max_tlp")
+)
+def _maxsim_int4_impl(Q, q_weight, P_u8, scales, pmask,
+                      compute_dtype=jnp.bfloat16, interpret: bool = False,
+                      target_rows: int = 4096, target_cols: int = 3072,
+                      epilogue: str = "auto", max_tlp: int = None):
+    """Shared packed-int4 kernel driver; Q float (bf16 dot) or int8
+    (int8 dot); ``q_weight`` is the post-max per-query-token row."""
+    nq, lq, d = Q.shape
+    nd = P_u8.shape[0]
+    lp = pmask.shape[-1]
+    qb, lq_pad, db, tlp = _pick_tiles(lq, lp, target_rows, target_cols,
+                                      nq=nq, max_tlp=max_tlp)
+    tlp = max(16, tlp)          # multiples of 16 -> always even
+    tlp_half = tlp // 2
+    epilogue, _ = _resolve_epilogue(epilogue, qb, db, interpret=interpret)
+
+    nq_pad = _round_up(max(nq, qb), qb)
+    nd_pad = _round_up(max(nd, db), db)
+    lp_pad = _round_up(lp, tlp)
+    d_pad = _round_up(d, 128)
+
+    def padded(x, shape, dtype, fill=0):
+        x = x.astype(dtype)
+        if x.shape == shape:
+            return x
+        return jnp.full(shape, fill, dtype).at[
+            tuple(slice(0, s) for s in x.shape)].set(x)
+
+    Qp = padded(Q, (nq_pad, lq_pad, d_pad), compute_dtype)
+    Pp = padded(P_u8, (nd_pad, lp_pad // 2, d_pad), jnp.uint8)
+    qm = padded(q_weight, (nq_pad, lq_pad), jnp.float32)
+    # sentinel layout: valid token -> its scale (>= 0), invalid/pad -> -1;
+    # the packed token axis splits the sentinel row into even/odd planes
+    sct = jnp.where(pmask, scales.astype(jnp.float32), -1.0)
+    sct = padded(sct, (nd_pad, lp_pad), jnp.float32, fill=-1.0)
+
+    qbl = qb * lq_pad
+    n_qb, n_db, n_lp = nq_pad // qb, nd_pad // db, lp_pad // tlp
+    qf, qmf = _flatten_q(Qp, qm, n_qb, qb, lq_pad, d_pad, epilogue)
+
+    def plane(sc2):  # (nd_pad, lp_pad/2) -> (n_db*n_lp, db*tlp_half)
+        return (sc2.reshape(n_db, db, n_lp, tlp_half).transpose(0, 2, 1, 3)
+                .reshape(n_db * n_lp, db * tlp_half))
+
+    sc_t = jnp.stack([plane(sct[:, 0::2]), plane(sct[:, 1::2])], axis=1)
+
+    precision = (jax.lax.Precision.HIGHEST
+                 if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    cost = pl.CostEstimate(
+        flops=2 * (nq_pad * lq_pad) * (nd_pad * lp_pad) * d_pad,
+        bytes_accessed=qf.size * qf.dtype.itemsize
+        + Pp.size * 1 * n_qb + nq_pad * nd_pad * 4,
+        transcendentals=0,
+    )
+    kernel = functools.partial(
+        _kernel_int4, db=db, tlp_half=tlp_half, lq_pad=lq_pad, qb=qb,
+        out_dtype=jnp.float32, precision=precision,
+        compute_dtype=compute_dtype, epilogue=epilogue, n_lp_static=n_lp)
+
+    out_spec, out_shape, finalize = _out_layout(n_qb, n_db, qb, db, epilogue)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_qb, n_db, n_lp),
+        in_specs=[
+            pl.BlockSpec((qbl, d_pad), lambda i, j, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, qbl), lambda i, j, l: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((db, tlp_half, d_pad), lambda i, j, l: (j, l, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, db * tlp_half),
+                         lambda i, j, l: (j * pl.num_programs(2) + l, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((db, qbl), jnp.float32)],
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(qf, qmf, Pp, sc_t)
+    return finalize(out)[:nq, :nd]

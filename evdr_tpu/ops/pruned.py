@@ -69,10 +69,11 @@ def _rerank_block(Q, qmask, P, pmask, cand_idx, k: int, scales=None,
             Pg = jnp.concatenate(rec, axis=-1)   # (nq, C, Lp, D)
     elif Pg.dtype == jnp.uint8:
         # packed-int4 index (ops/int4.py): unpack only the gathered
-        # candidates; per-token scales apply below like int8's
+        # candidates (token-pair layout -> original token order);
+        # per-token scales apply below like int8's
         from evdr_tpu.ops.int4 import unpack_int4_jnp
 
-        Pg = unpack_int4_jnp(Pg)
+        Pg = unpack_int4_jnp(Pg, lp=pmask.shape[-1])
     if scales is not None:
         Pg = Pg.astype(jnp.float32) * jnp.take(scales, cand_idx,
                                                axis=0)[..., None]

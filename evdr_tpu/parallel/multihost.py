@@ -311,13 +311,15 @@ def build_multihost_index(P_full, pmask, mesh: Mesh, docids=None,
         np_cast = (np.dtype(dtype) if dtype != "bfloat16"
                    else np.dtype(ml_dtypes.bfloat16))
 
+    lp_codes = lp
     if dtype == "int4" and scales is None:
-        # per-slice packing halves the stored tail dim (ops/int4.py)
-        tail = tuple(list(tail[:-1]) + [tail[-1] // 2])
+        # token-pair packing halves the token axis of the CODES (ops/
+        # int4.py); scales/pmask keep the full Lp
+        lp_codes = (lp + 1) // 2
 
     sh3 = NamedSharding(mesh, P(DOC_AXIS, *([None] * (1 + len(tail)))))
     sh2 = NamedSharding(mesh, P(DOC_AXIS, None))
-    g3 = (n_pad, lp) + tail
+    g3 = (n_pad, lp_codes) + tail
     g2 = (n_pad, lp)
 
     if dtype in ("int8", "int4") and scales is None:

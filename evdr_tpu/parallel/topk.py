@@ -31,10 +31,21 @@ def _local_scores(Q, qmask, P_loc, pm_loc, chunk_p: int, impl: str,
 
         return maxsim_pq_xla(Q, P_loc, qmask, pm_loc, books, chunk_p=chunk_p)
     if scales is not None and P_loc.dtype == jnp.uint8:
-        # packed-int4 index (ops/int4.py): uint8 nibble pairs + per-token
-        # scales. Chunked-unpack XLA scoring on every backend — the packed
-        # stream is the HBM win; a dedicated Pallas unpack kernel can slot
-        # in here later without touching callers.
+        # packed-int4 index (ops/int4.py): token-pair uint8 codes + per-
+        # token scales. The Pallas kernel unpacks in VMEM (the packed
+        # stream is the HBM win); XLA fallback unpacks chunk-by-chunk.
+        if impl == "pallas_q8":
+            from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int4full
+
+            # serving tiles: same VMEM-safe 2048-row tiling as int8 (the
+            # 4096 default OOMs scoped VMEM on small-Lp corpora)
+            return maxsim_pallas_int4full(Q, P_loc, scales, qmask, pm_loc,
+                                          target_rows=2048)
+        if impl == "pallas":
+            from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int4
+
+            return maxsim_pallas_int4(Q, P_loc, scales, qmask, pm_loc,
+                                      target_rows=2048)
         from evdr_tpu.ops.int4 import maxsim_int4_xla
 
         return maxsim_int4_xla(Q, P_loc, scales, qmask, pm_loc,

@@ -197,9 +197,8 @@ def warm_query_dim(engine) -> int:
         b = idx.books
         return (int(b.shape[-1]) if getattr(idx, "books_expanded", False)
                 else int(b.shape[0] * b.shape[-1]))
-    if idx.P.dtype == np.uint8:
-        # packed int4 (ops/int4.py): two dims per stored byte
-        return int(idx.P.shape[-1]) * 2
+    # int4's token-pair packing (ops/int4.py) keeps full-width D lanes, so
+    # the plain fallback is correct for it too
     return int(idx.P.shape[-1])
 
 

@@ -124,16 +124,23 @@ def main():
             "index_bytes": int(a.n_docs * a.lp * (a.d + 4))}
     del Cd, Sd
 
-    # --- int4 packed index (chunked unpack + matmul; capacity rung
-    # between int8 and PQ)
+    # --- int4 packed index (capacity rung between int8 and PQ): Pallas
+    # in-VMEM unpack kernel on TPU, chunked unpack + matmul elsewhere
     from evdr_tpu.ops.int4 import maxsim_int4_xla, quantize_tokens_int4
 
     packed4, scales4 = quantize_tokens_int4(P, pm)
     C4d, S4d = jnp.asarray(packed4), jnp.asarray(scales4)
 
-    def f_i4(q, m, C_, S_, pm_):
-        sc = maxsim_int4_xla(q, C_, S_, m, pm_, chunk_p=a.chunk_p)
-        return jax.lax.top_k(sc, a.k)
+    if on_tpu:
+        from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int4
+
+        def f_i4(q, m, C_, S_, pm_):
+            sc = maxsim_pallas_int4(q, C_, S_, m, pm_, target_rows=2048)
+            return jax.lax.top_k(sc, a.k)
+    else:
+        def f_i4(q, m, C_, S_, pm_):
+            sc = maxsim_int4_xla(q, C_, S_, m, pm_, chunk_p=a.chunk_p)
+            return jax.lax.top_k(sc, a.k)
 
     results["int4"] = {
         "qps": timed_qps(lambda q, m, *r: f_i4(q, m, *r),

@@ -95,6 +95,10 @@ def main():
     p.add_argument("--int8", default="off", choices=["off", "index", "full"],
                    help="profile the int8-index kernel (bf16 dot) or the "
                         "fully-quantized int8xint8 kernel instead of bf16")
+    p.add_argument("--int4", default="off", choices=["off", "index", "full"],
+                   help="profile the packed-int4 kernel (ops/int4.py token-"
+                        "pair layout): 'index' = bf16 dot, 'full' = int8 "
+                        "queries x int4 codes on the int8 MXU path")
     p.add_argument("--max-tlp", type=int, default=None,
                    help="cap the lp-tile so long docs split Lp across "
                         "contraction steps (e.g. 384 at Lp=768 -> db=8, "
@@ -113,7 +117,23 @@ def main():
 
     enable_persistent_cache()
     Q, P, qm, pm = _data()
-    if a.int8 != "off":
+    if a.int4 != "off":
+        from evdr_tpu.ops.int4 import quantize_tokens_int4
+        from evdr_tpu.ops.pallas_maxsim import (maxsim_pallas_int4,
+                                                maxsim_pallas_int4full)
+
+        packed, scales = quantize_tokens_int4(P, pm)
+        Qd, qmd, pmd = map(jnp.asarray, (Q, qm, pm))
+        Pd, scd = jnp.asarray(packed), jnp.asarray(scales)
+        kern = (maxsim_pallas_int4full if a.int4 == "full"
+                else maxsim_pallas_int4)
+        fwd = functools.partial(kern, epilogue=a.epilogue, max_tlp=a.max_tlp)
+
+        def _wrap4(f):
+            return lambda q, p_, qm_, pm_, **kw: f(q, p_, scd, qm_, pm_, **kw)
+
+        fwd = _wrap4(fwd)
+    elif a.int8 != "off":
         from evdr_tpu.ops.pallas_maxsim import (maxsim_pallas_int8,
                                                 maxsim_pallas_int8full)
         from evdr_tpu.ops.quantize import quantize_tokens_int8

@@ -32,8 +32,9 @@ def test_int4_pack_unpack_roundtrip(rng):
     P = rng.normal(size=(20, 5, 32)).astype(np.float32)
     pmask = rng.random((20, 5)) > 0.2
     packed, scale = quantize_tokens_int4(P, pmask)
-    assert packed.dtype == np.uint8 and packed.shape == (20, 5, 16)
-    codes = unpack_int4(packed)
+    # token-pair layout: odd Lp=5 packs into 3 byte-rows of full-D lanes
+    assert packed.dtype == np.uint8 and packed.shape == (20, 3, 32)
+    codes = unpack_int4(packed, lp=5)
     assert codes.min() >= -7 and codes.max() <= 7
     # reference codes computed directly
     amax = np.max(np.abs(P), axis=-1)
@@ -102,7 +103,8 @@ def test_int4_engine_exact_sharded_pruned_and_packed(rng, tmp_path):
     eng = RetrievalEngine(dtype="int4", impl="xla", mesh=make_mesh(1))
     eng.build(P, pmask, docids=[f"d{i}" for i in range(41)])
     assert eng.index.P.dtype == np.uint8
-    assert eng.index.P.shape[-1] == P.shape[2] // 2
+    assert eng.index.P.shape[1] == (P.shape[1] + 1) // 2  # token pairs
+    assert eng.index.P.shape[-1] == P.shape[2]            # full-D lanes
     vals, idx = eng.search_dense(Q, qmask, k=5)
     # oracle: dequantized reconstruction of the engine's own index
     rec = dequantize_int4(np.asarray(eng.index.P)[:41],
@@ -134,7 +136,7 @@ def test_int4_engine_exact_sharded_pruned_and_packed(rng, tmp_path):
         {"documents": _as_ragged(P, pmask),
          "docid": [f"d{i}" for i in range(41)]},
         dtype="int4", normalize=True)
-    assert packed["P_codes4"].shape[-1] == P.shape[2] // 2
+    assert packed["P_codes4"].shape[-1] == P.shape[2]
     np.savez(tmp_path / "i4.npz", **packed)
     engf = RetrievalEngine.from_npz(tmp_path / "i4.npz", dtype="int4",
                                     impl="xla", mesh=make_mesh(1))
@@ -178,9 +180,105 @@ def test_int4_serve_warm_dim(rng):
     assert warm_query_dim(eng) == P.shape[2]
 
 
-def test_int4_odd_dim_rejected(rng):
-    with pytest.raises(ValueError):
-        quantize_tokens_int4(rng.normal(size=(2, 2, 31)).astype(np.float32))
+def test_int4_odd_lp_pad_token_is_inert(rng):
+    """Odd Lp packs a zero token into the last byte's high nibble; it must
+    never influence scores (scale 0 + pmask absent)."""
+    P, pmask, Q, qmask, _ = _corpus(rng, n=15, lp=7)
+    packed, scale = quantize_tokens_int4(P, pmask)
+    assert packed.shape == (15, 4, P.shape[2])
+    ref = maxsim_numpy(Q, dequantize_int4(packed, scale), qmask, pmask)
+    got = np.asarray(maxsim_int4_xla(Q, packed, scale, qmask, pmask,
+                                     chunk_p=6))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_int4_pallas_kernel_matches_dequantized_oracle(rng):
+    """Interpret-mode kernel parity vs the dequantized-fp32 oracle on a
+    masked ragged corpus (sublane epilogue at this small tiling)."""
+    import jax.numpy as jnp
+
+    from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int4
+
+    P, pmask, Q, qmask, _ = _corpus(rng, d=128)
+    packed, scale = quantize_tokens_int4(P, pmask)
+    want = maxsim_numpy(Q, dequantize_int4(packed, scale), qmask, pmask)
+    got = np.asarray(maxsim_pallas_int4(
+        jnp.asarray(Q), jnp.asarray(packed), jnp.asarray(scale),
+        jnp.asarray(qmask), jnp.asarray(pmask),
+        compute_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert np.all(got[:, 3] == 0.0)  # fully-masked doc -> exact 0
+
+
+def test_int4_pallas_kernel_epilogue_paths(rng):
+    """Tilings that engage each epilogue family (qb=128 unlocks tok*),
+    including the single-lp-tile tokpre direct path and odd Lp."""
+    import jax.numpy as jnp
+
+    from evdr_tpu.ops.pallas_maxsim import _pick_tiles, _resolve_epilogue, \
+        maxsim_pallas_int4
+
+    P, pmask, Q, qmask, _ = _corpus(rng, n=24, lp=7, lq=5, nq=128, d=128)
+    packed, scale = quantize_tokens_int4(P, pmask)
+    want = maxsim_numpy(Q, dequantize_int4(packed, scale), qmask, pmask)
+    # confirm the auto gate engages a token-major path at this tiling
+    qb, lqp, db, tlp = _pick_tiles(5, 7, 4096, 3072, nq=128)
+    assert _resolve_epilogue("auto", qb, db)[0].startswith("tok")
+    for epi in ("auto", "sublane", "tokchain", "tokpre"):
+        got = np.asarray(maxsim_pallas_int4(
+            jnp.asarray(Q), jnp.asarray(packed), jnp.asarray(scale),
+            jnp.asarray(qmask), jnp.asarray(pmask),
+            compute_dtype=jnp.float32, interpret=True, epilogue=epi))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                                   err_msg=epi)
+    # multi-lp-tile path (several contraction steps per doc block)
+    got_mt = np.asarray(maxsim_pallas_int4(
+        jnp.asarray(Q), jnp.asarray(packed), jnp.asarray(scale),
+        jnp.asarray(qmask), jnp.asarray(pmask),
+        compute_dtype=jnp.float32, interpret=True, max_tlp=16, epilogue="sublane"))
+    np.testing.assert_allclose(got_mt, want, rtol=1e-5, atol=1e-5)
+
+
+def test_int4_pallas_zero_valid_token_scores_zero_not_masked(rng):
+    """A valid all-zero token participates with sim 0 (scale 0 is VALID —
+    the sentinel must not confuse it with masked -1)."""
+    import jax.numpy as jnp
+
+    from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int4
+
+    P, pmask, Q, qmask, _ = _corpus(rng, n=6, lp=4, lq=3, d=128)
+    P[1] = 0.0
+    pmask[1] = True
+    qmask[:] = True
+    packed, scale = quantize_tokens_int4(P, pmask)
+    got = np.asarray(maxsim_pallas_int4(
+        jnp.asarray(Q), jnp.asarray(packed), jnp.asarray(scale),
+        jnp.asarray(qmask), jnp.asarray(pmask),
+        compute_dtype=jnp.float32, interpret=True))
+    want = maxsim_numpy(Q, dequantize_int4(packed, scale), qmask, pmask)
+    np.testing.assert_allclose(got[:, 1], want[:, 1], atol=1e-6)
+
+
+def test_int4full_kernel_matches_double_quantized_oracle(rng):
+    """int8-query x int4-code path: scores equal the oracle computed from
+    BOTH quantizations applied explicitly."""
+    import jax.numpy as jnp
+
+    from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int4full
+
+    P, pmask, Q, qmask, _ = _corpus(rng, d=128)
+    packed, scale = quantize_tokens_int4(P, pmask)
+    # replicate the kernel's query quantization
+    amax = np.max(np.abs(Q), axis=-1)
+    sq = amax / 127.0
+    safe = np.where(sq > 0, sq, 1.0)
+    Qq = np.clip(np.rint(Q / safe[..., None]), -127, 127) * sq[..., None]
+    want = maxsim_numpy(Qq.astype(np.float32),
+                        dequantize_int4(packed, scale), qmask, pmask)
+    got = np.asarray(maxsim_pallas_int4full(
+        jnp.asarray(Q), jnp.asarray(packed), jnp.asarray(scale),
+        jnp.asarray(qmask), jnp.asarray(pmask), interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
 def _as_ragged(P, pmask):
