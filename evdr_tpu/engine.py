@@ -277,8 +277,13 @@ class RetrievalEngine:
                     payload["P_pad"] = dequantize_int8(payload["P_codes"],
                                                        payload["P_scale"])
             eng.build(payload["P_pad"], payload["pmask"], docids=docids,
+                      # int4 engines can't quantize-on-stream (sharded_
+                      # index raises); a float/int8 file under an int4
+                      # engine degrades to an eager quantizing build
+                      # rather than dying at startup
                       streaming=(mmap and normalized
-                                 and eng.prune_centroids == 0),
+                                 and eng.prune_centroids == 0
+                                 and eng.dtype != "int4"),
                       # stored normalized: skip the renorm for THIS build
                       normalize=False if normalized else None)
         else:

@@ -298,6 +298,35 @@ def _value_chain_sum(bm, db, qb, lq_pad):
     return out  # (DB, QB), untransposed
 
 
+def _emit_finish(out_ref, acc_ref, qmf_ref, db, qb, lq_pad, epilogue,
+                 out_dtype):
+    """End-of-contraction epilogue emit, shared by EVERY kernel variant
+    (bf16, int8, int4) so an epilogue fix can never diverge between them.
+    Runs at the last lp-tile step with the accumulated (DB, QBL) blockmax
+    in ``acc_ref``. Emit layouts: 'tok*' and 'sublane' store (DB, QB)
+    doc-major-in-block (the 'tokmajor_nt' driver transposes in XLA); the
+    legacy epilogues store qb-major (db is 128-aligned for long-doc tiles,
+    so the (..., qb, db) output array avoids lane padding at large N)."""
+    if epilogue == "tokchain":
+        out_ref[0, 0] = _chain_sum(acc_ref, qmf_ref, db, qb, lq_pad
+                                   ).astype(out_dtype)
+        return
+    if epilogue == "tokpre":
+        # q-weight row was already applied pre-max in the fused stream
+        out_ref[0, 0] = _value_chain_sum(acc_ref[:], db, qb, lq_pad
+                                         ).astype(out_dtype)
+        return
+    acc = acc_ref[:]
+    # doc_has_token rule: all-invalid doc -> 0
+    mx = jnp.where(acc > NEG_THRESH, acc, 0.0)
+    weighted = mx * qmf_ref[0]  # (DB, QBL) * (1, QBL)
+    out = _finish_sum(weighted, db, qb, lq_pad, epilogue)  # (DB, QB)
+    if epilogue == "sublane" or epilogue.startswith("tok"):
+        out_ref[0, 0] = out.astype(out_dtype)
+    else:
+        out_ref[0, 0] = jnp.transpose(out).astype(out_dtype)
+
+
 def _flatten_q(Qp, qm, n_qb, qb, lq_pad, d_pad, epilogue):
     """Flatten padded queries to kernel row layout: (nq_pad*lq_pad, d_pad)
     rows + (n_qb, 1, qb*lq_pad) mask rows.
@@ -376,26 +405,8 @@ def _kernel(qf_ref, qmf_ref, p_ref, pm_ref, out_ref, acc_ref, *, db, tlp, lq_pad
 
     @pl.when(l == n_l - 1)
     def _finish():
-        if epilogue == "tokchain":
-            out_ref[0, 0] = _chain_sum(acc_ref, qmf_ref, db, qb, lq_pad
-                                       ).astype(out_dtype)
-            return
-        if epilogue == "tokpre":
-            out_ref[0, 0] = _value_chain_sum(acc_ref[:], db, qb, lq_pad
-                                           ).astype(out_dtype)
-            return
-        acc = acc_ref[:]
-        # doc_has_token rule: all-invalid doc -> 0
-        mx = jnp.where(acc > NEG_THRESH, acc, 0.0)
-        weighted = mx * qmf_ref[0]  # (DB, QBL) * (1, QBL)
-        out = _finish_sum(weighted, db, qb, lq_pad, epilogue)  # (DB, QB)
-        # store qb-major/db-minor: db is 128-aligned for long-doc tiles, so
-        # the (..., qb, db) output array avoids lane padding at large N
-        # ('tokmajor_nt' stores doc-major; its driver transposes in XLA)
-        if epilogue == "sublane" or epilogue.startswith("tok"):
-            out_ref[0, 0] = out.astype(out_dtype)
-        else:
-            out_ref[0, 0] = jnp.transpose(out).astype(out_dtype)
+        _emit_finish(out_ref, acc_ref, qmf_ref, db, qb, lq_pad, epilogue,
+                     out_dtype)
 
 
 @functools.partial(
@@ -613,22 +624,8 @@ def _kernel_int8(qf_ref, qmf_ref, p_ref, sc_ref, out_ref, acc_ref, *, db, tlp,
 
     @pl.when(l == n_l - 1)
     def _finish():
-        if epilogue == "tokchain":
-            out_ref[0, 0] = _chain_sum(acc_ref, qmf_ref, db, qb, lq_pad
-                                       ).astype(out_dtype)
-            return
-        if epilogue == "tokpre":
-            out_ref[0, 0] = _value_chain_sum(acc_ref[:], db, qb, lq_pad
-                                           ).astype(out_dtype)
-            return
-        acc = acc_ref[:]
-        mx = jnp.where(acc > NEG_THRESH, acc, 0.0)
-        weighted = mx * qmf_ref[0]
-        out = _finish_sum(weighted, db, qb, lq_pad, epilogue)
-        if epilogue == "sublane" or epilogue.startswith("tok"):
-            out_ref[0, 0] = out.astype(out_dtype)
-        else:
-            out_ref[0, 0] = jnp.transpose(out).astype(out_dtype)
+        _emit_finish(out_ref, acc_ref, qmf_ref, db, qb, lq_pad, epilogue,
+                     out_dtype)
 
 
 def _kernel_int8_defer(qf_ref, qmf_ref, p_ref, sc_ref, out_ref, acc_ref,
@@ -921,22 +918,8 @@ def _kernel_int4(qf_ref, qmf_ref, p_ref, sc_ref, out_ref, acc_ref, *, db,
 
     @pl.when(l == n_l - 1)
     def _finish():
-        if epilogue == "tokchain":
-            out_ref[0, 0] = _chain_sum(acc_ref, qmf_ref, db, qb, lq_pad
-                                       ).astype(out_dtype)
-            return
-        if epilogue == "tokpre":
-            out_ref[0, 0] = _value_chain_sum(acc_ref[:], db, qb, lq_pad
-                                             ).astype(out_dtype)
-            return
-        acc = acc_ref[:]
-        mx = jnp.where(acc > NEG_THRESH, acc, 0.0)
-        weighted = mx * qmf_ref[0]
-        out = _finish_sum(weighted, db, qb, lq_pad, epilogue)
-        if epilogue == "sublane" or epilogue.startswith("tok"):
-            out_ref[0, 0] = out.astype(out_dtype)
-        else:
-            out_ref[0, 0] = jnp.transpose(out).astype(out_dtype)
+        _emit_finish(out_ref, acc_ref, qmf_ref, db, qb, lq_pad, epilogue,
+                     out_dtype)
 
 
 @functools.partial(

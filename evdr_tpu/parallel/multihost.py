@@ -170,9 +170,11 @@ class MultihostSearchCoordinator:
     (``tools/serve_http.py`` does) so follower compile caches stay small.
 
     Duck-types the engine surface ``make_server`` consumes, so it drops in
-    as the server's engine. The frontend must serialize searches (the HTTP
-    handler's dispatch lock does): two interleaved broadcast streams would
-    desynchronize the followers.
+    as the server's engine. The frontend must serialize searches — in
+    evdr-serve that invariant is carried by the MicroBatcher's SINGLE
+    dispatcher thread (tools/serve_http.py); direct callers must not
+    invoke ``search_dense`` concurrently — two interleaved broadcast
+    streams would desynchronize the followers.
     """
 
     OP_STOP, OP_SEARCH = 0, 1
@@ -298,7 +300,11 @@ def build_multihost_index(P_full, pmask, mesh: Mesh, docids=None,
     :class:`ShardedIndex` drives sharded_maxsim / sharded_topk / the
     sharded train step unchanged.
     """
-    n, lp = int(P_full.shape[0]), int(P_full.shape[1])
+    n = int(P_full.shape[0])
+    # token width comes from pmask, NOT P_full: pre-packed int4 codes store
+    # ceil(Lp/2) token-pair rows while pmask/scales keep the full Lp
+    lp = int(pmask.shape[1])
+    lp_codes = int(P_full.shape[1])
     n_shards = dict(mesh.shape).get(DOC_AXIS, mesh.devices.size)
     quantum = n_shards * max(1, int(pad_docs_to))
     n_pad = ((n + quantum - 1) // quantum) * quantum
@@ -311,11 +317,12 @@ def build_multihost_index(P_full, pmask, mesh: Mesh, docids=None,
         np_cast = (np.dtype(dtype) if dtype != "bfloat16"
                    else np.dtype(ml_dtypes.bfloat16))
 
-    lp_codes = lp
     if dtype == "int4" and scales is None:
-        # token-pair packing halves the token axis of the CODES (ops/
-        # int4.py); scales/pmask keep the full Lp
-        lp_codes = (lp + 1) // 2
+        # per-slice token-pair packing halves the token axis of the CODES
+        # produced below (ops/int4.py); scales/pmask keep the full Lp
+        from evdr_tpu.ops.int4 import packed_token_rows
+
+        lp_codes = packed_token_rows(lp)
 
     sh3 = NamedSharding(mesh, P(DOC_AXIS, *([None] * (1 + len(tail)))))
     sh2 = NamedSharding(mesh, P(DOC_AXIS, None))

@@ -100,9 +100,20 @@ class MicroBatcher:
         self.max_batch = max(1, max_batch)
         self._cv = threading.Condition()
         self._pending: list[_BatchReq] = []
+        self._closed = False
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="evdr-serve-batcher")
         self._thread.start()
+
+    def close(self) -> None:
+        """Stop the dispatcher thread (drains queued requests first).
+        Without this every make_server leaks an immortal daemon thread
+        pinning the engine's device buffers; the server's ``server_close``
+        calls it."""
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        self._thread.join(timeout=30)
 
     # ------------------------------------------------------------- request
     def submit(self, Q, qmask, k: int, n_candidates=None) -> _BatchReq:
@@ -131,8 +142,10 @@ class MicroBatcher:
         followers, then remove and return one compatible group."""
         with self._cv:
             while not self._pending:
+                if self._closed:
+                    return []
                 self._cv.wait()
-            if self.wait_s > 0.0:
+            if self.wait_s > 0.0 and not self._closed:
                 deadline = time.monotonic() + self.wait_s
                 while len(self._pending) < self.max_batch:
                     left = deadline - time.monotonic()
@@ -183,7 +196,10 @@ class MicroBatcher:
 
     def _loop(self) -> None:
         while True:
-            self._dispatch(self._take_group())
+            group = self._take_group()
+            if not group:  # closed AND drained
+                return
+            self._dispatch(group)
 
 
 def warm_query_dim(engine) -> int:
@@ -217,6 +233,11 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
                            max_batch=max_batch)
     max_body = max_body_mb * (1 << 20)
     expected_d = warm_query_dim(engine)
+
+    class Server(ThreadingHTTPServer):
+        def server_close(self):
+            batcher.close()  # stop the dispatcher thread with the server
+            super().server_close()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -274,6 +295,12 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
                 # clamp to the real doc count: beyond it top-k would surface
                 # index-padding rows (-inf scores, out-of-range docids)
                 k = min(int(req.get("k", default_k)), engine.n_docs)
+                if k < 1:
+                    # reject BEFORE submit: the group dispatches at max-k
+                    # and slices per request, so a negative k would return
+                    # a silently truncated 200 instead of an error
+                    return self._reply(400, {"error": f"k must be >= 1, "
+                                                      f"got {k}"})
                 n_cand = int(req.get("n_candidates", default_candidates)) or None
                 t0 = time.perf_counter()
                 breq = batcher.submit(Q, qmask, k=k, n_candidates=n_cand)
@@ -293,7 +320,7 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
                 self._reply(500, {  # connection alive instead of dropping it
                     "error": f"{type(e).__name__}: {e}"})
 
-    return ThreadingHTTPServer((host, port), Handler)
+    return Server((host, port), Handler)
 
 
 def main(argv=None) -> None:

@@ -72,7 +72,19 @@ def bench_config(engine, queries, k: int, clients: int, waves: int,
     thread.start()
     base = f"http://127.0.0.1:{srv.server_address[1]}"
     try:
-        run_wave(base, queries, k, clients)  # warm (compile both shapes)
+        # warm EVERY power-of-two batch bucket a coalesced group can land
+        # on (group sizes vary wave to wave; an unwarmed bucket would put
+        # a compile inside the timed wave)
+        b = 1
+        while b <= min(max_batch, clients):
+            body = json.dumps({"queries": queries[:b], "k": k}).encode()
+            req = urllib.request.Request(
+                base + "/search", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=600) as r:
+                r.read()
+            b *= 2
+        run_wave(base, queries, k, clients)  # warm the concurrent path
         best_qps, sizes, top1 = 0.0, [], None
         for _ in range(waves):
             wall, wave_sizes, wave_top1 = run_wave(base, queries, k, clients)
@@ -84,6 +96,7 @@ def bench_config(engine, queries, k: int, clients: int, waves: int,
                 "max_group": int(np.max(sizes))}, top1
     finally:
         srv.shutdown()
+        srv.server_close()  # stops the MicroBatcher dispatcher too
 
 
 def main():

@@ -169,6 +169,59 @@ def test_int4_engine_exact_sharded_pruned_and_packed(rng, tmp_path):
     np.testing.assert_allclose(dv, fv, rtol=2e-5, atol=2e-5)
 
 
+def test_int4_multihost_build_from_packed_codes(rng):
+    """build_multihost_index with PRE-PACKED int4 codes: pmask/scales keep
+    full Lp while codes store ceil(Lp/2) token-pair rows (regression: the
+    global shapes once used the packed row count for all three)."""
+    from evdr_tpu.parallel.mesh import make_mesh
+    from evdr_tpu.parallel.multihost import build_multihost_index
+    from evdr_tpu.parallel.topk import sharded_topk
+
+    P, pmask, Q, qmask, _ = _corpus(rng, n=21, lp=5, lq=4)
+    packed, scale = quantize_tokens_int4(P, pmask)
+    mesh = make_mesh(4)
+    idx = build_multihost_index(packed, pmask, mesh, scales=scale,
+                                pad_docs_to=2)
+    assert idx.P.shape[1] == 3 and idx.pmask.shape[1] == 5
+    import jax.numpy as jnp
+
+    from evdr_tpu.parallel.mesh import replicate
+
+    v, i = sharded_topk(replicate(jnp.asarray(Q), mesh),
+                        replicate(jnp.asarray(qmask), mesh), idx, k=3)
+    ref = maxsim_numpy(Q, dequantize_int4(packed, scale), qmask, pmask)
+    order = np.argsort(-ref, axis=1, kind="stable")[:, :3]
+    np.testing.assert_array_equal(np.asarray(i), order)
+
+    # float input + dtype='int4': per-slice quantization packs the rows
+    idx_q = build_multihost_index(P, pmask, mesh, dtype="int4",
+                                  pad_docs_to=2)
+    assert idx_q.P.shape[1] == 3 and idx_q.scales is not None
+    vq, iq = sharded_topk(replicate(jnp.asarray(Q), mesh),
+                          replicate(jnp.asarray(qmask), mesh), idx_q, k=3)
+    np.testing.assert_array_equal(np.asarray(iq), order)
+
+
+def test_int4_from_npz_mmap_over_float_file_degrades_eagerly(rng, tmp_path):
+    """An int4 engine over a normalized FLOAT packed file with mmap=True
+    must fall back to an eager quantizing build, not die on the streaming
+    guard (regression: evdr-serve --multihost --dtype int4 over a float
+    index crashed at startup)."""
+    from evdr_tpu.engine import RetrievalEngine
+    from evdr_tpu.parallel.mesh import make_mesh
+    from evdr_tpu.tools.convert_packed import convert_payload_to_packed
+
+    P, pmask, Q, qmask, _ = _corpus(rng, n=17)
+    packed = convert_payload_to_packed(
+        {"documents": _as_ragged(P, pmask)}, dtype="float32", normalize=True)
+    np.savez(tmp_path / "f32.npz", **packed)
+    eng = RetrievalEngine.from_npz(tmp_path / "f32.npz", dtype="int4",
+                                   impl="xla", mmap=True, mesh=make_mesh(1))
+    assert eng.index.P.dtype == np.uint8  # quantized eagerly
+    v, i = eng.search_dense(Q, qmask, k=3)
+    assert i.shape == (Q.shape[0], 3)
+
+
 def test_int4_serve_warm_dim(rng):
     from evdr_tpu.engine import RetrievalEngine
     from evdr_tpu.parallel.mesh import make_mesh

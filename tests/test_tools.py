@@ -532,6 +532,22 @@ def test_http_server_search_and_health(tmp_path):
         except urllib.error.HTTPError as e:
             assert e.code == 400
 
+        # k < 1 -> 400 BEFORE submission (a coalesced group dispatches at
+        # max-k and slices per request, so k=-3 would silently return a
+        # truncated 200)
+        for bad_k in (0, -3):
+            body_bad_k = json.loads(body)
+            body_bad_k["k"] = bad_k
+            reqk = urllib.request.Request(
+                f"{base}/search", data=json.dumps(body_bad_k).encode(),
+                headers={"Content-Type": "application/json"})
+            try:
+                urllib.request.urlopen(reqk)
+                assert False, f"expected HTTP 400 for k={bad_k}"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400 and "k must be" in json.loads(
+                    e.read())["error"]
+
         # wrong query dim -> 400 BEFORE submission (a wrong-dim request
         # inside a coalesced group would fail the whole group)
         bad_dim = urllib.request.Request(
@@ -545,6 +561,7 @@ def test_http_server_search_and_health(tmp_path):
             assert e.code == 400 and "dim" in json.loads(e.read())["error"]
     finally:
         srv.shutdown()
+        srv.server_close()  # also stops the MicroBatcher dispatcher
 
 
 def test_serve_bucket_queries_inert():
@@ -612,6 +629,8 @@ def test_microbatcher_parity_under_concurrency():
         np.testing.assert_array_equal(got[j][1], np.asarray(ri))
         np.testing.assert_allclose(got[j][0], np.asarray(rv),
                                    rtol=1e-6, atol=1e-6)
+    batcher.close()
+    assert not batcher._thread.is_alive()
 
 
 def test_microbatcher_coalesces_and_groups_by_candidates():
@@ -659,6 +678,7 @@ def test_microbatcher_coalesces_and_groups_by_candidates():
     # scatter: request j of the exact group got row j of the shared batch
     for j, r in enumerate(exact):
         np.testing.assert_array_equal(r.idx, np.full((1, 2), j))
+    batcher.close()
 
 
 def test_trec_run_sanitizes_whitespace_qids(tmp_path):
