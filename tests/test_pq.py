@@ -267,6 +267,39 @@ def test_opq_engine_pruning_and_packed_roundtrip(rng, tmp_path):
     np.testing.assert_allclose(dv, fv, rtol=2e-4, atol=2e-4)
 
 
+def test_opq_beats_pq_retrieval_on_correlated_corpus(rng):
+    """The OPQ retrieval win, not just the MSE win: correlated tokens +
+    noisy queries (near-tie regime) at the aggressive m=8 tier — the
+    rotation must recover substantially more exact-top-1s than plain PQ
+    (measured 34.4% vs 7.4% at 4k docs; this is a smaller pinned-seed
+    version)."""
+    from evdr_tpu.ops.pq import expand_books, train_opq
+
+    d, m, n, lp = 64, 8, 800, 6
+    lat = rng.normal(size=(n * lp, 12)).astype(np.float32)
+    mix = rng.normal(size=(12, d)).astype(np.float32)
+    X = lat @ mix + 0.05 * rng.normal(size=(n * lp, d)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=-1, keepdims=True)
+    P = X.reshape(n, lp, d).astype(np.float32)
+    pm = np.ones((n, lp), bool)
+    nq, lq = 96, 3
+    src = rng.integers(0, n, size=nq)
+    Q = P[src, :lq] + 0.45 * rng.normal(size=(nq, lq, d)).astype(np.float32)
+    Q /= np.linalg.norm(Q, axis=-1, keepdims=True)
+    qm = np.ones((nq, lq), bool)
+    top1 = np.argmax(maxsim_numpy(Q, P, qm, pm), axis=1)
+
+    bp = train_pq(P, pm, m=m, iters=8, seed=0)
+    sc_pq = np.asarray(maxsim_pq_xla(Q, encode_pq(P, bp, pm), qm, pm, bp,
+                                     chunk_p=256))
+    bo, rot = train_opq(P, pm, m=m, iters=8, opq_iters=6, seed=0)
+    sc_o = np.asarray(maxsim_pq_xla(Q, encode_pq(P, bo, pm, rot=rot), qm,
+                                    pm, expand_books(bo, rot), chunk_p=256))
+    acc_pq = float(np.mean(np.argmax(sc_pq, 1) == top1))
+    acc_o = float(np.mean(np.argmax(sc_o, 1) == top1))
+    assert acc_o > acc_pq + 0.1, (acc_pq, acc_o)
+
+
 def test_serve_warm_dim_for_both_book_layouts(rng):
     """evdr-serve's warm-up derives the query dim with no query in hand:
     compact books -> M * (D/M), expanded OPQ books -> D directly. A wrong
