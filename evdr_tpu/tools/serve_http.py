@@ -60,6 +60,87 @@ def bucket_queries(Q, qmask):
     return Q, qmask
 
 
+class ServeStats:
+    """Thread-safe serving counters + histograms, rendered at GET /metrics
+    in the Prometheus text exposition format (stdlib-only, like the rest
+    of the daemon). Tracks request latency (which includes queue wait in a
+    coalesced group — the number an operator tunes ``--batch_wait_ms``
+    against), per-dispatch group sizes, query counts, and error classes."""
+
+    LAT_MS = (5.0, 10.0, 25.0, 50.0, 100.0, 250.0, 500.0, 1000.0, 2500.0)
+    GROUP = (1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0)
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.queries = 0
+        self.errors = {"4xx": 0, "5xx": 0}
+        self.dispatches = 0
+        self._lat = [0] * (len(self.LAT_MS) + 1)
+        self._lat_sum = 0.0
+        self._grp = [0] * (len(self.GROUP) + 1)
+        self._grp_sum = 0
+
+    @staticmethod
+    def _bucketize(hist, buckets, v):
+        for i, b in enumerate(buckets):
+            if v <= b:
+                hist[i] += 1
+                return
+        hist[-1] += 1
+
+    def observe_request(self, n_queries: int, ms: float) -> None:
+        with self._lock:
+            self.requests += 1
+            self.queries += int(n_queries)
+            self._lat_sum += ms
+            self._bucketize(self._lat, self.LAT_MS, ms)
+
+    def observe_error(self, code: int) -> None:
+        with self._lock:
+            self.errors["4xx" if code < 500 else "5xx"] += 1
+
+    def observe_dispatch(self, group_size: int) -> None:
+        with self._lock:
+            self.dispatches += 1
+            self._grp_sum += int(group_size)
+            self._bucketize(self._grp, self.GROUP, group_size)
+
+    @staticmethod
+    def _hist_lines(name, hist, buckets, total_sum, count):
+        out, cum = [], 0
+        for i, b in enumerate(buckets):
+            cum += hist[i]
+            out.append(f'{name}_bucket{{le="{b:g}"}} {cum}')
+        cum += hist[-1]
+        out.append(f'{name}_bucket{{le="+Inf"}} {cum}')
+        out.append(f"{name}_sum {total_sum:g}")
+        out.append(f"{name}_count {count}")
+        return out
+
+    def render(self) -> str:
+        with self._lock:
+            lines = [
+                "# TYPE evdr_requests_total counter",
+                f"evdr_requests_total {self.requests}",
+                "# TYPE evdr_queries_total counter",
+                f"evdr_queries_total {self.queries}",
+                "# TYPE evdr_errors_total counter",
+                f'evdr_errors_total{{class="4xx"}} {self.errors["4xx"]}',
+                f'evdr_errors_total{{class="5xx"}} {self.errors["5xx"]}',
+                "# TYPE evdr_dispatches_total counter",
+                f"evdr_dispatches_total {self.dispatches}",
+                "# TYPE evdr_request_latency_ms histogram",
+                *self._hist_lines("evdr_request_latency_ms", self._lat,
+                                  self.LAT_MS, self._lat_sum, self.requests),
+                "# TYPE evdr_dispatch_group_size histogram",
+                *self._hist_lines("evdr_dispatch_group_size", self._grp,
+                                  self.GROUP, self._grp_sum,
+                                  self.dispatches),
+            ]
+        return "\n".join(lines) + "\n"
+
+
 class _BatchReq:
     """One in-flight /search request awaiting a coalesced dispatch."""
 
@@ -94,8 +175,10 @@ class MicroBatcher:
     on top of the same engine the benches measure.
     """
 
-    def __init__(self, engine, wait_ms: float = 0.0, max_batch: int = 64):
+    def __init__(self, engine, wait_ms: float = 0.0, max_batch: int = 64,
+                 stats: ServeStats | None = None):
         self.engine = engine
+        self.stats = stats
         self.wait_s = max(0.0, wait_ms / 1000.0)
         self.max_batch = max(1, max_batch)
         self._cv = threading.Condition()
@@ -162,6 +245,8 @@ class MicroBatcher:
         return group
 
     def _dispatch(self, group: list[_BatchReq]) -> None:
+        if self.stats is not None:
+            self.stats.observe_dispatch(len(group))
         try:
             lq = max(r.Q.shape[1] for r in group)
             parts_q, parts_m = [], []
@@ -229,8 +314,9 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
     one scoring program in flight)."""
     from evdr_tpu.data.packing import preprocess_queries
 
+    stats = ServeStats()
     batcher = MicroBatcher(engine, wait_ms=batch_wait_ms,
-                           max_batch=max_batch)
+                           max_batch=max_batch, stats=stats)
     max_body = max_body_mb * (1 << 20)
     expected_d = warm_query_dim(engine)
 
@@ -244,6 +330,8 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
             pass
 
         def _reply(self, code: int, obj) -> None:
+            if code >= 400:
+                stats.observe_error(code)
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -252,6 +340,15 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
             self.wfile.write(body)
 
         def do_GET(self):
+            if self.path == "/metrics":
+                body = stats.render().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if self.path != "/healthz":
                 return self._reply(404, {"error": "unknown path"})
             self._reply(200, {
@@ -308,7 +405,9 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
                 if breq.err is not None:
                     raise breq.err
                 vals, idx = breq.vals, breq.idx
-                ms = (time.perf_counter() - t0) * 1000.0 / len(queries)
+                total_ms = (time.perf_counter() - t0) * 1000.0
+                stats.observe_request(len(queries), total_ms)
+                ms = total_ms / len(queries)
                 self._reply(200, {"docids": engine.ids_for(idx),
                                   "scores": np.asarray(vals).tolist(),
                                   "latency_ms_per_query": round(ms, 3),

@@ -559,6 +559,20 @@ def test_http_server_search_and_health(tmp_path):
             assert False, "expected HTTP 400"
         except urllib.error.HTTPError as e:
             assert e.code == 400 and "dim" in json.loads(e.read())["error"]
+
+        # /metrics: Prometheus text with consistent counters (2 successful
+        # searches of 5 queries each so far, 4 client errors above)
+        with urllib.request.urlopen(f"{base}/metrics") as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            metrics = r.read().decode()
+        vals = {ln.split(" ")[0]: ln.split(" ")[1]
+                for ln in metrics.splitlines() if not ln.startswith("#")}
+        assert vals["evdr_requests_total"] == "2"
+        assert vals["evdr_queries_total"] == "10"
+        assert vals['evdr_errors_total{class="4xx"}'] == "4"
+        assert vals["evdr_request_latency_ms_count"] == "2"
+        assert int(vals["evdr_dispatches_total"]) >= 2
+        assert 'evdr_dispatch_group_size_bucket{le="+Inf"}' in metrics
     finally:
         srv.shutdown()
         srv.server_close()  # also stops the MicroBatcher dispatcher
