@@ -134,16 +134,22 @@ class RetrievalEngine:
             P = np.asarray(l2_normalize(P * pmask[..., None].astype(np.float32)),
                            dtype=np.float32)
         if self.dtype == "pq":
-            from evdr_tpu.ops.pq import (encode_pq, expand_books, train_opq,
-                                         train_pq)
+            from evdr_tpu.ops.pq import (encode_pq, encode_pq_device,
+                                         expand_books, train_opq, train_pq)
 
+            # codebooks train on a 65k-token host sample (seconds); the
+            # O(corpus) encode goes to the accelerator past ~2M tokens
+            # (host numpy takes minutes at 1M pages; argmin ties may
+            # resolve differently — both are true nearest centroids)
+            enc = (encode_pq_device
+                   if P.shape[0] * P.shape[1] > 2_000_000 else encode_pq)
             if self.pq_opq:
                 books, rot = train_opq(P, pmask, m=self.pq_m)
-                codes = encode_pq(P, books, pmask, rot=rot)
+                codes = enc(P, books, pmask, rot=rot)
                 books = expand_books(books, rot)
             else:
                 books = train_pq(P, pmask, m=self.pq_m)
-                codes = encode_pq(P, books, pmask)
+                codes = enc(P, books, pmask)
             self.build_from_pq(codes, books, pmask, docids=docids,
                                expanded=self.pq_opq)
         else:

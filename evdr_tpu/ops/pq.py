@@ -218,6 +218,61 @@ def encode_pq(P, books: np.ndarray, pmask=None, rot=None) -> np.ndarray:
     return codes
 
 
+@jax.jit
+def _encode_chunk_dev(toks, books, rot):
+    """One device chunk of nearest-centroid encoding: (c, D) f32 ->
+    (c, M) uint8. The distance argmin runs as ONE batched MXU einsum
+    (||x-c||^2 = ||c||^2 - 2<x,c> + const-in-k)."""
+    if rot is not None:
+        toks = toks @ rot.T
+    m, k, ds = books.shape
+    sub = toks.reshape(-1, m, ds)
+    cn = jnp.sum(books * books, axis=-1)                    # (M, K)
+    prod = jnp.einsum("cms,mks->cmk", sub, books,
+                      preferred_element_type=jnp.float32)
+    return jnp.argmin(cn[None] - 2.0 * prod, axis=-1).astype(jnp.uint8)
+
+
+def encode_pq_device(P, books, pmask=None, rot=None,
+                     chunk_tokens: int = 262_144) -> np.ndarray:
+    """Corpus-scale PQ encoding on the accelerator: same contract as
+    :func:`encode_pq`, computed chunk-by-chunk on device.
+
+    The build-time split this enables: codebooks TRAIN on a 65k-token
+    host sample in seconds (:func:`train_pq` / :func:`train_opq`), but
+    ENCODING touches every token — at 1M pages x 16 tokens that is
+    minutes of host numpy vs one batched MXU einsum per chunk here.
+    Ties in the argmin may resolve differently from numpy's (floating
+    summation order); both pick a true nearest centroid, so
+    reconstructions are equivalent."""
+    P = np.asarray(P, dtype=np.float32)
+    n, lp, d = P.shape
+    m, k, ds = books.shape
+    if m * ds != d:
+        raise ValueError(
+            f"encode_pq_device needs compact (M, K, D/M) books; got "
+            f"{books.shape} for token dim {d}")
+    books_d = jnp.asarray(np.asarray(books, np.float32))
+    rot_d = None if rot is None else jnp.asarray(np.asarray(rot, np.float32))
+    toks = P.reshape(n * lp, d)
+    out = np.empty((n * lp, m), np.uint8)
+    chunk_tokens = min(chunk_tokens, n * lp)
+    for lo in range(0, n * lp, chunk_tokens):
+        hi = min(lo + chunk_tokens, n * lp)
+        sl = toks[lo:hi]
+        if hi - lo < chunk_tokens:
+            # pad the tail chunk to the ONE compiled shape (a second
+            # compile costs 40s-3min through a remote-TPU tunnel)
+            sl = np.pad(sl, ((0, chunk_tokens - (hi - lo)), (0, 0)))
+        out[lo:hi] = np.asarray(
+            _encode_chunk_dev(jnp.asarray(sl), books_d, rot_d))[: hi - lo]
+    codes = out.reshape(n, lp, m)
+    if pmask is not None:
+        codes = np.where(np.asarray(pmask, bool)[..., None], codes,
+                         np.uint8(0))
+    return codes
+
+
 def _decode_tokens(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
     """(n_tok, M) codes -> (n_tok, M*ds) reconstructions (compact books)."""
     m = books.shape[0]

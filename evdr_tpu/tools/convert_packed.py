@@ -63,19 +63,22 @@ def convert_payload_to_packed(payload: dict, length_multiple: int = 1,
 
             out["P_codes4"], out["P_scale"] = quantize_tokens_int4(P, pmask)
         elif dtype == "pq":
-            from evdr_tpu.ops.pq import (encode_pq, expand_books, train_opq,
-                                         train_pq)
+            from evdr_tpu.ops.pq import (encode_pq, encode_pq_device,
+                                         expand_books, train_opq, train_pq)
 
+            # accelerator encode past ~2M tokens (see engine.build)
+            enc = (encode_pq_device
+                   if P.shape[0] * P.shape[1] > 2_000_000 else encode_pq)
             if pq_opq:
                 books, rot = train_opq(P, pmask, m=pq_m)
-                out["P_pq_codes"] = encode_pq(P, books, pmask, rot=rot)
+                out["P_pq_codes"] = enc(P, books, pmask, rot=rot)
                 # rotation folded into full-width books: consumers score/
                 # decode them with sum semantics (ops/pq.py docstrings)
                 out["P_pq_books"] = expand_books(books, rot)
                 out["P_pq_expanded"] = np.asarray(True)
             else:
                 books = train_pq(P, pmask, m=pq_m)
-                out["P_pq_codes"] = encode_pq(P, books, pmask)
+                out["P_pq_codes"] = enc(P, books, pmask)
                 out["P_pq_books"] = books
         elif dtype == "bfloat16":
             import ml_dtypes

@@ -148,9 +148,27 @@ def main():
         "index_bytes": int(a.n_docs * a.lp * (a.d // 2 + 4))}
     del C4d, S4d
 
-    # --- PQ
+    # --- PQ (encode timed: host numpy vs accelerator — the O(corpus)
+    # index-build step; engine.build auto-routes to the device past 2M
+    # tokens)
+    from evdr_tpu.ops.pq import encode_pq_device
+
     books = train_pq(P, pm, m=a.pq_m)
+    n_tok = a.n_docs * a.lp
+    t0 = time.perf_counter()
     pq_codes = encode_pq(P, books, pm)
+    t_host = time.perf_counter() - t0
+    # warm/compile at the EXACT chunk shape the timed run uses
+    nw = min(a.n_docs, 262_144 // a.lp)
+    encode_pq_device(P[:nw], books, pm[:nw])
+    t0 = time.perf_counter()
+    pq_codes_dev = encode_pq_device(P, books, pm)
+    t_dev = time.perf_counter() - t0
+    results["pq_encode"] = {
+        "host_tok_per_s": round(n_tok / t_host),
+        "device_tok_per_s": round(n_tok / t_dev),
+        "agree": float(np.mean(pq_codes == pq_codes_dev))}
+    del pq_codes_dev
     PQd, Bd = jnp.asarray(pq_codes), jnp.asarray(books)
 
     def f_pq(q, m, C_, pm_, B_):

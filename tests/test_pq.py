@@ -267,6 +267,31 @@ def test_opq_engine_pruning_and_packed_roundtrip(rng, tmp_path):
     np.testing.assert_allclose(dv, fv, rtol=2e-4, atol=2e-4)
 
 
+def test_encode_pq_device_matches_host_encoder(rng):
+    """The accelerator encoder assigns the same nearest centroids as the
+    host encoder (up to genuine distance ties, improbable on random
+    floats); disagreements, if any, must be equal-distance."""
+    from evdr_tpu.ops.pq import encode_pq_device, train_opq
+
+    P, pmask, _, _, _ = _corpus(rng, n=50)
+    books = train_pq(P, pmask, m=8, iters=6, seed=0)
+    host = encode_pq(P, books, pmask)
+    dev = encode_pq_device(P, books, pmask, chunk_tokens=64)  # multi-chunk
+    agree = float(np.mean(host == dev))
+    assert agree >= 0.999, agree
+    if not np.array_equal(host, dev):
+        # any tie must reconstruct to the same distance
+        dh = np.linalg.norm(decode_pq(host, books) - P, axis=-1)
+        dd = np.linalg.norm(decode_pq(dev, books) - P, axis=-1)
+        np.testing.assert_allclose(dh, dd, rtol=1e-4, atol=1e-5)
+
+    # with an OPQ rotation threaded through
+    books_o, rot = train_opq(P, pmask, m=8, iters=4, opq_iters=2, seed=0)
+    host_o = encode_pq(P, books_o, pmask, rot=rot)
+    dev_o = encode_pq_device(P, books_o, pmask, rot=rot)
+    assert float(np.mean(host_o == dev_o)) >= 0.999
+
+
 def test_opq_beats_pq_retrieval_on_correlated_corpus(rng):
     """The OPQ retrieval win, not just the MSE win: correlated tokens +
     noisy queries (near-tie regime) at the aggressive m=8 tier — the
