@@ -316,6 +316,42 @@ def test_pallas_int8_shape_fuzz_matches_oracle(rng):
             err_msg=f"trial {trial}: nq={nq} lq={lq} nd={nd} lp={lp} d={d}")
 
 
+def test_pallas_int4_shape_fuzz_matches_oracle(rng):
+    """Randomized shape/mask sweep for the packed-int4 kernel: awkward
+    shapes stress the token-pair packing (odd Lp, tiny tiles), the
+    even/odd scale-sentinel planes, and the shared auto-epilogue gates."""
+    import jax.numpy as jnp
+
+    from evdr_tpu.ops.int4 import dequantize_int4, quantize_tokens_int4
+    from evdr_tpu.ops.maxsim import maxsim_numpy
+    from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int4
+
+    for trial in range(8):
+        nq = int(rng.choice([1, 7, 130, 256]))
+        lq = int(rng.integers(1, 13))
+        nd = int(rng.integers(1, 23))
+        lp = int(rng.integers(1, 37))
+        d = int(rng.choice([16, 32, 128]))
+        Q = rng.normal(size=(nq, lq, d)).astype(np.float32)
+        P = rng.normal(size=(nd, lp, d)).astype(np.float32)
+        qm = rng.random((nq, lq)) > rng.uniform(0.0, 0.6)
+        pm = rng.random((nd, lp)) > rng.uniform(0.0, 0.6)
+        if nd > 2:
+            pm[int(rng.integers(nd))] = False
+        packed, scales = quantize_tokens_int4(P * pm[..., None], pm)
+        want = maxsim_numpy(Q, dequantize_int4(packed, scales), qm, pm)
+        got = np.asarray(maxsim_pallas_int4(
+            jnp.asarray(Q), jnp.asarray(packed), jnp.asarray(scales),
+            jnp.asarray(qm), jnp.asarray(pm), compute_dtype=jnp.float32,
+            interpret=True,
+            target_rows=int(rng.choice([256, 2048, 4096])),
+            target_cols=int(rng.choice([64, 3072])),
+            max_tlp=[None, 16, 32, None][trial % 4]))
+        np.testing.assert_allclose(
+            got, want, rtol=1e-4, atol=1e-4,
+            err_msg=f"trial {trial}: nq={nq} lq={lq} nd={nd} lp={lp} d={d}")
+
+
 @pytest.mark.parametrize("n_docs,lp,cols", [(9, 16, 128), (40, 64, 512),
                                             (3, 16, 128)])
 def test_pallas_int8_deferred_epilogue_matches(rng, n_docs, lp, cols):
