@@ -28,6 +28,7 @@ import tempfile
 import numpy as np
 
 REPO = str(pathlib.Path(__file__).resolve().parent.parent)
+sys.path.insert(0, REPO)
 
 _CHILD = r"""
 import os, resource, json, sys
@@ -85,6 +86,17 @@ def write_packed(path, n_docs: int, lp: int, d: int, dtype: str) -> float:
             codes[s:e] = np.clip(np.rint(x / sc[..., None]), -127, 127)
             scale[s:e] = sc
         out["P_codes"], out["P_scale"] = codes, scale
+    elif dtype == "int4":
+        from evdr_tpu.ops.int4 import quantize_tokens_int4
+
+        codes = np.empty((n_docs, (lp + 1) // 2, d), np.uint8)
+        scale = np.empty((n_docs, lp), np.float32)
+        for s in range(0, n_docs, 50_000):
+            e = min(s + 50_000, n_docs)
+            x = rng.normal(size=(e - s, lp, d)).astype(np.float32)
+            x /= np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12
+            codes[s:e], scale[s:e] = quantize_tokens_int4(x)
+        out["P_codes4"], out["P_scale"] = codes, scale
     else:
         P = np.empty((n_docs, lp, d), np.float32)
         for s in range(0, n_docs, 50_000):
@@ -101,7 +113,8 @@ def main():
     ap.add_argument("--n_docs", type=int, default=100_000)
     ap.add_argument("--lp", type=int, default=16)
     ap.add_argument("--dim", type=int, default=128)
-    ap.add_argument("--dtype", choices=("float32", "int8"), default="float32")
+    ap.add_argument("--dtype", choices=("float32", "int8", "int4"),
+                    default="float32")
     ap.add_argument("--keep", default=None, help="reuse/persist the npz here")
     a = ap.parse_args()
 
@@ -111,7 +124,7 @@ def main():
         print(f"[rss] wrote {path}: {mb:.0f} MB", flush=True)
 
     results = {}
-    eng_dtype = "int8" if a.dtype == "int8" else None
+    eng_dtype = a.dtype if a.dtype in ("int8", "int4") else None
     for mode, mm in (("eager", False), ("mmap", True)):
         code = _CHILD.format(repo=REPO, path=path, mmap=mm, dtype=eng_dtype)
         out = subprocess.run([sys.executable, "-c", code], capture_output=True,
