@@ -72,6 +72,14 @@ class RetrievalEngine:
         self._multiproc = jax.process_count() > 1
         self.index: Optional[ShardedIndex] = None
         self.summary: Optional[ShardedIndex] = None
+        # incremental updates (add/delete): new docs accumulate in host
+        # buffers and serve from a small device-side TAIL index merged into
+        # every search; deletions are tombstoned global indices
+        self.tail: Optional[ShardedIndex] = None
+        self._tail_P: Optional[np.ndarray] = None
+        self._tail_pm: Optional[np.ndarray] = None
+        self._tail_ids: list = []
+        self._tombstones: set = set()
 
     def _replicate(self, x):
         if self._multiproc:
@@ -90,6 +98,15 @@ class RetrievalEngine:
 
             return gather_to_host(x, self.mesh)
         return np.asarray(x)
+
+    def _reset_incremental(self) -> None:
+        """A (re)build supersedes any incremental state: stale tails or
+        tombstones from a previous corpus must not leak into the new one."""
+        self.tail = None
+        self._tail_P = self._tail_pm = None
+        self._tail_ids = []
+        self._tombstones = set()
+        self._docid_lut_cache = None
 
     def _build_index(self, P, pmask, docids=None, dtype=None, scales=None,
                      streaming: bool = False) -> ShardedIndex:
@@ -120,6 +137,7 @@ class RetrievalEngine:
         ``self.normalize`` instead would silently skip normalization on a
         LATER build() with raw embeddings on the same engine.
         """
+        self._reset_incremental()
         normalize = self.normalize if normalize is None else normalize
         if streaming and not (normalize is False
                               and self.prune_centroids == 0
@@ -174,6 +192,7 @@ class RetrievalEngine:
         normalized embeddings (packed files written with --normalize); with
         ``streaming=True`` an mmap-backed file streams shard-by-shard to the
         devices with bounded host RSS."""
+        self._reset_incremental()
         if self.dtype != "int8":
             raise ValueError("build_from_codes requires dtype='int8'")
         self.index = self._build_index(codes, pmask, docids=docids,
@@ -187,6 +206,7 @@ class RetrievalEngine:
         """Index pre-packed int4 codes + per-token scales directly
         (tools/convert_packed.py --dtype int4 --normalize) — no unpack/
         requantize round trip; mmap-backed files stream shard-by-shard."""
+        self._reset_incremental()
         if self.dtype != "int4":
             raise ValueError("build_from_codes4 requires dtype='int4'")
         self.index = self._build_index(np.asarray(packed, np.uint8), pmask,
@@ -207,6 +227,7 @@ class RetrievalEngine:
         which must derive D with no query in hand) read the recorded
         ``index.books_expanded`` flag — the layouts are ambiguous from the
         books tensor alone."""
+        self._reset_incremental()
         if self.dtype != "pq":
             raise ValueError("build_from_pq requires dtype='pq'")
         self.index = self._build_index(np.asarray(codes, np.uint8),
@@ -220,6 +241,133 @@ class RetrievalEngine:
                           docids=None) -> "RetrievalEngine":
         P, pmask, _ = preprocess_docs(documents_obj, doc_attnmask, doc_imgmask)
         return self.build(P, pmask, docids)
+
+    # ---------------------------------------------------------- incremental
+    def add(self, P_new, pmask_new, docids: Optional[Sequence[str]] = None,
+            normalize: Optional[bool] = None) -> int:
+        """Append documents WITHOUT rebuilding the main index.
+
+        New docs accumulate in host-side float buffers and serve from a
+        small device-side tail index (same storage dtype as the main one —
+        PQ tails encode against the EXISTING codebooks, including expanded
+        OPQ books) that every search scores and merges exactly. The tail
+        device index is rebuilt per add — O(tail), not O(corpus); fold a
+        large tail into the main index by rebuilding with ``build()`` when
+        convenient. Returns the number of docs added."""
+        if self.index is None:
+            raise RuntimeError("add() needs a built index; call build()")
+        if self._multiproc:
+            raise NotImplementedError(
+                "incremental add is single-process for now (multihost "
+                "builds assemble per-host rows at build time)")
+        normalize = self.normalize if normalize is None else normalize
+        P_new = np.asarray(P_new, dtype=np.float32)
+        pm_new = np.asarray(pmask_new, dtype=bool)
+        if normalize:
+            P_new = np.asarray(
+                l2_normalize(P_new * pm_new[..., None].astype(np.float32)),
+                dtype=np.float32)
+        n_new = P_new.shape[0]
+        ids = ([str(d) for d in docids] if docids is not None
+               else [str(self.index.n_docs + len(self._tail_ids) + i)
+                     for i in range(n_new)])
+        if len(ids) != n_new:
+            raise ValueError(f"{len(ids)} docids for {n_new} docs")
+        if self._tail_P is None:
+            self._tail_P, self._tail_pm = P_new, pm_new
+        else:
+            lp = max(self._tail_P.shape[1], P_new.shape[1])
+
+            def pad_lp(x, fill):
+                if x.shape[1] == lp:
+                    return x
+                pad = [(0, 0), (0, lp - x.shape[1])] + [(0, 0)] * (x.ndim - 2)
+                return np.pad(x, pad, constant_values=fill)
+
+            self._tail_P = np.concatenate(
+                [pad_lp(self._tail_P, 0.0), pad_lp(P_new, 0.0)], axis=0)
+            self._tail_pm = np.concatenate(
+                [pad_lp(self._tail_pm, False), pad_lp(pm_new, False)], axis=0)
+        self._tail_ids.extend(ids)
+        self._docid_lut_cache = None
+        self._rebuild_tail()
+        return n_new
+
+    def add_ragged(self, documents_obj, doc_attnmask=None, doc_imgmask=None,
+                   docids=None) -> int:
+        P, pmask, _ = preprocess_docs(documents_obj, doc_attnmask,
+                                      doc_imgmask)
+        return self.add(P, pmask, docids=docids)
+
+    def _rebuild_tail(self) -> None:
+        if self.dtype == "pq":
+            from evdr_tpu.ops.pq import encode_with_books
+
+            books_host = np.asarray(self.index.books)
+            codes = encode_with_books(self._tail_P, books_host,
+                                      self._tail_pm)
+            tail = self._build_index(codes, self._tail_pm)
+            tail.books = self.index.books
+            tail.books_expanded = getattr(self.index, "books_expanded",
+                                          False)
+        else:
+            tail = self._build_index(self._tail_P, self._tail_pm,
+                                     dtype=self.dtype)
+        self.tail = tail
+
+    _docid_lut_cache: Optional[dict] = None
+
+    def _docid_lut(self) -> dict:
+        if self._docid_lut_cache is None:
+            n_main = self.index.n_docs
+            if self.index.docids is not None:
+                lut = {str(d): i for i, d in
+                       enumerate(self.index.docids[:n_main])}
+            else:
+                lut = {str(i): i for i in range(n_main)}
+            for j, d in enumerate(self._tail_ids):
+                lut[str(d)] = n_main + j
+            self._docid_lut_cache = lut
+        return self._docid_lut_cache
+
+    def delete(self, docids: Sequence[str]) -> int:
+        """Tombstone documents by docid: they stop appearing in search
+        results immediately (filtered at the merge — the stored rows are
+        untouched until a rebuild). Returns how many were newly deleted;
+        unknown docids are ignored."""
+        if self.index is None:
+            raise RuntimeError("delete() needs a built index")
+        lut = self._docid_lut()
+        removed = 0
+        for d in docids:
+            i = lut.get(str(d))
+            if i is not None and i not in self._tombstones:
+                self._tombstones.add(i)
+                removed += 1
+        return removed
+
+    def _merge_tail(self, Qd, qmd, vals, idx, k: int):
+        """Merge main-index results with the tail index + apply
+        tombstones: (nq, <=k) exact merged top-k."""
+        n_main = self.index.n_docs
+        parts_v = [np.asarray(vals)]
+        parts_i = [np.asarray(idx)]
+        if self.tail is not None:
+            kt = min(k + len(self._tombstones), self.tail.n_docs)
+            tv, ti = sharded_topk(Qd, qmd, self.tail, k=kt,
+                                  chunk_p=self.chunk_p, impl=self.impl)
+            parts_v.append(self._fetch(tv))
+            parts_i.append(np.asarray(self._fetch(ti)) + n_main)
+        v = np.concatenate(parts_v, axis=1)
+        gi = np.concatenate(parts_i, axis=1)
+        if self._tombstones:
+            dead = np.isin(gi, np.fromiter(self._tombstones, dtype=np.int64))
+            v = np.where(dead, -np.inf, v)
+        order = np.argsort(-v, axis=1, kind="stable")
+        k_out = min(k, self.n_docs)
+        take = order[:, :k_out]
+        return (np.take_along_axis(v, take, axis=1),
+                np.take_along_axis(gi, take, axis=1))
 
     @classmethod
     def from_npz(cls, npz_path, mmap: bool = False, **kw) -> "RetrievalEngine":
@@ -319,6 +467,11 @@ class RetrievalEngine:
                 "embeddings (build_from_codes has no summary)")
         Qd = self._replicate(jnp.asarray(Q, dtype=jnp.float32))
         qmd = self._replicate(jnp.asarray(qmask, dtype=bool))
+        # incremental state: over-fetch from the main index so tombstoned
+        # rows can be filtered without shrinking the caller's k
+        merging = self.tail is not None or bool(self._tombstones)
+        k_main = (min(k + len(self._tombstones), self.index.n_docs)
+                  if merging else k)
         if n_candidates and self.summary is not None:
             c = min(n_candidates, self.index.n_docs)
             if self.mesh.devices.size == 1:
@@ -329,7 +482,7 @@ class RetrievalEngine:
 
                 vals, idx = pruned_topk_fused(
                     Qd, qmd, self.index.P, self.index.pmask,
-                    self.summary.P, self.summary.pmask, k=k, n_cand=c,
+                    self.summary.P, self.summary.pmask, k=k_main, n_cand=c,
                     impl=self.impl, scales=self.index.scales,
                     sscales=self.summary.scales, books=self.index.books)
             else:
@@ -341,20 +494,33 @@ class RetrievalEngine:
                                        chunk_p=self.chunk_p, impl=self.impl,
                                        approx=True)
                 vals, idx = rerank_candidates(Qd, qmd, self.index.P,
-                                              self.index.pmask, cand, k=k,
+                                              self.index.pmask, cand,
+                                              k=k_main,
                                               scales=self.index.scales,
                                               books=self.index.books)
         else:
-            vals, idx = sharded_topk(Qd, qmd, self.index, k=k,
+            vals, idx = sharded_topk(Qd, qmd, self.index, k=k_main,
                                      chunk_p=self.chunk_p, impl=self.impl)
+        if merging:
+            return self._merge_tail(Qd, qmd, self._fetch(vals),
+                                    self._fetch(idx), k)
         return self._fetch(vals), self._fetch(idx)
 
     def ids_for(self, idx) -> List[List[str]]:
-        """Doc-index matrix -> per-query docid string lists."""
+        """Doc-index matrix -> per-query docid string lists (tail docs
+        carry the ids passed to add())."""
         idx = np.asarray(idx)
-        if self.index is not None and self.index.docids is not None:
-            return [[str(self.index.docids[j]) for j in row] for row in idx]
-        return [[str(j) for j in row] for row in idx]
+        n_main = 0 if self.index is None else self.index.n_docs
+
+        def one(j):
+            j = int(j)
+            if j >= n_main:
+                return str(self._tail_ids[j - n_main])
+            if self.index is not None and self.index.docids is not None:
+                return str(self.index.docids[j])
+            return str(j)
+
+        return [[one(j) for j in row] for row in idx]
 
     def search(self, queries, query_attnmask=None, k: int = 10,
                n_candidates: Optional[int] = None
@@ -369,15 +535,31 @@ class RetrievalEngine:
         return self.ids_for(idx), vals
 
     def score_all(self, Q: np.ndarray, qmask: np.ndarray) -> np.ndarray:
-        """Full (nq, N) score matrix (eval / reranking use)."""
+        """Full (nq, N) score matrix (eval / reranking use). With
+        incremental state, N covers main + tail docs and tombstoned
+        columns are -inf (they can never rank)."""
         if self.index is None:
             raise RuntimeError("engine has no index; call build() first")
         Qd = self._replicate(jnp.asarray(Q, dtype=jnp.float32))
         qmd = self._replicate(jnp.asarray(qmask, dtype=bool))
-        return self._fetch(
+        sc = self._fetch(
             sharded_maxsim(Qd, qmd, self.index, chunk_p=self.chunk_p,
                            impl=self.impl))
+        if self.tail is not None:
+            st = self._fetch(
+                sharded_maxsim(Qd, qmd, self.tail, chunk_p=self.chunk_p,
+                               impl=self.impl))
+            sc = np.concatenate([np.asarray(sc), np.asarray(st)], axis=1)
+        if self._tombstones:
+            sc = np.asarray(sc).copy()
+            sc[:, np.fromiter(self._tombstones, dtype=np.int64)] = -np.inf
+        return sc
 
     @property
     def n_docs(self) -> int:
-        return 0 if self.index is None else self.index.n_docs
+        """Searchable (alive) document count: main + tail - tombstones."""
+        if self.index is None:
+            return 0
+        n = self.index.n_docs + (0 if self.tail is None else
+                                 self.tail.n_docs)
+        return n - len(self._tombstones)

@@ -273,6 +273,37 @@ def encode_pq_device(P, books, pmask=None, rot=None,
     return codes
 
 
+def encode_with_books(P, books, pmask=None, rot=None) -> np.ndarray:
+    """Encode tokens against EITHER codebook layout (incremental adds).
+
+    Compact (M, K, D/M) books (+ optional ``rot``) use the standard
+    subspace encoder. Expanded (M, K, D) OPQ books encode WITHOUT the
+    rotation matrix: because R is orthogonal,
+    ``argmin_k ||(Rx)[m] - C[m,k]||^2 = argmin_k (||E[m,k]||^2 - 2<x, E[m,k]>)``
+    — the per-subspace assignment is recoverable from the expanded books
+    alone, which is what lets an engine loaded from an OPQ packed file
+    (no compact books on disk) still grow."""
+    P = np.asarray(P, dtype=np.float32)
+    n, lp, d = P.shape
+    m, k, w = books.shape
+    if not (m > 1 and w == d):                  # compact layout
+        return encode_pq(P, books, pmask, rot=rot)
+    if rot is not None:
+        raise ValueError("expanded books already carry the rotation")
+    toks = P.reshape(n * lp, d)
+    books = np.asarray(books, np.float32)
+    cn = (books * books).sum(-1)                # (M, K)
+    codes = np.empty((n * lp, m), np.uint8)
+    for j in range(m):
+        dist = cn[j][None, :] - 2.0 * (toks @ books[j].T)
+        codes[:, j] = np.argmin(dist, axis=1).astype(np.uint8)
+    codes = codes.reshape(n, lp, m)
+    if pmask is not None:
+        codes = np.where(np.asarray(pmask, bool)[..., None], codes,
+                         np.uint8(0))
+    return codes
+
+
 def _decode_tokens(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
     """(n_tok, M) codes -> (n_tok, M*ds) reconstructions (compact books)."""
     m = books.shape[0]

@@ -176,9 +176,13 @@ class MicroBatcher:
     """
 
     def __init__(self, engine, wait_ms: float = 0.0, max_batch: int = 64,
-                 stats: ServeStats | None = None):
+                 stats: ServeStats | None = None,
+                 engine_lock: threading.Lock | None = None):
         self.engine = engine
         self.stats = stats
+        # shared with mutating endpoints (/add, /delete): a tail rebuild
+        # must not interleave with an in-flight dispatch
+        self.engine_lock = engine_lock or threading.Lock()
         self.wait_s = max(0.0, wait_ms / 1000.0)
         self.max_batch = max(1, max_batch)
         self._cv = threading.Condition()
@@ -262,8 +266,9 @@ class MicroBatcher:
             qmask = np.concatenate(parts_m, axis=0)
             Q, qmask = bucket_queries(Q, qmask)
             k = max(r.k for r in group)
-            vals, idx = self.engine.search_dense(
-                Q, qmask, k=k, n_candidates=group[0].n_cand)
+            with self.engine_lock:
+                vals, idx = self.engine.search_dense(
+                    Q, qmask, k=k, n_candidates=group[0].n_cand)
             vals, idx = np.asarray(vals), np.asarray(idx)
             row = 0
             for r in group:
@@ -357,7 +362,19 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
                 "pruned": engine.summary is not None,
             })
 
+        def _read_json(self):
+            n = int(self.headers.get("Content-Length", 0))
+            if n > max_body:
+                self._reply(413, {"error": f"body {n} bytes exceeds "
+                                           f"{max_body} cap"})
+                return None
+            return json.loads(self.rfile.read(n))
+
         def do_POST(self):
+            if self.path == "/add":
+                return self._do_add()
+            if self.path == "/delete":
+                return self._do_delete()
             if self.path != "/search":
                 return self._reply(404, {"error": "unknown path"})
             try:
@@ -418,6 +435,59 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
             except Exception as e:  # XLA/runtime errors: JSON 500, keep the
                 self._reply(500, {  # connection alive instead of dropping it
                     "error": f"{type(e).__name__}: {e}"})
+
+        def _do_add(self):
+            """Incremental document addition: serves from a tail index
+            merged into every search (engine.add)."""
+            try:
+                req = self._read_json()
+                if req is None:
+                    return
+                docs = req["documents"]
+                if not docs:
+                    return self._reply(400, {"error": "empty documents"})
+                dobj = np.empty(len(docs), dtype=object)
+                for i, dmat in enumerate(docs):
+                    dobj[i] = np.asarray(dmat, dtype=np.float32)
+                am = req.get("attnmask")
+                amobj = None
+                if am is not None:
+                    amobj = np.empty(len(am), dtype=object)
+                    for i, msk in enumerate(am):
+                        amobj[i] = np.asarray(msk, dtype=bool)
+                if not hasattr(engine, "add_ragged"):
+                    return self._reply(501, {
+                        "error": "engine does not support incremental add "
+                                 "(multihost serving rebuilds at startup)"})
+                with batcher.engine_lock:  # not during an in-flight dispatch
+                    added = engine.add_ragged(dobj, amobj,
+                                              docids=req.get("docids"))
+                self._reply(200, {"added": added, "n_docs": engine.n_docs})
+            except (KeyError, ValueError, TypeError, IndexError,
+                    json.JSONDecodeError, NotImplementedError) as e:
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def _do_delete(self):
+            """Tombstone documents by docid (engine.delete)."""
+            try:
+                req = self._read_json()
+                if req is None:
+                    return
+                ids = req["docids"]
+                if not hasattr(engine, "delete"):
+                    return self._reply(501, {
+                        "error": "engine does not support deletion"})
+                with batcher.engine_lock:
+                    removed = engine.delete([str(d) for d in ids])
+                self._reply(200, {"deleted": removed,
+                                  "n_docs": engine.n_docs})
+            except (KeyError, ValueError, TypeError,
+                    json.JSONDecodeError) as e:
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
     return Server((host, port), Handler)
 

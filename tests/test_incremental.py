@@ -1,0 +1,197 @@
+"""Incremental index updates: engine.add / engine.delete + HTTP endpoints.
+
+New docs serve from a device-side tail index merged exactly into every
+search; deletions are tombstones filtered at the merge. The reference repo
+rebuilds indexes offline only — this is a beyond-reference serving feature.
+"""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+
+from evdr_tpu.engine import RetrievalEngine
+from evdr_tpu.ops.maxsim import maxsim_numpy
+from evdr_tpu.parallel.mesh import make_mesh
+
+
+def _unit(x):
+    return x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+
+
+def _corpus(rng, n, lp=6, d=64):
+    protos = _unit(rng.normal(size=(8, d)))
+    pick = rng.integers(0, 8, size=(n, lp))
+    P = _unit(protos[pick] + 0.15 * rng.normal(size=(n, lp, d))).astype(
+        np.float32)
+    pmask = rng.random((n, lp)) > 0.15
+    return P, pmask
+
+
+def _queries(rng, P, pmask, nq=10, lq=4):
+    src = rng.integers(0, P.shape[0], size=nq)
+    Q = _unit(P[src, :lq] + 0.05 * rng.normal(size=(nq, lq, P.shape[2]))
+              ).astype(np.float32)
+    qm = np.ones((nq, lq), bool)
+    return Q, qm
+
+
+def test_add_matches_fresh_build_exactly(rng):
+    """bf16/int8/int4 tiers: per-doc storage transforms are corpus-
+    independent, so an incremental engine must return EXACTLY what a fresh
+    engine built on the concatenated corpus returns."""
+    d = 64
+    P1, pm1 = _corpus(rng, 30, d=d)
+    P2, pm2 = _corpus(rng, 11, d=d)
+    Pa = np.concatenate([P1, np.pad(P2, ((0, 0), (0, 0), (0, 0)))])
+    pma = np.concatenate([pm1, pm2])
+    Q, qm = _queries(rng, Pa, pma, nq=12)
+    for dtype in ("bfloat16", "int8", "int4"):
+        inc = RetrievalEngine(dtype=dtype, impl="xla", mesh=make_mesh(1))
+        inc.build(P1, pm1)
+        assert inc.add(P2, pm2) == 11
+        assert inc.n_docs == 41
+        fresh = RetrievalEngine(dtype=dtype, impl="xla", mesh=make_mesh(1))
+        fresh.build(Pa, pma)
+        vi, ii = inc.search_dense(Q, qm, k=5)
+        vf, jf = fresh.search_dense(Q, qm, k=5)
+        np.testing.assert_array_equal(ii, jf, err_msg=dtype)
+        np.testing.assert_allclose(vi, vf, rtol=1e-5, atol=1e-5,
+                                   err_msg=dtype)
+
+
+def test_add_twice_with_different_lp_and_ids(rng):
+    """Sequential adds with different token counts pad into one tail;
+    custom docids surface through ids_for/search."""
+    P1, pm1 = _corpus(rng, 20, lp=6)
+    eng = RetrievalEngine(dtype="bfloat16", impl="xla", mesh=make_mesh(1),
+                          normalize=True)
+    eng.build(P1, pm1, docids=[f"m{i}" for i in range(20)])
+    Pa, pma = _corpus(rng, 4, lp=3)
+    Pb, pmb = _corpus(rng, 5, lp=9)
+    eng.add(Pa, pma, docids=[f"a{i}" for i in range(4)])
+    eng.add(Pb, pmb, docids=[f"b{i}" for i in range(5)])
+    assert eng.n_docs == 29
+    # a query that IS an added doc's tokens finds it top-1 by its id
+    Q = Pb[2:3, :3].copy()
+    qm = np.ones((1, 3), bool)
+    ids, _ = eng.search(list(Q), k=3)
+    assert ids[0][0] == "b2"
+
+
+def test_delete_tombstones_and_merge(rng):
+    P, pm = _corpus(rng, 25)
+    Q, qm = _queries(rng, P, pm, nq=8)
+    eng = RetrievalEngine(dtype="bfloat16", impl="xla", mesh=make_mesh(1))
+    eng.build(P, pm)
+    v0, i0 = eng.search_dense(Q, qm, k=4)
+    victim = int(i0[0, 0])
+    assert eng.delete([str(victim)]) == 1
+    assert eng.delete([str(victim), "no-such-doc"]) == 0  # idempotent
+    assert eng.n_docs == 24
+    v1, i1 = eng.search_dense(Q, qm, k=4)
+    assert victim not in set(i1.flatten().tolist())
+    # query 0's new top-1 is its old #2; other queries unaffected unless
+    # they also ranked the victim
+    assert i1[0, 0] == i0[0, 1]
+    # score_all: tombstoned column is -inf
+    sc = eng.score_all(Q, qm)
+    assert np.all(np.isneginf(sc[:, victim]))
+    # deleting a tail doc works too
+    eng.add(P[:3], pm[:3], docids=["t0", "t1", "t2"])
+    assert eng.delete(["t1"]) == 1
+    _, i2 = eng.search_dense(Q, qm, k=6)
+    assert 25 + 1 not in set(i2.flatten().tolist())
+
+
+def test_add_pq_and_opq_tail_scores_equal_decode_oracle(rng):
+    """PQ tails encode against the EXISTING codebooks (compact and
+    expanded OPQ); merged scores must equal float MaxSim over the decoded
+    main+tail codes."""
+    from evdr_tpu.ops.pq import decode_pq
+
+    d = 64
+    P1, pm1 = _corpus(rng, 30, d=d)
+    P2, pm2 = _corpus(rng, 9, d=d)
+    Q, qm = _queries(rng, np.concatenate([P1, P2]),
+                     np.concatenate([pm1, pm2]), nq=10)
+    for opq in (False, True):
+        eng = RetrievalEngine(dtype="pq", impl="xla", pq_opq=opq,
+                              mesh=make_mesh(1))
+        eng.build(P1, pm1)
+        eng.add(P2, pm2)
+        assert eng.n_docs == 39
+        vals, idx = eng.search_dense(Q, qm, k=5)
+        books = np.asarray(eng.index.books)
+        rec_main = decode_pq(np.asarray(eng.index.P)[:30], books,
+                             expanded=opq)
+        rec_tail = decode_pq(np.asarray(eng.tail.P)[:9], books,
+                             expanded=opq)
+        ref_m = maxsim_numpy(Q, rec_main, qm,
+                             np.asarray(eng.index.pmask)[:30])
+        ref_t = maxsim_numpy(Q, rec_tail, qm,
+                             np.asarray(eng.tail.pmask)[:9])
+        ref = np.concatenate([ref_m, ref_t], axis=1)
+        order = np.argsort(-ref, axis=1, kind="stable")[:, :5]
+        np.testing.assert_allclose(
+            vals, np.take_along_axis(ref, order, 1), rtol=2e-4, atol=2e-4)
+
+
+def test_add_with_pruned_engine(rng):
+    """Pruned engines score the tail exactly alongside the pruned main
+    search — added docs are findable through n_candidates searches."""
+    P1, pm1 = _corpus(rng, 40)
+    eng = RetrievalEngine(dtype="bfloat16", impl="xla", prune_centroids=2,
+                          mesh=make_mesh(1))
+    eng.build(P1, pm1)
+    P2, pm2 = _corpus(rng, 6)
+    eng.add(P2, pm2, docids=[f"new{i}" for i in range(6)])
+    Q = P2[4:5, :4].copy()
+    qm = np.ones((1, 4), bool)
+    vals, idx = eng.search_dense(Q, qm, k=3, n_candidates=8)
+    ids = eng.ids_for(idx)
+    assert ids[0][0] == "new4"
+
+
+def test_http_add_and_delete_endpoints(rng):
+    P, pm = _corpus(rng, 15, d=32)
+    eng = RetrievalEngine(dtype="float32", impl="xla", mesh=make_mesh(1))
+    eng.build(P, pm, docids=[f"d{i}" for i in range(15)])
+    from evdr_tpu.tools.serve_http import make_server
+
+    srv = make_server(eng, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        new_doc = _unit(rng.normal(size=(4, 32))).astype(np.float32)
+        body = json.dumps({"documents": [new_doc.tolist()],
+                           "docids": ["added0"]}).encode()
+        req = urllib.request.Request(base + "/add", data=body,
+                                     headers={"Content-Type":
+                                              "application/json"})
+        with urllib.request.urlopen(req) as r:
+            res = json.loads(r.read())
+        assert res == {"added": 1, "n_docs": 16}
+
+        sbody = json.dumps({"queries": [new_doc.tolist()], "k": 2}).encode()
+        sreq = urllib.request.Request(base + "/search", data=sbody,
+                                      headers={"Content-Type":
+                                               "application/json"})
+        with urllib.request.urlopen(sreq) as r:
+            sres = json.loads(r.read())
+        assert sres["docids"][0][0] == "added0"
+
+        dbody = json.dumps({"docids": ["added0"]}).encode()
+        dreq = urllib.request.Request(base + "/delete", data=dbody,
+                                      headers={"Content-Type":
+                                               "application/json"})
+        with urllib.request.urlopen(dreq) as r:
+            dres = json.loads(r.read())
+        assert dres == {"deleted": 1, "n_docs": 15}
+        with urllib.request.urlopen(sreq) as r:
+            sres2 = json.loads(r.read())
+        assert sres2["docids"][0][0] != "added0"
+    finally:
+        srv.shutdown()
+        srv.server_close()
