@@ -346,6 +346,116 @@ class RetrievalEngine:
                 removed += 1
         return removed
 
+    def compact(self) -> "RetrievalEngine":
+        """Fold the tail into the main index and physically drop
+        tombstoned rows — an EXPLICIT O(corpus) maintenance operation
+        (fetches the stored rows to host and rebuilds through the standard
+        path; on a real TPU host that is PCIe traffic, not tunnel RTT).
+        External docids are preserved: rows keep the exact id strings
+        searches returned before compaction, including the positional ids
+        of indexes built without docids."""
+        if self.index is None:
+            raise RuntimeError("compact() needs a built index")
+        if self._multiproc:
+            raise NotImplementedError("compact() is single-process")
+        if self.tail is None and not self._tombstones:
+            return self
+        n_main = self.index.n_docs
+        n_tail = 0 if self.tail is None else self.tail.n_docs
+        keep = np.array([i for i in range(n_main + n_tail)
+                         if i not in self._tombstones], np.int64)
+        ids = [r[0] for r in self.ids_for(keep[:, None])]
+
+        def fetch(idx_obj, n):
+            P = np.asarray(idx_obj.P[:n])
+            pm = np.asarray(idx_obj.pmask[:n])
+            sc = (None if idx_obj.scales is None
+                  else np.asarray(idx_obj.scales[:n]))
+            return P, pm, sc
+
+        Pm, pmm, scm = fetch(self.index, n_main)
+        if n_tail:
+            Pt, pmt, sct = fetch(self.tail, n_tail)
+            lp = max(pmm.shape[1], pmt.shape[1])
+
+            def pad_rows(x, width, fill=0):
+                if x is None or x.shape[1] == width:
+                    return x
+                pad = [(0, 0), (0, width - x.shape[1])] + \
+                    [(0, 0)] * (x.ndim - 2)
+                return np.pad(x, pad, constant_values=fill)
+
+            if self.dtype == "int4":
+                # token-PAIR packed codes can't be row-padded when the
+                # shorter side's Lp is odd (the new token would have to
+                # share its byte) — unpack/repack is lossless on codes
+                from evdr_tpu.ops.int4 import quantize_tokens_int4, \
+                    unpack_int4
+
+                def repack(codes, pm_, sc_, width):
+                    dec = unpack_int4(codes, lp=pm_.shape[1]).astype(
+                        np.float32) * np.asarray(sc_)[..., None]
+                    dec = pad_rows(dec, width)
+                    return quantize_tokens_int4(dec, pad_rows(pm_, width,
+                                                              False))
+
+                # round-trips exactly: dequant -> requant of an int4 grid
+                # reproduces the codes (scale is per token, unchanged)
+                Pm, scm = repack(Pm, pmm, scm, lp)
+                Pt, sct = repack(Pt, pmt, sct, lp)
+            else:
+                Pm, Pt = pad_rows(Pm, lp), pad_rows(Pt, lp)
+            pmm, pmt = pad_rows(pmm, lp, False), pad_rows(pmt, lp, False)
+            scm = pad_rows(scm, lp)
+            sct = pad_rows(sct, lp)
+            P = np.concatenate([Pm, Pt], axis=0)[keep]
+            pm = np.concatenate([pmm, pmt], axis=0)[keep]
+            sc = (None if scm is None
+                  else np.concatenate([scm, sct], axis=0)[keep])
+        else:
+            P, pm = Pm[keep], pmm[keep]
+            sc = None if scm is None else scm[keep]
+
+        books = getattr(self.index, "books", None)
+        expanded = getattr(self.index, "books_expanded", False)
+        summary_k = self.prune_centroids
+        self._reset_incremental()
+        if self.dtype == "pq":
+            self.build_from_pq(P, np.asarray(books), pm, docids=ids,
+                               expanded=expanded)
+        elif self.dtype == "int8":
+            self.build_from_codes(P, sc, pm, docids=ids)
+        elif self.dtype == "int4":
+            self.build_from_codes4(P, sc, pm, docids=ids)
+        else:
+            self.index = self._build_index(
+                np.asarray(P, np.float32), pm, docids=ids,
+                dtype=self.dtype)
+        if summary_k > 0:
+            # rebuild the pruning summaries from the stored rows — for
+            # quantized tiers that means the dequantized reconstructions,
+            # which is exactly what stage-2 reranking scores anyway
+            from evdr_tpu.ops.pruned import build_summary_tokens
+
+            if self.dtype == "pq":
+                from evdr_tpu.ops.pq import decode_pq
+
+                Pf = decode_pq(P, np.asarray(books), expanded=expanded)
+            elif self.dtype == "int8":
+                from evdr_tpu.ops.quantize import dequantize_int8
+
+                Pf = dequantize_int8(P, sc)
+            elif self.dtype == "int4":
+                from evdr_tpu.ops.int4 import dequantize_int4
+
+                Pf = dequantize_int4(P, sc)
+            else:
+                Pf = np.asarray(P, np.float32)
+            S, smask = build_summary_tokens(Pf, pm, summary_k)
+            sdtype = "bfloat16" if self.dtype == "pq" else self.dtype
+            self.summary = self._build_index(S, smask, dtype=sdtype)
+        return self
+
     def _merge_tail(self, Qd, qmd, vals, idx, k: int):
         """Merge main-index results with the tail index + apply
         tombstones: (nq, <=k) exact merged top-k."""

@@ -154,6 +154,69 @@ def test_add_with_pruned_engine(rng):
     assert ids[0][0] == "new4"
 
 
+def test_compact_preserves_results_and_ids(rng):
+    """compact() folds tail + drops tombstones: post-compact searches must
+    return the same (id, score) results as the incremental engine did, for
+    every storage tier — including int4's odd-Lp repack path."""
+    d = 64
+    P1, pm1 = _corpus(rng, 24, lp=5, d=d)   # odd Lp: int4 repack engages
+    P2, pm2 = _corpus(rng, 7, lp=8, d=d)
+    Q, qm = _queries(rng, P1, pm1, nq=9)
+    for dtype, kw in (("bfloat16", {}), ("int8", {}), ("int4", {}),
+                      ("pq", {}), ("pq", {"pq_opq": True})):
+        eng = RetrievalEngine(dtype=dtype, impl="xla", mesh=make_mesh(1),
+                              **kw)
+        eng.build(P1, pm1, docids=[f"m{i}" for i in range(24)])
+        eng.add(P2, pm2, docids=[f"t{i}" for i in range(7)])
+        eng.delete(["m3", "t2"])
+        v0, i0 = eng.search_dense(Q, qm, k=6)
+        ids0 = eng.ids_for(i0)
+        assert eng.tail is not None and eng._tombstones
+        eng.compact()
+        assert eng.tail is None and not eng._tombstones
+        assert eng.n_docs == 29
+        v1, i1 = eng.search_dense(Q, qm, k=6)
+        ids1 = eng.ids_for(i1)
+        tag = f"{dtype}{kw}"
+        assert ids1 == ids0, (tag, ids0[0], ids1[0])
+        np.testing.assert_allclose(v1, v0, rtol=1e-4, atol=1e-4,
+                                   err_msg=tag)
+        # compacting an already-compact engine is a no-op
+        assert eng.compact() is eng
+
+
+def test_compact_positional_ids_survive(rng):
+    """Indexes built WITHOUT docids hand out positional id strings;
+    compaction renumbers rows but must keep returning the ORIGINAL ids."""
+    P, pm = _corpus(rng, 12)
+    eng = RetrievalEngine(dtype="bfloat16", impl="xla", mesh=make_mesh(1))
+    eng.build(P, pm)
+    eng.delete(["0", "5"])
+    Q, qm = _queries(rng, P, pm, nq=6)
+    ids0 = eng.ids_for(eng.search_dense(Q, qm, k=4)[1])
+    eng.compact()
+    ids1 = eng.ids_for(eng.search_dense(Q, qm, k=4)[1])
+    assert ids1 == ids0
+    assert "0" not in {i for row in ids1 for i in row}
+
+
+def test_compact_rebuilds_pruning_summaries(rng):
+    """Pruned engines keep n_candidates working after compaction (the
+    summaries are rebuilt from the stored reconstructions)."""
+    P1, pm1 = _corpus(rng, 40)
+    eng = RetrievalEngine(dtype="int8", impl="xla", prune_centroids=2,
+                          mesh=make_mesh(1))
+    eng.build(P1, pm1)
+    P2, pm2 = _corpus(rng, 6)
+    eng.add(P2, pm2, docids=[f"n{i}" for i in range(6)])
+    eng.compact()
+    assert eng.summary is not None
+    Q = P2[1:2, :4].copy()
+    qm = np.ones((1, 4), bool)
+    _, idx = eng.search_dense(Q, qm, k=3, n_candidates=10)
+    assert eng.ids_for(idx)[0][0] == "n1"
+
+
 def test_http_add_and_delete_endpoints(rng):
     P, pm = _corpus(rng, 15, d=32)
     eng = RetrievalEngine(dtype="float32", impl="xla", mesh=make_mesh(1))
