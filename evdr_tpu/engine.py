@@ -252,8 +252,12 @@ class RetrievalEngine:
         PQ tails encode against the EXISTING codebooks, including expanded
         OPQ books) that every search scores and merges exactly. The tail
         device index is rebuilt per add — O(tail), not O(corpus); fold a
-        large tail into the main index by rebuilding with ``build()`` when
-        convenient. Returns the number of docs added."""
+        large tail in with :meth:`compact` when convenient.
+
+        Adding an EXISTING docid is an UPSERT: the old row is tombstoned
+        in the same call, so searches and ``delete`` see exactly one row
+        per id. Auto-assigned ids (no ``docids``) never collide with live
+        ids. Returns the number of docs added."""
         if self.index is None:
             raise RuntimeError("add() needs a built index; call build()")
         if self._multiproc:
@@ -268,11 +272,31 @@ class RetrievalEngine:
                 l2_normalize(P_new * pm_new[..., None].astype(np.float32)),
                 dtype=np.float32)
         n_new = P_new.shape[0]
-        ids = ([str(d) for d in docids] if docids is not None
-               else [str(self.index.n_docs + len(self._tail_ids) + i)
-                     for i in range(n_new)])
-        if len(ids) != n_new:
-            raise ValueError(f"{len(ids)} docids for {n_new} docs")
+        lut = self._docid_lut()
+        if docids is not None:
+            ids = [str(d) for d in docids]
+            if len(ids) != n_new:
+                raise ValueError(f"{len(ids)} docids for {n_new} docs")
+            if len(set(ids)) != len(ids):
+                raise ValueError("duplicate docids within one add()")
+            # UPSERT semantics: adding an existing docid supersedes the old
+            # row (it is tombstoned here) — otherwise delete() would only
+            # reach one of two rows answering to the same id
+            for d in ids:
+                old = lut.get(d)
+                if old is not None:
+                    self._tombstones.add(old)
+        else:
+            # auto ids must never collide with live ids (positional ids
+            # survive compaction's renumbering, so a fresh counter from
+            # n_docs could land on an existing string)
+            ids = []
+            nxt = self.index.n_docs + len(self._tail_ids)
+            for _ in range(n_new):
+                while str(nxt) in lut or any(str(nxt) == i for i in ids):
+                    nxt += 1
+                ids.append(str(nxt))
+                nxt += 1
         if self._tail_P is None:
             self._tail_P, self._tail_pm = P_new, pm_new
         else:
@@ -419,7 +443,25 @@ class RetrievalEngine:
         books = getattr(self.index, "books", None)
         expanded = getattr(self.index, "books_expanded", False)
         summary_k = self.prune_centroids
+        # crash safety: a failed rebuild (device OOM, transient tunnel
+        # error) must NOT leave the old index serving with emptied
+        # tombstones/tail — deleted docs would silently resurrect and
+        # added ones vanish. Snapshot, attempt, restore on any failure.
+        snapshot = (self.index, self.summary, self.tail, self._tail_P,
+                    self._tail_pm, list(self._tail_ids),
+                    set(self._tombstones), self._docid_lut_cache)
         self._reset_incremental()
+        try:
+            self._compact_build(P, pm, sc, ids, books, expanded, summary_k)
+        except BaseException:
+            (self.index, self.summary, self.tail, self._tail_P,
+             self._tail_pm, self._tail_ids, self._tombstones,
+             self._docid_lut_cache) = snapshot
+            raise
+        return self
+
+    def _compact_build(self, P, pm, sc, ids, books, expanded,
+                       summary_k) -> None:
         if self.dtype == "pq":
             self.build_from_pq(P, np.asarray(books), pm, docids=ids,
                                expanded=expanded)
@@ -454,7 +496,6 @@ class RetrievalEngine:
             S, smask = build_summary_tokens(Pf, pm, summary_k)
             sdtype = "bfloat16" if self.dtype == "pq" else self.dtype
             self.summary = self._build_index(S, smask, dtype=sdtype)
-        return self
 
     def _merge_tail(self, Qd, qmd, vals, idx, k: int):
         """Merge main-index results with the tail index + apply
@@ -463,7 +504,9 @@ class RetrievalEngine:
         parts_v = [np.asarray(vals)]
         parts_i = [np.asarray(idx)]
         if self.tail is not None:
-            kt = min(k + len(self._tombstones), self.tail.n_docs)
+            # bucket like k_main: repeated deletes must not recompile
+            kt = min(-(-(k + len(self._tombstones)) // 32) * 32,
+                     self.tail.n_docs)
             tv, ti = sharded_topk(Qd, qmd, self.tail, k=kt,
                                   chunk_p=self.chunk_p, impl=self.impl)
             parts_v.append(self._fetch(tv))
@@ -577,11 +620,39 @@ class RetrievalEngine:
                 "embeddings (build_from_codes has no summary)")
         Qd = self._replicate(jnp.asarray(Q, dtype=jnp.float32))
         qmd = self._replicate(jnp.asarray(qmask, dtype=bool))
-        # incremental state: over-fetch from the main index so tombstoned
-        # rows can be filtered without shrinking the caller's k
         merging = self.tail is not None or bool(self._tombstones)
-        k_main = (min(k + len(self._tombstones), self.index.n_docs)
-                  if merging else k)
+        if merging and not (n_candidates and self.summary is not None) \
+                and self.mesh.devices.size == 1:
+            # single-device serving: main + tail + tombstone filter + top-k
+            # in ONE dispatched program. The alive mask is a dynamic arg, so
+            # deletes never recompile; only an add() (tail shape change)
+            # does. See parallel/topk._single_device_merged_topk.
+            from evdr_tpu.parallel.topk import _single_device_merged_topk
+
+            n_main = self.index.n_docs
+            n_tail = 0 if self.tail is None else self.tail.n_docs
+            alive = np.ones(n_main + n_tail, bool)
+            if self._tombstones:
+                alive[np.fromiter(self._tombstones, dtype=np.int64)] = False
+            tail = self.tail
+            vals, idx = _single_device_merged_topk(
+                Qd, qmd, self.index.P, self.index.pmask,
+                None if tail is None else tail.P,
+                None if tail is None else tail.pmask,
+                jnp.asarray(alive), k, self.chunk_p, self.impl,
+                n_main, n_tail, scales_m=self.index.scales,
+                scales_t=None if tail is None else tail.scales,
+                books=getattr(self.index, "books", None))
+            k_out = min(k, self.n_docs)
+            return (self._fetch(vals)[:, :k_out],
+                    self._fetch(idx)[:, :k_out])
+        # pruned/mesh incremental path: over-fetch from the main index so
+        # tombstoned rows can be filtered without shrinking the caller's k.
+        # k feeds static-k jitted programs — bucket it up to multiples of
+        # 32 so repeated deletes don't each force a fresh corpus-scale
+        # compile (the extra over-fetch is sliced off at the merge)
+        k_main = (min(-(-(k + len(self._tombstones)) // 32) * 32,
+                      self.index.n_docs) if merging else k)
         if n_candidates and self.summary is not None:
             c = min(n_candidates, self.index.n_docs)
             if self.mesh.devices.size == 1:

@@ -141,6 +141,35 @@ def _single_device_topk(Q, qmask, P_loc, pm_loc, k, chunk_p, impl,
     return _select_topk(sc, k, approx)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "chunk_p", "impl",
+                                              "n_main", "n_tail"))
+def _single_device_merged_topk(Q, qmask, P_m, pm_m, P_t, pm_t, alive,
+                               k, chunk_p, impl, n_main, n_tail,
+                               scales_m=None, scales_t=None, books=None):
+    """Incremental-serving top-k in ONE dispatched program: score the main
+    index AND the tail index, mask tombstoned columns with a DYNAMIC alive
+    vector, and select top-k — all device-side.
+
+    Why one program: a remote-TPU dispatch costs ~30 ms RTT, so a separate
+    tail dispatch per search doubles serving latency for even a one-doc
+    tail. Why the alive mask is an ARGUMENT (not folded into k): k is a
+    static argname, so over-fetching k + n_tombstones would recompile the
+    corpus-scale program on EVERY delete (40s-3min through the tunnel,
+    under the serving dispatch lock); a (n_main + n_tail) bool vector
+    changes freely between calls. Recompiles happen only when the tail
+    SHAPE changes — once per add(), not per delete or per search."""
+    sc_m = _local_scores(Q, qmask, P_m, pm_m, chunk_p, impl, scales_m,
+                         books)[:, :n_main]
+    parts = [sc_m]
+    if P_t is not None:
+        sc_t = _local_scores(Q, qmask, P_t, pm_t, chunk_p, impl, scales_t,
+                             books)[:, :n_tail]
+        parts.append(sc_t)
+    sc = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    sc = jnp.where(alive[None, :], sc, -jnp.inf)
+    return chunked_topk(sc, min(k, n_main + n_tail))
+
+
 @functools.lru_cache(maxsize=64)
 def _sharded_scores_prog(mesh: Mesh, chunk_p: int, impl: str, quant: bool,
                          pq: bool = False):

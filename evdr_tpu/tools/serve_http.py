@@ -378,11 +378,9 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
             if self.path != "/search":
                 return self._reply(404, {"error": "unknown path"})
             try:
-                n = int(self.headers.get("Content-Length", 0))
-                if n > max_body:
-                    return self._reply(413, {
-                        "error": f"body {n} bytes exceeds {max_body} cap"})
-                req = json.loads(self.rfile.read(n))
+                req = self._read_json()
+                if req is None:
+                    return
                 queries = req["queries"]
                 if not queries:
                     return self._reply(400, {"error": "empty queries"})

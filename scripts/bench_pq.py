@@ -158,11 +158,15 @@ def main():
     t0 = time.perf_counter()
     pq_codes = encode_pq(P, books, pm)
     t_host = time.perf_counter() - t0
-    # warm/compile at the EXACT chunk shape the timed run uses
-    nw = min(a.n_docs, 262_144 // a.lp)
-    encode_pq_device(P[:nw], books, pm[:nw])
+    # warm/compile at the EXACT chunk shape the timed run uses: chunk
+    # must be a token count both runs share (262144 is not a multiple of
+    # every lp — a mismatched tail shape would put a 40s-3min tunnel
+    # compile inside t_dev)
+    nw = min(a.n_docs, max(1, 262_144 // a.lp))
+    chunk = nw * a.lp
+    encode_pq_device(P[:nw], books, pm[:nw], chunk_tokens=chunk)
     t0 = time.perf_counter()
-    pq_codes_dev = encode_pq_device(P, books, pm)
+    pq_codes_dev = encode_pq_device(P, books, pm, chunk_tokens=chunk)
     t_dev = time.perf_counter() - t0
     results["pq_encode"] = {
         "host_tok_per_s": round(n_tok / t_host),

@@ -283,6 +283,8 @@ def config5_million_pages(n_pages: int = 1_000_000, tokens: int = 16, d: int = 1
         safe = jnp.where(s > 0, s, 1.0)
         q = jnp.clip(jnp.round(P.astype(jnp.float32) / safe[..., None]),
                      -7, 7).astype(jnp.int32)
+        if q.shape[1] % 2:  # odd token count: zero pad token (inert)
+            q = jnp.pad(q, ((0, 0), (0, 1), (0, 0)))
         lo = q[:, 0::2] & 15
         hi = q[:, 1::2] & 15
         return (lo | (hi << 4)).astype(jnp.uint8), s.astype(jnp.float32)

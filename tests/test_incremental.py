@@ -154,6 +154,96 @@ def test_add_with_pruned_engine(rng):
     assert ids[0][0] == "new4"
 
 
+def test_add_existing_docid_is_upsert(rng):
+    """Re-adding a live docid supersedes the old row: searches return the
+    NEW content under that id, delete() removes it completely, and the
+    doc count never double-counts."""
+    P, pm = _corpus(rng, 10, d=32)
+    eng = RetrievalEngine(dtype="bfloat16", impl="xla", mesh=make_mesh(1))
+    eng.build(P, pm, docids=[f"d{i}" for i in range(10)])
+    # replacement content: far from the original d3
+    newP, newpm = _corpus(rng, 1, d=32)
+    assert eng.add(newP, newpm, docids=["d3"]) == 1
+    assert eng.n_docs == 10  # replaced, not duplicated
+    # query = the NEW content finds d3 (the tail copy), and the OLD d3
+    # row is gone: a query equal to the old content must not return d3
+    Qn = newP[0:1, :3]
+    ids, _ = eng.search(list(Qn), k=3)
+    assert ids[0][0] == "d3"
+    Qold = P[3:4, :3]
+    ids_old, _ = eng.search(list(Qold), k=10)
+    assert ids_old[0].count("d3") <= 1  # only the tail copy can appear
+    assert eng.delete(["d3"]) == 1
+    assert eng.n_docs == 9
+    ids2, _ = eng.search(list(Qn), k=9)
+    assert "d3" not in ids2[0]
+
+
+def test_auto_ids_never_collide_after_compact(rng):
+    """The reviewer's repro: positional ids survive compaction's
+    renumbering, so a fresh counter from n_docs could collide. Auto ids
+    must skip live id strings."""
+    P, pm = _corpus(rng, 12)
+    eng = RetrievalEngine(dtype="bfloat16", impl="xla", mesh=make_mesh(1))
+    eng.build(P, pm)
+    eng.delete(["0", "5"])
+    eng.compact()               # ids '1'..'4','6'..'11' survive, n_docs=10
+    eng.add(P[:1], pm[:1])      # auto id must NOT be '10' (alive already)
+    new_id = eng._tail_ids[0]
+    lut_before = {str(i) for row in
+                  eng.ids_for(np.arange(10)[:, None]) for i in row}
+    assert new_id not in lut_before - {new_id}
+    assert eng.delete([new_id]) == 1
+    assert eng.n_docs == 10     # the original '10' still serves
+
+
+def test_compact_failure_restores_state(rng, monkeypatch):
+    """A failed compact (device OOM, tunnel error) must leave the engine
+    EXACTLY as it was — tombstones still filtering, tail still serving."""
+    P, pm = _corpus(rng, 15)
+    eng = RetrievalEngine(dtype="bfloat16", impl="xla", mesh=make_mesh(1))
+    eng.build(P, pm)
+    eng.add(P[:2], pm[:2], docids=["x0", "x1"])
+    eng.delete(["3"])
+    Q, qm = _queries(rng, P, pm, nq=5)
+    v0, i0 = eng.search_dense(Q, qm, k=4)
+
+    def boom(*a, **kw):
+        raise RuntimeError("synthetic rebuild failure")
+
+    monkeypatch.setattr(eng, "_compact_build", boom)
+    try:
+        eng.compact()
+        assert False, "expected the synthetic failure to propagate"
+    except RuntimeError:
+        pass
+    assert eng.tail is not None and eng._tombstones == {3}
+    assert eng.n_docs == 16
+    v1, i1 = eng.search_dense(Q, qm, k=4)
+    np.testing.assert_array_equal(i1, i0)
+
+
+def test_delete_never_recompiles_the_search_program(rng):
+    """Tombstones ride a dynamic alive-mask argument on the single-device
+    path: consecutive deletes must hit the SAME compiled program."""
+    import jax
+
+    P, pm = _corpus(rng, 30)
+    eng = RetrievalEngine(dtype="bfloat16", impl="xla", mesh=make_mesh(1))
+    eng.build(P, pm)
+    Q, qm = _queries(rng, P, pm, nq=4)
+    eng.delete(["1"])
+    from evdr_tpu.parallel import topk as topk_mod
+
+    with jax.log_compiles(False):
+        eng.search_dense(Q, qm, k=3)  # compile once
+        sizes0 = topk_mod._single_device_merged_topk._cache_size()
+        for d in ("2", "7", "9"):
+            eng.delete([d])
+            eng.search_dense(Q, qm, k=3)
+        assert topk_mod._single_device_merged_topk._cache_size() == sizes0
+
+
 def test_compact_preserves_results_and_ids(rng):
     """compact() folds tail + drops tombstones: post-compact searches must
     return the same (id, score) results as the incremental engine did, for
