@@ -370,20 +370,11 @@ class RetrievalEngine:
                 removed += 1
         return removed
 
-    def compact(self) -> "RetrievalEngine":
-        """Fold the tail into the main index and physically drop
-        tombstoned rows — an EXPLICIT O(corpus) maintenance operation
-        (fetches the stored rows to host and rebuilds through the standard
-        path; on a real TPU host that is PCIe traffic, not tunnel RTT).
-        External docids are preserved: rows keep the exact id strings
-        searches returned before compaction, including the positional ids
-        of indexes built without docids."""
-        if self.index is None:
-            raise RuntimeError("compact() needs a built index")
-        if self._multiproc:
-            raise NotImplementedError("compact() is single-process")
-        if self.tail is None and not self._tombstones:
-            return self
+    def _materialize_rows(self):
+        """Host-side (P_or_codes, pmask, scales|None, docids) of the
+        CURRENT logical corpus — main + tail rows minus tombstones, token
+        widths unified. Shared by compact() and save_npz(); an EXPLICIT
+        O(corpus) fetch (PCIe on a real TPU host)."""
         n_main = self.index.n_docs
         n_tail = 0 if self.tail is None else self.tail.n_docs
         keep = np.array([i for i in range(n_main + n_tail)
@@ -439,7 +430,63 @@ class RetrievalEngine:
         else:
             P, pm = Pm[keep], pmm[keep]
             sc = None if scm is None else scm[keep]
+        return P, pm, sc, ids
 
+    def to_packed_payload(self) -> dict:
+        """The CURRENT logical corpus (tail merged, tombstones dropped) as
+        a packed-npz dict (tools/convert_packed.py format) — the
+        durability path for incrementally-updated indexes: save, then
+        ``from_npz`` on any engine of the same dtype reproduces this
+        index exactly (no requantization round trip)."""
+        if self.index is None:
+            raise RuntimeError("to_packed_payload() needs a built index")
+        P, pm, sc, ids = self._materialize_rows()
+        # the stored rows ARE the engine's final serving representation —
+        # loaders must consume them as-is (direct codes, no renorm /
+        # requant), which is what the normalized marker means
+        out = {"pmask": pm, "docid": np.asarray([str(i) for i in ids]),
+               "doc_normalized": np.asarray(True)}
+        if self.dtype == "pq":
+            out["P_pq_codes"] = P
+            out["P_pq_books"] = np.asarray(self.index.books)
+            if getattr(self.index, "books_expanded", False):
+                out["P_pq_expanded"] = np.asarray(True)
+        elif self.dtype == "int8":
+            out["P_codes"], out["P_scale"] = P, sc
+        elif self.dtype == "int4":
+            out["P_codes4"], out["P_scale"] = P, sc
+        elif self.dtype == "bfloat16":
+            out["P_pad_bf16"] = P.view(np.uint16)  # ml_dtypes bf16 bits
+        else:
+            out["P_pad"] = np.asarray(P, np.float32)
+        return out
+
+    def save_npz(self, path) -> None:
+        """Persist the current logical corpus as a packed npz (see
+        :meth:`to_packed_payload`); written atomically (tmp + rename) so
+        a crash mid-write can't corrupt the serving artifact."""
+        import os
+
+        payload = self.to_packed_payload()
+        tmp = str(path) + ".tmp.npz"
+        np.savez(tmp, **payload)
+        os.replace(tmp, str(path))
+
+    def compact(self) -> "RetrievalEngine":
+        """Fold the tail into the main index and physically drop
+        tombstoned rows — an EXPLICIT O(corpus) maintenance operation
+        (fetches the stored rows to host and rebuilds through the standard
+        path; on a real TPU host that is PCIe traffic, not tunnel RTT).
+        External docids are preserved: rows keep the exact id strings
+        searches returned before compaction, including the positional ids
+        of indexes built without docids."""
+        if self.index is None:
+            raise RuntimeError("compact() needs a built index")
+        if self._multiproc:
+            raise NotImplementedError("compact() is single-process")
+        if self.tail is None and not self._tombstones:
+            return self
+        P, pm, sc, ids = self._materialize_rows()
         books = getattr(self.index, "books", None)
         expanded = getattr(self.index, "books_expanded", False)
         summary_k = self.prune_centroids

@@ -375,6 +375,8 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
                 return self._do_add()
             if self.path == "/delete":
                 return self._do_delete()
+            if self.path == "/save":
+                return self._do_save()
             if self.path != "/search":
                 return self._reply(404, {"error": "unknown path"})
             try:
@@ -463,6 +465,26 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
                 self._reply(200, {"added": added, "n_docs": engine.n_docs})
             except (KeyError, ValueError, TypeError, IndexError,
                     json.JSONDecodeError, NotImplementedError) as e:
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def _do_save(self):
+            """Persist the current logical corpus (incremental state
+            folded in) as a packed npz — atomic write (engine.save_npz)."""
+            try:
+                req = self._read_json()
+                if req is None:
+                    return
+                path = req["path"]
+                if not hasattr(engine, "save_npz"):
+                    return self._reply(501, {
+                        "error": "engine does not support saving"})
+                with batcher.engine_lock:
+                    engine.save_npz(path)
+                self._reply(200, {"saved": path, "n_docs": engine.n_docs})
+            except (KeyError, ValueError, TypeError, OSError,
+                    json.JSONDecodeError) as e:
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
             except Exception as e:
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})

@@ -307,6 +307,62 @@ def test_compact_rebuilds_pruning_summaries(rng):
     assert eng.ids_for(idx)[0][0] == "n1"
 
 
+def test_save_npz_roundtrips_every_tier(rng, tmp_path):
+    """save_npz persists the logical corpus (tail merged, tombstones
+    dropped); from_npz on a same-dtype engine reproduces the incremental
+    engine's results exactly, id-for-id."""
+    d = 64
+    P1, pm1 = _corpus(rng, 22, lp=5, d=d)
+    P2, pm2 = _corpus(rng, 6, lp=8, d=d)
+    Q, qm = _queries(rng, P1, pm1, nq=8)
+    for dtype, kw in (("bfloat16", {}), ("float32", {}), ("int8", {}),
+                      ("int4", {}), ("pq", {}), ("pq", {"pq_opq": True})):
+        eng = RetrievalEngine(dtype=dtype, impl="xla", mesh=make_mesh(1),
+                              **kw)
+        eng.build(P1, pm1, docids=[f"m{i}" for i in range(22)])
+        eng.add(P2, pm2, docids=[f"t{i}" for i in range(6)])
+        eng.delete(["m2", "t5"])
+        v0, i0 = eng.search_dense(Q, qm, k=5)
+        ids0 = eng.ids_for(i0)
+        path = tmp_path / f"saved_{dtype}_{bool(kw)}.npz"
+        eng.save_npz(path)
+        eng2 = RetrievalEngine.from_npz(path, dtype=dtype, impl="xla",
+                                        mesh=make_mesh(1), **kw)
+        assert eng2.n_docs == 26
+        v1, i1 = eng2.search_dense(Q, qm, k=5)
+        ids1 = eng2.ids_for(i1)
+        tag = f"{dtype}{kw}"
+        assert ids1 == ids0, (tag, ids0[0], ids1[0])
+        np.testing.assert_allclose(v1, v0, rtol=1e-4, atol=1e-4,
+                                   err_msg=tag)
+
+
+def test_http_save_endpoint(rng, tmp_path):
+    P, pm = _corpus(rng, 10, d=32)
+    eng = RetrievalEngine(dtype="int8", impl="xla", mesh=make_mesh(1))
+    eng.build(P, pm)
+    from evdr_tpu.tools.serve_http import make_server
+
+    srv = make_server(eng, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        out = str(tmp_path / "snap.npz")
+        body = json.dumps({"path": out}).encode()
+        req = urllib.request.Request(base + "/save", data=body,
+                                     headers={"Content-Type":
+                                              "application/json"})
+        with urllib.request.urlopen(req) as r:
+            res = json.loads(r.read())
+        assert res == {"saved": out, "n_docs": 10}
+        eng2 = RetrievalEngine.from_npz(out, dtype="int8", impl="xla",
+                                        mesh=make_mesh(1))
+        assert eng2.n_docs == 10
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_http_add_and_delete_endpoints(rng):
     P, pm = _corpus(rng, 15, d=32)
     eng = RetrievalEngine(dtype="float32", impl="xla", mesh=make_mesh(1))
