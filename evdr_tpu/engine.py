@@ -440,6 +440,10 @@ class RetrievalEngine:
         index exactly (no requantization round trip)."""
         if self.index is None:
             raise RuntimeError("to_packed_payload() needs a built index")
+        if self._multiproc:
+            raise NotImplementedError(
+                "save is single-process (a multihost deployment persists "
+                "the source file it was built from)")
         P, pm, sc, ids = self._materialize_rows()
         # the stored rows ARE the engine's final serving representation —
         # loaders must consume them as-is (direct codes, no renorm /
@@ -461,16 +465,31 @@ class RetrievalEngine:
             out["P_pad"] = np.asarray(P, np.float32)
         return out
 
-    def save_npz(self, path) -> None:
-        """Persist the current logical corpus as a packed npz (see
-        :meth:`to_packed_payload`); written atomically (tmp + rename) so
-        a crash mid-write can't corrupt the serving artifact."""
+    @staticmethod
+    def write_packed_npz(path, payload: dict) -> None:
+        """Atomic packed-npz write (tmp + rename; the tmp file is cleaned
+        up if the write itself fails — disk-full aborts must not orphan a
+        corpus-sized partial file). Split out from :meth:`save_npz` so a
+        server can materialize the payload under its dispatch lock and do
+        the multi-second disk write OUTSIDE it."""
         import os
 
-        payload = self.to_packed_payload()
         tmp = str(path) + ".tmp.npz"
-        np.savez(tmp, **payload)
-        os.replace(tmp, str(path))
+        try:
+            np.savez(tmp, **payload)
+            os.replace(tmp, str(path))
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+
+    def save_npz(self, path) -> None:
+        """Persist the current logical corpus as a packed npz (see
+        :meth:`to_packed_payload`); written atomically so a crash
+        mid-write can't corrupt the serving artifact."""
+        self.write_packed_npz(path, self.to_packed_payload())
 
     def compact(self) -> "RetrievalEngine":
         """Fold the tail into the main index and physically drop
@@ -590,15 +609,27 @@ class RetrievalEngine:
             docids = payload.get("docid")
             if "P_pq_codes" in payload:
                 if eng.dtype == "pq":
-                    if eng.prune_centroids:
-                        raise ValueError(
-                            "prune_centroids with a PQ file needs float "
-                            "tokens for the summary stage: build from a "
-                            "float/interchange file with dtype='pq' instead")
-                    return eng.build_from_pq(
+                    expanded = bool(payload.get("P_pq_expanded", False))
+                    eng.build_from_pq(
                         payload["P_pq_codes"], payload["P_pq_books"],
-                        payload["pmask"], docids=docids,
-                        expanded=bool(payload.get("P_pq_expanded", False)))
+                        payload["pmask"], docids=docids, expanded=expanded)
+                    if eng.prune_centroids > 0:
+                        # the float tokens are gone; summaries built from
+                        # the decoded reconstructions are exactly what the
+                        # PQ rerank stage scores anyway (same convention
+                        # as compact()) — the PLAID-combo engine round-
+                        # trips through save_npz/from_npz
+                        from evdr_tpu.ops.pq import decode_pq
+                        from evdr_tpu.ops.pruned import build_summary_tokens
+
+                        rec = decode_pq(payload["P_pq_codes"],
+                                        payload["P_pq_books"],
+                                        expanded=expanded)
+                        S, smask = build_summary_tokens(
+                            rec, payload["pmask"], eng.prune_centroids)
+                        eng.summary = eng._build_index(S, smask,
+                                                       dtype="bfloat16")
+                    return eng
                 if "P_pad" not in payload:
                     # PQ file + float/int8 engine under mmap (the eager
                     # loader already reconstructed P_pad): decode here

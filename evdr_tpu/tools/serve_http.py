@@ -311,7 +311,8 @@ def warm_query_dim(engine) -> int:
 def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
                 default_k: int = 10, default_candidates: int = 0,
                 max_body_mb: int = 256, length_multiple: int = 8,
-                batch_wait_ms: float = 0.0, max_batch: int = 64):
+                batch_wait_ms: float = 0.0, max_batch: int = 64,
+                save_dir=None):
     """Build a ThreadingHTTPServer wired to a built RetrievalEngine.
 
     Concurrent /search requests coalesce into shared device dispatches
@@ -471,23 +472,46 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
 
         def _do_save(self):
             """Persist the current logical corpus (incremental state
-            folded in) as a packed npz — atomic write (engine.save_npz)."""
+            folded in) as a packed npz under the allowlisted save
+            directory — a client-supplied free path would let any peer
+            that can reach the port overwrite arbitrary server files."""
+            import os
+
             try:
                 req = self._read_json()
                 if req is None:
                     return
-                path = req["path"]
-                if not hasattr(engine, "save_npz"):
+                if save_dir is None:
+                    return self._reply(403, {
+                        "error": "saving disabled; start evdr-serve with "
+                                 "--save_dir DIR to allow it"})
+                name = str(req["path"])
+                root = os.path.realpath(str(save_dir))
+                path = os.path.realpath(os.path.join(root, name))
+                if os.path.dirname(path) != root \
+                        or not path.endswith(".npz"):
+                    return self._reply(400, {
+                        "error": "path must be a *.npz filename directly "
+                                 "under the configured --save_dir"})
+                if not hasattr(engine, "to_packed_payload"):
                     return self._reply(501, {
                         "error": "engine does not support saving"})
+                # hold the dispatch lock only for the state snapshot; the
+                # multi-second disk write of a GB-scale payload must not
+                # stall every queued /search behind it
                 with batcher.engine_lock:
-                    engine.save_npz(path)
-                self._reply(200, {"saved": path, "n_docs": engine.n_docs})
-            except (KeyError, ValueError, TypeError, OSError,
+                    payload = engine.to_packed_payload()
+                    n_docs = engine.n_docs
+                engine.write_packed_npz(path, payload)
+                self._reply(200, {"saved": path, "n_docs": n_docs})
+            except NotImplementedError as e:
+                self._reply(501, {"error": f"{type(e).__name__}: {e}"})
+            except (KeyError, ValueError, TypeError,
                     json.JSONDecodeError) as e:
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
-            except Exception as e:
-                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:  # OSError (disk full, perms) included:
+                self._reply(500, {  # server-side fault, not a client bug
+                    "error": f"{type(e).__name__}: {e}"})
 
         def _do_delete(self):
             """Tombstone documents by docid (engine.delete)."""
@@ -536,6 +560,9 @@ def main(argv=None) -> None:
                         "previous dispatch was in flight)")
     p.add_argument("--max_batch", type=int, default=64,
                    help="max requests coalesced into one device dispatch")
+    p.add_argument("--save_dir", default=None,
+                   help="directory POST /save may write *.npz snapshots "
+                        "into (endpoint disabled when omitted)")
     p.add_argument("--warm", default="1,8,32",
                    help="comma list of batch buckets to pre-compile; requests "
                         "snap to power-of-two batches, so warmed buckets "
@@ -600,7 +627,8 @@ def main(argv=None) -> None:
                       default_candidates=a.n_candidates,
                       max_body_mb=a.max_body_mb,
                       length_multiple=a.length_multiple,
-                      batch_wait_ms=a.batch_wait_ms, max_batch=a.max_batch)
+                      batch_wait_ms=a.batch_wait_ms, max_batch=a.max_batch,
+                      save_dir=a.save_dir)
     print(f"[serve] {eng.n_docs} docs ready on http://{a.host}:{a.port}",
           flush=True)
     try:

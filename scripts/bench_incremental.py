@@ -27,7 +27,10 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 def timed_search(eng, Q, qm, k, reps=3):
     best = float("inf")
     for r in range(reps):
-        Qr = np.roll(Q, r + 1, axis=0).copy()  # distinct buffers: no memo
+        # distinct buffer CONTENT per rep (np.roll is the identity at
+        # batch 1 — the memoizing remote client would serve the repeat
+        # from cache and the timing would collapse to ~0)
+        Qr = (Q + np.float32(1e-6) * (r + 1)).copy()
         t0 = time.perf_counter()
         v, _ = eng.search_dense(Qr, qm, k=k)
         float(np.asarray(v).sum())

@@ -338,29 +338,85 @@ def test_save_npz_roundtrips_every_tier(rng, tmp_path):
 
 
 def test_http_save_endpoint(rng, tmp_path):
+    """POST /save writes only *.npz files directly under the configured
+    --save_dir; free paths (traversal) are rejected and the endpoint is
+    disabled entirely without the flag."""
+    import urllib.error
+
     P, pm = _corpus(rng, 10, d=32)
     eng = RetrievalEngine(dtype="int8", impl="xla", mesh=make_mesh(1))
     eng.build(P, pm)
     from evdr_tpu.tools.serve_http import make_server
 
-    srv = make_server(eng, port=0)
+    srv = make_server(eng, port=0, save_dir=tmp_path)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     base = f"http://127.0.0.1:{srv.server_address[1]}"
-    try:
-        out = str(tmp_path / "snap.npz")
-        body = json.dumps({"path": out}).encode()
+
+    def post_save(name):
+        body = json.dumps({"path": name}).encode()
         req = urllib.request.Request(base + "/save", data=body,
                                      headers={"Content-Type":
                                               "application/json"})
         with urllib.request.urlopen(req) as r:
-            res = json.loads(r.read())
-        assert res == {"saved": out, "n_docs": 10}
-        eng2 = RetrievalEngine.from_npz(out, dtype="int8", impl="xla",
+            return json.loads(r.read())
+
+    try:
+        res = post_save("snap.npz")
+        assert res["n_docs"] == 10
+        assert res["saved"] == str(tmp_path / "snap.npz")
+        eng2 = RetrievalEngine.from_npz(tmp_path / "snap.npz",
+                                        dtype="int8", impl="xla",
                                         mesh=make_mesh(1))
         assert eng2.n_docs == 10
+        # traversal / free paths / wrong extension -> 400
+        for bad in ("../evil.npz", "/etc/evil.npz", "sub/nested.npz",
+                    "snap.txt"):
+            try:
+                post_save(bad)
+                assert False, f"expected 400 for {bad!r}"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, (bad, e.code)
     finally:
         srv.shutdown()
         srv.server_close()
+
+    # without --save_dir the endpoint is disabled (403)
+    srv2 = make_server(eng, port=0)
+    threading.Thread(target=srv2.serve_forever, daemon=True).start()
+    base2 = f"http://127.0.0.1:{srv2.server_address[1]}"
+    try:
+        req = urllib.request.Request(
+            f"{base2}/save", data=json.dumps({"path": "x.npz"}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected 403"
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+    finally:
+        srv2.shutdown()
+        srv2.server_close()
+
+
+def test_pq_pruned_engine_roundtrips_through_save(rng, tmp_path):
+    """The PLAID-combo engine (dtype='pq' + prune_centroids) has a
+    durability path: from_npz rebuilds summaries from the decoded
+    reconstructions instead of refusing the PQ file."""
+    P, pm = _corpus(rng, 30, d=64)
+    eng = RetrievalEngine(dtype="pq", impl="xla", prune_centroids=2,
+                          mesh=make_mesh(1))
+    eng.build(P, pm)
+    Q, qm = _queries(rng, P, pm, nq=6)
+    v0, i0 = eng.search_dense(Q, qm, k=4, n_candidates=30)
+    eng.save_npz(tmp_path / "plaid.npz")
+    eng2 = RetrievalEngine.from_npz(tmp_path / "plaid.npz", dtype="pq",
+                                    impl="xla", prune_centroids=2,
+                                    mesh=make_mesh(1))
+    assert eng2.summary is not None
+    # all-candidates pruned search equals the exact PQ search either way
+    v1, i1 = eng2.search_dense(Q, qm, k=4, n_candidates=30)
+    np.testing.assert_array_equal(i1, i0)
+    np.testing.assert_allclose(v1, v0, rtol=2e-4, atol=2e-4)
 
 
 def test_http_add_and_delete_endpoints(rng):
