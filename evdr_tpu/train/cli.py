@@ -88,6 +88,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_backend", default=defaults.checkpoint_backend,
                    choices=("npz", "orbax"))
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--export_packed", default=defaults.export_packed,
+                   choices=("none", "float32", "bfloat16", "int8", "int4",
+                            "pq"),
+                   help="after training, also write best_ndcg5.packed.npz "
+                        "in the packed SERVING format at this storage tier "
+                        "(drops straight into evdr-serve / from_npz)")
     p.add_argument("--mesh_docs", type=int, default=defaults.mesh_docs,
                    help="shard the doc axis over an N-device mesh (multi-chip "
                         "training; 0/1 = single device)")

@@ -94,6 +94,11 @@ class TrainConfig:
     precompute_teacher: bool = True        # teacher is frozen: score the pool once
     checkpoint_every: int = 0              # 0 = only best-npz artifacts
     checkpoint_backend: str = "npz"        # "npz" (single file) | "orbax"
+    # closing the train->serve loop: after training, additionally convert
+    # best_ndcg5.npz into the packed SERVING format at the given storage
+    # tier (tools/convert_packed.py; "none" skips). The packed file drops
+    # straight into RetrievalEngine.from_npz / evdr-serve.
+    export_packed: str = "none"            # none|float32|bfloat16|int8|int4|pq
     resume: bool = False
     # multi-device training: shard the student/teacher doc axis over an
     # N-device mesh (global-softmax losses via XLA collectives,
@@ -126,6 +131,10 @@ class TrainConfig:
             raise ValueError("only adamw is supported (reference utils/utils.py:78-80)")
         if self.checkpoint_backend not in ("npz", "orbax"):
             raise ValueError(f"unknown checkpoint_backend {self.checkpoint_backend!r}")
+        if self.export_packed not in ("none", "float32", "bfloat16", "int8",
+                                      "int4", "pq"):
+            raise ValueError(
+                f"unknown export_packed {self.export_packed!r}")
         if self.checkpoint_backend == "orbax":
             # fail fast at config time, not at the first mid-training save
             import importlib.util

@@ -1215,6 +1215,30 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
                 save_checkpoint(ckpt_path, p_ck, opt_ck, step, best_r1,
                                 best_nd5, backend=cfg.checkpoint_backend)
 
+    if cfg.export_packed != "none" and is_main_proc:
+        # train -> serve in one run: convert the best artifact into the
+        # packed serving format (tools/convert_packed.py) so it drops
+        # straight into RetrievalEngine.from_npz / evdr-serve with no
+        # manual conversion step
+        src = Path(out_dir) / "best_ndcg5.npz"
+        if src.exists():
+            from evdr_tpu.data.npz_io import load_payload as _lp
+            from evdr_tpu.tools.convert_packed import (
+                convert_payload_to_packed)
+
+            packed = convert_payload_to_packed(
+                _lp(src), length_multiple=16, dtype=cfg.export_packed,
+                normalize=True)
+            dst = Path(out_dir) / "best_ndcg5.packed.npz"
+            tmpp = str(dst) + ".tmp.npz"
+            np.savez(tmpp, **packed)
+            os.replace(tmpp, dst)
+            logger.info(json.dumps({
+                "export_packed": str(dst), "dtype": cfg.export_packed}))
+        else:
+            logger.warning("export_packed: no best_ndcg5.npz artifact "
+                           "(no eval improved on the init?)")
+
     summary = {
         "summary/latency": float(last_metrics.get("latency", 0.0)),
         "summary/best_recall": best_r1,

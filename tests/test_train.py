@@ -156,6 +156,26 @@ def test_checkpoint_resume(fixture_root, tmp_path):
     run_training(cfg2)
 
 
+def test_export_packed_serving_artifact(fixture_root, tmp_path):
+    """--export_packed int8 closes the train->serve loop: the run leaves
+    a packed serving file that drops straight into the engine."""
+    cfg = _cfg(fixture_root, tmp_path, max_steps=60, eval_every=10,
+               name="xp", export_packed="int8")
+    run_training(cfg)
+    out_dir = Path(cfg.out_root) / "xp" / "mf5" / "synth"
+    packed = out_dir / "best_ndcg5.packed.npz"
+    assert packed.exists()
+    from evdr_tpu.engine import RetrievalEngine
+    from evdr_tpu.parallel.mesh import make_mesh
+    from evdr_tpu.tools.convert_packed import is_packed
+
+    assert is_packed(packed)
+    eng = RetrievalEngine.from_npz(packed, dtype="int8", impl="xla",
+                                   mesh=make_mesh(1))
+    assert eng.index.P.dtype == np.int8  # direct-code path engaged
+    assert eng.n_docs > 0
+
+
 def test_resume_matches_uninterrupted_run(fixture_root, tmp_path):
     """Kill-and-resume must reproduce the uninterrupted trajectory bitwise:
     the batch stream and the per-dispatch rng are fast-forwarded to the
