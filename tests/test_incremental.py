@@ -307,6 +307,66 @@ def test_compact_rebuilds_pruning_summaries(rng):
     assert eng.ids_for(idx)[0][0] == "n1"
 
 
+def test_concurrent_search_add_delete_stress(rng):
+    """Randomized interleaving of searches, adds and deletes from many
+    threads through the HTTP surface: no deadlocks, no 5xx, and the final
+    corpus state is exactly (initial + adds - deletes)."""
+    P, pm = _corpus(rng, 20, d=32)
+    eng = RetrievalEngine(dtype="bfloat16", impl="xla", mesh=make_mesh(1))
+    eng.build(P, pm, docids=[f"base{i}" for i in range(20)])
+    from evdr_tpu.tools.serve_http import make_server
+
+    srv = make_server(eng, port=0, batch_wait_ms=2.0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    errors = []
+
+    def post(path, obj):
+        req = urllib.request.Request(
+            base + path, data=json.dumps(obj).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return json.loads(r.read())
+
+    def worker(wid):
+        try:
+            wrng = np.random.default_rng(wid)
+            for op in range(6):
+                roll = wrng.random()
+                if roll < 0.5:
+                    q = _unit(wrng.normal(size=(3, 32))).astype(np.float32)
+                    res = post("/search", {"queries": [q.tolist()], "k": 3})
+                    assert len(res["docids"][0]) == 3
+                elif roll < 0.8:
+                    d = _unit(wrng.normal(size=(4, 32))).astype(np.float32)
+                    post("/add", {"documents": [d.tolist()],
+                                  "docids": [f"w{wid}_{op}"]})
+                else:
+                    # delete a base doc (idempotent across threads)
+                    post("/delete", {"docids":
+                                     [f"base{int(wrng.integers(5))}"]})
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"w{wid}: {type(e).__name__}: {e}")
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+        assert not t.is_alive(), "stress worker deadlocked"
+    assert not errors, errors
+    # invariant: alive count == 20 + unique adds - unique base deletes
+    n_added = len(eng._tail_ids)
+    n_deleted = len(eng._tombstones)
+    assert eng.n_docs == 20 + n_added - n_deleted
+    # a final search still answers correctly after the churn
+    q = P[10:11, :3].copy()
+    ids, _ = eng.search(list(q), k=5)
+    assert len(ids[0]) == 5
+    srv.shutdown()
+    srv.server_close()
+
+
 def test_save_npz_roundtrips_every_tier(rng, tmp_path):
     """save_npz persists the logical corpus (tail merged, tombstones
     dropped); from_npz on a same-dtype engine reproduces the incremental
