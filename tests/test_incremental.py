@@ -307,6 +307,44 @@ def test_compact_rebuilds_pruning_summaries(rng):
     assert eng.ids_for(idx)[0][0] == "n1"
 
 
+def test_incremental_on_multi_device_mesh(rng):
+    """add/delete on an 8-device doc-sharded engine (the host-merge path
+    with bucketed over-fetch): results equal the single-device engine's,
+    for exact AND pruned searches."""
+    import jax
+
+    P1, pm1 = _corpus(rng, 33)
+    P2, pm2 = _corpus(rng, 7)
+    Q, qm = _queries(rng, np.concatenate([P1, P2]),
+                     np.concatenate([pm1, pm2]), nq=10)
+
+    def drive(mesh):
+        eng = RetrievalEngine(dtype="bfloat16", impl="xla", mesh=mesh)
+        eng.build(P1, pm1, docids=[f"m{i}" for i in range(33)])
+        eng.add(P2, pm2, docids=[f"t{i}" for i in range(7)])
+        eng.delete(["m5", "t3"])
+        v, i = eng.search_dense(Q, qm, k=6)
+        return v, eng.ids_for(i)
+
+    v1, ids1 = drive(make_mesh(1))
+    v8, ids8 = drive(make_mesh(len(jax.devices())))
+    assert ids8 == ids1
+    np.testing.assert_allclose(v8, v1, rtol=1e-5, atol=1e-5)
+
+    # pruned engine on the mesh: added docs findable, deleted ones gone
+    engp = RetrievalEngine(dtype="bfloat16", impl="xla", prune_centroids=2,
+                           mesh=make_mesh(len(jax.devices())))
+    engp.build(P1, pm1, docids=[f"m{i}" for i in range(33)])
+    engp.add(P2, pm2, docids=[f"t{i}" for i in range(7)])
+    engp.delete(["t2"])
+    Qx = P2[5:6, :4].copy()
+    qmx = np.ones((1, 4), bool)
+    _, ip = engp.search_dense(Qx, qmx, k=3, n_candidates=12)
+    idsp = engp.ids_for(ip)
+    assert idsp[0][0] == "t5"
+    assert "t2" not in {x for row in idsp for x in row}
+
+
 def test_concurrent_search_add_delete_stress(rng):
     """Randomized interleaving of searches, adds and deletes from many
     threads through the HTTP surface: no deadlocks, no 5xx, and the final
