@@ -8,14 +8,17 @@ Python objects. ``load_dataset_bundle`` consumes either transparently.
 
     python -m evdr_tpu.tools.convert_packed --in_npz dump_all.npz \
         --out_npz dump_all.packed.npz [--length_multiple 16] \
-        [--dtype float32|bfloat16|int8]
+        [--dtype float32|bfloat16|int8|int4|pq]
 
 Storage dtypes (docs side only; queries stay float32 — they are tiny and
 pre-normalized): ``bfloat16`` halves disk/RAM/IO for GB-scale corpora;
 ``int8`` stores per-token symmetric codes + f32 scales (ops/quantize.py),
 ~4x smaller than f32 with measured 0.000 nDCG@5 delta (RESULTS.md);
-``pq`` product-quantizes to --pq_m bytes/token (ops/pq.py — 8x smaller
-than int8 at D=128/M=16; lossy, stores ``P_pq_codes`` + ``P_pq_books``).
+``int4`` packs two codes per byte (ops/int4.py — half of int8,
+near-lossless, stores ``P_codes4`` + ``P_scale``); ``pq`` product-
+quantizes to --pq_m bytes/token (ops/pq.py — 8x smaller than int8 at
+D=128/M=16; lossy, stores ``P_pq_codes`` + ``P_pq_books``; ``--pq_opq``
+adds an OPQ rotation folded into expanded books).
 """
 
 from __future__ import annotations
