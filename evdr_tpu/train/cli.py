@@ -90,7 +90,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--export_packed", default=defaults.export_packed,
                    choices=("none", "float32", "bfloat16", "int8", "int4",
-                            "pq"),
+                            "pq", "opq"),
                    help="after training, also write best_ndcg5.packed.npz "
                         "in the packed SERVING format at this storage tier "
                         "(drops straight into evdr-serve / from_npz)")

@@ -98,7 +98,7 @@ class TrainConfig:
     # best_ndcg5.npz into the packed SERVING format at the given storage
     # tier (tools/convert_packed.py; "none" skips). The packed file drops
     # straight into RetrievalEngine.from_npz / evdr-serve.
-    export_packed: str = "none"            # none|float32|bfloat16|int8|int4|pq
+    export_packed: str = "none"            # none|float32|bfloat16|int8|int4|pq|opq
     resume: bool = False
     # multi-device training: shard the student/teacher doc axis over an
     # N-device mesh (global-softmax losses via XLA collectives,
@@ -132,7 +132,7 @@ class TrainConfig:
         if self.checkpoint_backend not in ("npz", "orbax"):
             raise ValueError(f"unknown checkpoint_backend {self.checkpoint_backend!r}")
         if self.export_packed not in ("none", "float32", "bfloat16", "int8",
-                                      "int4", "pq"):
+                                      "int4", "pq", "opq"):
             raise ValueError(
                 f"unknown export_packed {self.export_packed!r}")
         if self.checkpoint_backend == "orbax":

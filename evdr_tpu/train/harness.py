@@ -1226,9 +1226,10 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
             from evdr_tpu.tools.convert_packed import (
                 convert_payload_to_packed)
 
+            dt = "pq" if cfg.export_packed == "opq" else cfg.export_packed
             packed = convert_payload_to_packed(
-                _lp(src), length_multiple=16, dtype=cfg.export_packed,
-                normalize=True)
+                _lp(src), length_multiple=16, dtype=dt, normalize=True,
+                pq_opq=(cfg.export_packed == "opq"))
             dst = Path(out_dir) / "best_ndcg5.packed.npz"
             tmpp = str(dst) + ".tmp.npz"
             np.savez(tmpp, **packed)
