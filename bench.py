@@ -86,34 +86,84 @@ print(jax.default_backend())
 """
 
 
-def tpu_available(retries: int = None, probe_timeout: int = 300,
-                  sleep_s: int = 60) -> bool:
+def tpu_available(retries: int = None, probe_timeout: int = 240,
+                  sleep_s: int = 30, wait_s: float = None) -> bool:
     """Probe the axon tunnel in a SUBPROCESS before touching jax in-process.
 
     The tunnel can be down for extended stretches; in-process backend init
     then hangs ~5 min and the failure is cached for the life of the process.
-    A subprocess probe keeps this process clean and lets us retry. Returns
-    False only after ``retries`` failed probes (default 1; override with
-    EVDR_BENCH_TPU_RETRIES for patient round-end runs)."""
+    A subprocess probe keeps this process clean and lets us retry.
+
+    Round-3 postmortem: ONE failed probe -> CPU fallback lost the round's
+    perf record to a transient outage. Default behavior is now a bounded
+    wait-and-retry window: keep probing every ``sleep_s`` until ``wait_s``
+    wall-clock seconds elapse (env EVDR_BENCH_TPU_WAIT_S, default 900;
+    worst case ~wait_s + probe_timeout). ``retries`` caps the number of
+    probes when given (tests / quick checks)."""
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         return False
-    if retries is None:
-        retries = int(os.environ.get("EVDR_BENCH_TPU_RETRIES", "1"))
-    for attempt in range(max(1, retries)):
-        if attempt:
-            time.sleep(sleep_s)
+    if retries is None and os.environ.get("EVDR_BENCH_TPU_RETRIES"):
+        retries = int(os.environ["EVDR_BENCH_TPU_RETRIES"])
+    if wait_s is None:
+        wait_s = float(os.environ.get("EVDR_BENCH_TPU_WAIT_S", "900"))
+    deadline = time.monotonic() + wait_s
+    attempt = 0
+    while True:
+        attempt += 1
         try:
             out = subprocess.run([sys.executable, "-c", _PROBE_SNIPPET],
                                  capture_output=True, text=True,
                                  timeout=probe_timeout)
             if out.returncode == 0:
                 return True
-            print(f"[bench] TPU probe {attempt + 1}/{retries} failed: "
+            print(f"[bench] TPU probe {attempt} failed: "
                   f"{out.stdout.strip().splitlines()[-1:]}", file=sys.stderr)
         except subprocess.TimeoutExpired:
-            print(f"[bench] TPU probe {attempt + 1}/{retries} timed out",
-                  file=sys.stderr)
-    return False
+            print(f"[bench] TPU probe {attempt} timed out", file=sys.stderr)
+        if retries is not None and attempt >= retries:
+            return False
+        if time.monotonic() + sleep_s >= deadline:
+            print(f"[bench] TPU wait window ({wait_s:.0f}s) exhausted after "
+                  f"{attempt} probes", file=sys.stderr)
+            return False
+        time.sleep(sleep_s)
+
+
+_LAST_QPS_FILE = pathlib.Path("/tmp/evdr_last_tpu_qps.json")
+
+
+def last_known_tpu_qps():
+    """(source, qps) of the newest REAL chip headline, or None.
+
+    Sources: the driver's committed BENCH_r*.json artifacts (skipping
+    cpu-fallback records) and this box's own last successful run
+    (/tmp/evdr_last_tpu_qps.json, which postdates any artifact). Lets a
+    fallback record carry the last good number so a parser never mistakes
+    a tunnel outage for a 7000x regression."""
+    best = None
+    for f in sorted(pathlib.Path(__file__).resolve().parent.glob(
+            "BENCH_r*.json")):
+        try:
+            tail = json.loads(f.read_text()).get("tail", "")
+        except Exception:
+            continue
+        for line in tail.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                rec = json.loads(line)
+            except Exception:
+                continue
+            if (rec.get("metric") == "maxsim_queries_per_sec"
+                    and "cpu-fallback" not in rec.get("backend", "")):
+                best = (f.name, float(rec["value"]))
+    try:
+        rec = json.loads(_LAST_QPS_FILE.read_text())
+        best = (rec["source"], float(rec["qps"]))
+    except Exception:
+        pass
+    return best
 
 
 def measure_tpu_qps():
@@ -208,18 +258,29 @@ def main() -> None:
         except Exception as e:
             print(f"[bench] cpu fallback failed too: {e}", file=sys.stderr)
             cpu_qps = 0.0
-        print(json.dumps({
+        known = last_known_tpu_qps()
+        rec = {
             "metric": "maxsim_queries_per_sec",
             "value": round(cpu_qps, 1),
             "unit": "q/s",
             "vs_baseline": 1.0,
-            "backend": "cpu-fallback (TPU backend unavailable at run time; "
-                       "see BENCH_r02.json for the chip number)",
-        }))
+            "backend": "cpu-fallback (TPU backend unavailable for the whole "
+                       "wait window; value is NOT a regression — see "
+                       "last_known_tpu_qps)",
+        }
+        if known is not None:
+            rec["last_known_tpu_qps"] = known[1]
+            rec["last_known_source"] = known[0]
+        print(json.dumps(rec))
         return
 
     with trace_ctx(args.trace):
         tpu_qps, bf16_qps = measure_tpu_qps()
+    try:  # record the chip number for future outage fallbacks
+        _LAST_QPS_FILE.write_text(json.dumps(
+            {"source": "local-run", "qps": round(tpu_qps, 1)}))
+    except Exception:
+        pass
     try:
         cpu_qps = measure_cpu_qps()
         vs = tpu_qps / cpu_qps
