@@ -74,12 +74,18 @@ class RetrievalEngine:
         self.summary: Optional[ShardedIndex] = None
         # incremental updates (add/delete): new docs accumulate in host
         # buffers and serve from a small device-side TAIL index merged into
-        # every search; deletions are tombstoned global indices
+        # every search; deletions are tombstoned global indices. add() only
+        # appends to _tail_parts (O(batch)); the device tail materializes
+        # lazily on the next search (_ensure_tail), so a burst of adds pays
+        # ONE consolidation + rebuild instead of one per call.
         self.tail: Optional[ShardedIndex] = None
         self._tail_P: Optional[np.ndarray] = None
         self._tail_pm: Optional[np.ndarray] = None
+        self._tail_parts: list = []
+        self._tail_dirty: bool = False
         self._tail_ids: list = []
         self._tombstones: set = set()
+        self._next_auto_id: Optional[int] = None
 
     def _replicate(self, x):
         if self._multiproc:
@@ -104,8 +110,11 @@ class RetrievalEngine:
         tombstones from a previous corpus must not leak into the new one."""
         self.tail = None
         self._tail_P = self._tail_pm = None
+        self._tail_parts = []
+        self._tail_dirty = False
         self._tail_ids = []
         self._tombstones = set()
+        self._next_auto_id = None
         self._docid_lut_cache = None
 
     def _build_index(self, P, pmask, docids=None, dtype=None, scales=None,
@@ -250,20 +259,26 @@ class RetrievalEngine:
         New docs accumulate in host-side float buffers and serve from a
         small device-side tail index (same storage dtype as the main one —
         PQ tails encode against the EXISTING codebooks, including expanded
-        OPQ books) that every search scores and merges exactly. The tail
-        device index is rebuilt per add — O(tail), not O(corpus); fold a
-        large tail in with :meth:`compact` when convenient.
+        OPQ books) that every search scores and merges exactly. add()
+        itself only appends to the pending host buffers — O(batch); the
+        device tail is (re)built lazily on the next search, so a burst of
+        adds pays ONE O(tail) rebuild. Fold a large tail into the main
+        index with :meth:`compact` when convenient.
 
         Adding an EXISTING docid is an UPSERT: the old row is tombstoned
         in the same call, so searches and ``delete`` see exactly one row
         per id. Auto-assigned ids (no ``docids``) never collide with live
-        ids. Returns the number of docs added."""
+        ids. Returns the number of docs added.
+
+        Under a multi-process deployment this is a COLLECTIVE: every
+        process must call it with identical arguments (evdr-serve's
+        coordinator broadcasts the mutation; see
+        parallel/multihost.MultihostSearchCoordinator.add) — the host-side
+        bookkeeping is deterministic, so all processes stay bit-identical
+        and the lazily-built tail assembles per-host rows like any
+        multihost index build."""
         if self.index is None:
             raise RuntimeError("add() needs a built index; call build()")
-        if self._multiproc:
-            raise NotImplementedError(
-                "incremental add is single-process for now (multihost "
-                "builds assemble per-host rows at build time)")
         normalize = self.normalize if normalize is None else normalize
         P_new = np.asarray(P_new, dtype=np.float32)
         pm_new = np.asarray(pmask_new, dtype=bool)
@@ -289,32 +304,28 @@ class RetrievalEngine:
         else:
             # auto ids must never collide with live ids (positional ids
             # survive compaction's renumbering, so a fresh counter from
-            # n_docs could land on an existing string)
+            # n_docs could land on an existing string). The counter
+            # initializes ONCE past the max live numeric id and stays
+            # monotonic — amortized O(1) per id, not a per-add linear scan
+            if self._next_auto_id is None:
+                mx = self.index.n_docs + len(self._tail_ids) - 1
+                for s in lut:
+                    if s.isdigit():
+                        mx = max(mx, int(s))
+                self._next_auto_id = mx + 1
             ids = []
-            nxt = self.index.n_docs + len(self._tail_ids)
-            for _ in range(n_new):
-                while str(nxt) in lut or any(str(nxt) == i for i in ids):
-                    nxt += 1
-                ids.append(str(nxt))
+            nxt = self._next_auto_id
+            while len(ids) < n_new:
+                if str(nxt) not in lut:  # defensive; counter starts past max
+                    ids.append(str(nxt))
                 nxt += 1
-        if self._tail_P is None:
-            self._tail_P, self._tail_pm = P_new, pm_new
-        else:
-            lp = max(self._tail_P.shape[1], P_new.shape[1])
-
-            def pad_lp(x, fill):
-                if x.shape[1] == lp:
-                    return x
-                pad = [(0, 0), (0, lp - x.shape[1])] + [(0, 0)] * (x.ndim - 2)
-                return np.pad(x, pad, constant_values=fill)
-
-            self._tail_P = np.concatenate(
-                [pad_lp(self._tail_P, 0.0), pad_lp(P_new, 0.0)], axis=0)
-            self._tail_pm = np.concatenate(
-                [pad_lp(self._tail_pm, False), pad_lp(pm_new, False)], axis=0)
+            self._next_auto_id = nxt
+        # O(batch): the Lp-unifying concatenation is deferred to the next
+        # search's tail materialization (_ensure_tail -> _consolidate_tail)
+        self._tail_parts.append((P_new, pm_new))
         self._tail_ids.extend(ids)
+        self._tail_dirty = True
         self._docid_lut_cache = None
-        self._rebuild_tail()
         return n_new
 
     def add_ragged(self, documents_obj, doc_attnmask=None, doc_imgmask=None,
@@ -322,6 +333,39 @@ class RetrievalEngine:
         P, pmask, _ = preprocess_docs(documents_obj, doc_attnmask,
                                       doc_imgmask)
         return self.add(P, pmask, docids=docids)
+
+    def _consolidate_tail(self) -> None:
+        """Fold pending add() batches into the contiguous tail buffers,
+        unifying token widths (one concatenation per burst of adds, not
+        one per add — 1k sequential adds would otherwise copy the growing
+        tail quadratically)."""
+        if not self._tail_parts:
+            return
+        parts = ([] if self._tail_P is None
+                 else [(self._tail_P, self._tail_pm)]) + self._tail_parts
+        lp = max(p.shape[1] for p, _ in parts)
+
+        def pad_lp(x, fill):
+            if x.shape[1] == lp:
+                return x
+            pad = [(0, 0), (0, lp - x.shape[1])] + [(0, 0)] * (x.ndim - 2)
+            return np.pad(x, pad, constant_values=fill)
+
+        self._tail_P = np.concatenate([pad_lp(p, 0.0) for p, _ in parts],
+                                      axis=0)
+        self._tail_pm = np.concatenate([pad_lp(m, False) for _, m in parts],
+                                       axis=0)
+        self._tail_parts = []
+
+    def _ensure_tail(self) -> None:
+        """Materialize the device tail from pending adds (lazy — the cost
+        of a burst of add() calls lands on the FIRST search after it).
+        Collective under multihost: entered SPMD by every process with
+        identical pending state."""
+        if self._tail_dirty:
+            self._consolidate_tail()
+            self._rebuild_tail()
+            self._tail_dirty = False
 
     def _rebuild_tail(self) -> None:
         if self.dtype == "pq":
@@ -374,7 +418,10 @@ class RetrievalEngine:
         """Host-side (P_or_codes, pmask, scales|None, docids) of the
         CURRENT logical corpus — main + tail rows minus tombstones, token
         widths unified. Shared by compact() and save_npz(); an EXPLICIT
-        O(corpus) fetch (PCIe on a real TPU host)."""
+        O(corpus) fetch (PCIe on a real TPU host). Collective under
+        multihost: every process gathers the full rows (bounded device
+        memory via gather_to_host) and computes identical results."""
+        self._ensure_tail()
         n_main = self.index.n_docs
         n_tail = 0 if self.tail is None else self.tail.n_docs
         keep = np.array([i for i in range(n_main + n_tail)
@@ -382,10 +429,12 @@ class RetrievalEngine:
         ids = [r[0] for r in self.ids_for(keep[:, None])]
 
         def fetch(idx_obj, n):
-            P = np.asarray(idx_obj.P[:n])
-            pm = np.asarray(idx_obj.pmask[:n])
+            # _fetch routes through multihost.gather_to_host when shards
+            # live on other processes; single-process it is np.asarray
+            P = self._fetch(idx_obj.P[:n])
+            pm = self._fetch(idx_obj.pmask[:n])
             sc = (None if idx_obj.scales is None
-                  else np.asarray(idx_obj.scales[:n]))
+                  else self._fetch(idx_obj.scales[:n]))
             return P, pm, sc
 
         Pm, pmm, scm = fetch(self.index, n_main)
@@ -437,13 +486,11 @@ class RetrievalEngine:
         a packed-npz dict (tools/convert_packed.py format) — the
         durability path for incrementally-updated indexes: save, then
         ``from_npz`` on any engine of the same dtype reproduces this
-        index exactly (no requantization round trip)."""
+        index exactly (no requantization round trip). Collective under
+        multihost (every process materializes the rows); typically only
+        process 0 consumes the payload (see save_npz)."""
         if self.index is None:
             raise RuntimeError("to_packed_payload() needs a built index")
-        if self._multiproc:
-            raise NotImplementedError(
-                "save is single-process (a multihost deployment persists "
-                "the source file it was built from)")
         P, pm, sc, ids = self._materialize_rows()
         # the stored rows ARE the engine's final serving representation —
         # loaders must consume them as-is (direct codes, no renorm /
@@ -488,8 +535,17 @@ class RetrievalEngine:
     def save_npz(self, path) -> None:
         """Persist the current logical corpus as a packed npz (see
         :meth:`to_packed_payload`); written atomically so a crash
-        mid-write can't corrupt the serving artifact."""
-        self.write_packed_npz(path, self.to_packed_payload())
+        mid-write can't corrupt the serving artifact. Collective under
+        multihost — every process materializes (the gathers are
+        collectives) but only process 0 touches the filesystem, matching
+        the train CLI's artifact convention."""
+        payload = self.to_packed_payload()
+        if self._multiproc:
+            import jax
+
+            if jax.process_index() != 0:
+                return
+        self.write_packed_npz(path, payload)
 
     def compact(self) -> "RetrievalEngine":
         """Fold the tail into the main index and physically drop
@@ -498,12 +554,12 @@ class RetrievalEngine:
         path; on a real TPU host that is PCIe traffic, not tunnel RTT).
         External docids are preserved: rows keep the exact id strings
         searches returned before compaction, including the positional ids
-        of indexes built without docids."""
+        of indexes built without docids. Collective under multihost: every
+        process materializes the full corpus (host RSS = one corpus copy
+        per host during the rebuild) and assembles its own shard rows."""
         if self.index is None:
             raise RuntimeError("compact() needs a built index")
-        if self._multiproc:
-            raise NotImplementedError("compact() is single-process")
-        if self.tail is None and not self._tombstones:
+        if not self._tail_ids and not self._tombstones:
             return self
         P, pm, sc, ids = self._materialize_rows()
         books = getattr(self.index, "books", None)
@@ -514,14 +570,16 @@ class RetrievalEngine:
         # tombstones/tail — deleted docs would silently resurrect and
         # added ones vanish. Snapshot, attempt, restore on any failure.
         snapshot = (self.index, self.summary, self.tail, self._tail_P,
-                    self._tail_pm, list(self._tail_ids),
-                    set(self._tombstones), self._docid_lut_cache)
+                    self._tail_pm, list(self._tail_parts), self._tail_dirty,
+                    list(self._tail_ids), set(self._tombstones),
+                    self._next_auto_id, self._docid_lut_cache)
         self._reset_incremental()
         try:
             self._compact_build(P, pm, sc, ids, books, expanded, summary_k)
         except BaseException:
             (self.index, self.summary, self.tail, self._tail_P,
-             self._tail_pm, self._tail_ids, self._tombstones,
+             self._tail_pm, self._tail_parts, self._tail_dirty,
+             self._tail_ids, self._tombstones, self._next_auto_id,
              self._docid_lut_cache) = snapshot
             raise
         return self
@@ -696,6 +754,7 @@ class RetrievalEngine:
                 "n_candidates requires a pruning summary index: construct "
                 "the engine with prune_centroids>0 and build() from float "
                 "embeddings (build_from_codes has no summary)")
+        self._ensure_tail()  # pending adds materialize on first search
         Qd = self._replicate(jnp.asarray(Q, dtype=jnp.float32))
         qmd = self._replicate(jnp.asarray(qmask, dtype=bool))
         merging = self.tail is not None or bool(self._tombstones)
@@ -732,7 +791,14 @@ class RetrievalEngine:
         k_main = (min(-(-(k + len(self._tombstones)) // 32) * 32,
                       self.index.n_docs) if merging else k)
         if n_candidates and self.summary is not None:
-            c = min(n_candidates, self.index.n_docs)
+            # over-fetch stage-1 candidates by the (bucketed, like k_main)
+            # tombstone count: high-ranking dead docs still occupy summary
+            # candidate slots, and without headroom they crowd alive pages
+            # out of the rerank set after many deletes (pre-compact)
+            c = int(n_candidates)
+            if self._tombstones:
+                c += -(-len(self._tombstones) // 32) * 32
+            c = min(c, self.index.n_docs)
             if self.mesh.devices.size == 1:
                 # both stages fused into one dispatched program (remote
                 # backends pay ~30ms per dispatch); int8 indexes thread
@@ -799,6 +865,7 @@ class RetrievalEngine:
         columns are -inf (they can never rank)."""
         if self.index is None:
             raise RuntimeError("engine has no index; call build() first")
+        self._ensure_tail()
         Qd = self._replicate(jnp.asarray(Q, dtype=jnp.float32))
         qmd = self._replicate(jnp.asarray(qmask, dtype=bool))
         sc = self._fetch(
@@ -816,9 +883,10 @@ class RetrievalEngine:
 
     @property
     def n_docs(self) -> int:
-        """Searchable (alive) document count: main + tail - tombstones."""
+        """Searchable (alive) document count: main + tail - tombstones
+        (tail counted from the host ids so pending, not-yet-materialized
+        adds are already visible)."""
         if self.index is None:
             return 0
-        n = self.index.n_docs + (0 if self.tail is None else
-                                 self.tail.n_docs)
-        return n - len(self._tombstones)
+        return (self.index.n_docs + len(self._tail_ids)
+                - len(self._tombstones))

@@ -178,6 +178,11 @@ class MultihostSearchCoordinator:
     """
 
     OP_STOP, OP_SEARCH = 0, 1
+    # incremental-update mutations broadcast through the same fixed-shape
+    # header channel; engine.add/delete/compact/to_packed_payload are
+    # collectives (deterministic host bookkeeping + per-host shard
+    # assembly), so mirroring the inputs is all the followers need
+    OP_ADD, OP_DELETE, OP_COMPACT, OP_SNAPSHOT = 2, 3, 4, 5
 
     def __init__(self, engine):
         self.engine = engine
@@ -233,6 +238,81 @@ class MultihostSearchCoordinator:
         return self.engine.search_dense(Q, qmask, k=k,
                                         n_candidates=n_candidates)
 
+    # --- incremental mutations (frontend) --------------------------------
+    # docid lists ride as one JSON-encoded uint8 blob (arbitrary id strings;
+    # the header carries its byte length so followers size the buffer)
+
+    @staticmethod
+    def _ids_blob(ids) -> np.ndarray:
+        import json
+
+        return np.frombuffer(
+            json.dumps([str(d) for d in ids]).encode("utf-8"), dtype=np.uint8)
+
+    @staticmethod
+    def _ids_unblob(blob: np.ndarray) -> list:
+        import json
+
+        return json.loads(bytes(bytearray(blob)).decode("utf-8"))
+
+    def add(self, P_new, pmask_new, docids=None, normalize=None) -> int:
+        """Broadcast-then-apply document addition: every process appends
+        the identical rows to its host tail buffers; the device tail
+        assembles per-host rows on the next (SPMD) search."""
+        P_new = np.asarray(P_new, dtype=np.float32)
+        pm_new = np.asarray(pmask_new, dtype=bool)
+        blob = (self._ids_blob(docids) if docids is not None
+                else np.zeros(0, np.uint8))
+        norm_code = -1 if normalize is None else int(bool(normalize))
+        self._bcast(np.asarray(
+            [self.OP_ADD, P_new.shape[0], P_new.shape[1], P_new.shape[2],
+             int(blob.size), norm_code], dtype=np.int32))
+        self._bcast(P_new)
+        self._bcast(pm_new)
+        if blob.size:
+            self._bcast(blob)
+        return self.engine.add(
+            P_new, pm_new, docids=docids,
+            normalize=None if norm_code < 0 else bool(norm_code))
+
+    def add_ragged(self, documents_obj, doc_attnmask=None, doc_imgmask=None,
+                   docids=None) -> int:
+        from evdr_tpu.data.packing import preprocess_docs
+
+        P, pmask, _ = preprocess_docs(documents_obj, doc_attnmask,
+                                      doc_imgmask)
+        return self.add(P, pmask, docids=docids)
+
+    def delete(self, docids) -> int:
+        blob = self._ids_blob(docids)
+        self._bcast(np.asarray([self.OP_DELETE, int(blob.size), 0, 0, 0, 0],
+                               dtype=np.int32))
+        if blob.size:
+            self._bcast(blob)
+        return self.engine.delete([str(d) for d in docids])
+
+    def compact(self):
+        self._bcast(np.asarray([self.OP_COMPACT, 0, 0, 0, 0, 0],
+                               dtype=np.int32))
+        self.engine.compact()
+        return self
+
+    def to_packed_payload(self) -> dict:
+        """Collective row materialization; only the frontend's payload is
+        consumed (evdr-serve's /save writes it outside the dispatch lock)."""
+        self._bcast(np.asarray([self.OP_SNAPSHOT, 0, 0, 0, 0, 0],
+                               dtype=np.int32))
+        return self.engine.to_packed_payload()
+
+    @staticmethod
+    def write_packed_npz(path, payload: dict) -> None:
+        from evdr_tpu.engine import RetrievalEngine
+
+        RetrievalEngine.write_packed_npz(path, payload)
+
+    def save_npz(self, path) -> None:
+        self.write_packed_npz(path, self.to_packed_payload())
+
     def follow(self) -> None:
         """Follower loop (processes > 0): mirror searches until OP_STOP.
 
@@ -248,12 +328,32 @@ class MultihostSearchCoordinator:
             op, b, lq, d, k, nc = (int(x) for x in hdr)
             if op == self.OP_STOP:
                 return
-            Q = self._bcast(np.zeros((b, lq, d), dtype=np.float32))
-            qm = self._bcast(np.zeros((b, lq), dtype=bool))
             try:
-                self.engine.search_dense(Q, qm, k=k, n_candidates=nc or None)
+                if op == self.OP_SEARCH:
+                    Q = self._bcast(np.zeros((b, lq, d), dtype=np.float32))
+                    qm = self._bcast(np.zeros((b, lq), dtype=bool))
+                    self.engine.search_dense(Q, qm, k=k,
+                                             n_candidates=nc or None)
+                elif op == self.OP_ADD:
+                    # header: (op, n, lp, d, ids_blob_bytes, norm_code)
+                    P = self._bcast(np.zeros((b, lq, d), dtype=np.float32))
+                    pm = self._bcast(np.zeros((b, lq), dtype=bool))
+                    ids = (self._ids_unblob(
+                        self._bcast(np.zeros(k, np.uint8))) if k else None)
+                    self.engine.add(P, pm, docids=ids,
+                                    normalize=None if nc < 0 else bool(nc))
+                elif op == self.OP_DELETE:
+                    ids = (self._ids_unblob(
+                        self._bcast(np.zeros(b, np.uint8))) if b else [])
+                    self.engine.delete(ids)
+                elif op == self.OP_COMPACT:
+                    self.engine.compact()
+                elif op == self.OP_SNAPSHOT:
+                    self.engine.to_packed_payload()  # collective gathers
+                else:
+                    raise RuntimeError(f"unknown multihost opcode {op}")
             except Exception as e:  # mirror of the HTTP handler's catch-all
-                print(f"[multihost follower] search failed (frontend "
+                print(f"[multihost follower] op {op} failed (frontend "
                       f"answers the client): {type(e).__name__}: {e}",
                       file=sys.stderr, flush=True)
 

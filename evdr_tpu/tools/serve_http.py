@@ -426,10 +426,16 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
                 total_ms = (time.perf_counter() - t0) * 1000.0
                 stats.observe_request(len(queries), total_ms)
                 ms = total_ms / len(queries)
-                self._reply(200, {"docids": engine.ids_for(idx),
-                                  "scores": np.asarray(vals).tolist(),
-                                  "latency_ms_per_query": round(ms, 3),
-                                  "batched_with": breq.batched_with})
+                reply = {"docids": engine.ids_for(idx),
+                         "scores": np.asarray(vals).tolist(),
+                         "latency_ms_per_query": round(ms, 3),
+                         "batched_with": breq.batched_with}
+                if np.asarray(idx).shape[1] < k:
+                    # a /delete racing the coalesced dispatch can shrink
+                    # the corpus below the k clamped above; say so instead
+                    # of silently returning fewer rows than requested
+                    reply["truncated_to"] = int(np.asarray(idx).shape[1])
+                self._reply(200, reply)
             except (KeyError, ValueError, TypeError, IndexError,
                     json.JSONDecodeError) as e:
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
@@ -458,8 +464,7 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080,
                         amobj[i] = np.asarray(msk, dtype=bool)
                 if not hasattr(engine, "add_ragged"):
                     return self._reply(501, {
-                        "error": "engine does not support incremental add "
-                                 "(multihost serving rebuilds at startup)"})
+                        "error": "engine does not support incremental add"})
                 with batcher.engine_lock:  # not during an in-flight dispatch
                     added = engine.add_ragged(dobj, amobj,
                                               docids=req.get("docids"))

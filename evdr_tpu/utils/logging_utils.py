@@ -87,6 +87,16 @@ def get_logger(save_dir, name: str = "run", verbosity: int = 1, use_tb: bool = T
     if writer is None or writer._jsonl.closed:
         writer = ScalarWriter(save_dir, use_tb=use_tb)
         _WRITERS[wkey] = writer
+    elif use_tb and writer._tb is None:
+        # a later caller asking for TensorBoard must not silently inherit a
+        # cached tb-less writer; upgrade it in place (the jsonl handle and
+        # dedup guarantee are preserved)
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            writer._tb = SummaryWriter(log_dir=str(writer.log_dir))
+        except Exception:
+            pass
     return logger, writer
 
 

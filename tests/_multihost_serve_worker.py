@@ -61,7 +61,10 @@ def main() -> None:
         print("SERVE_OK follower drained", flush=True)
         return
 
-    srv = make_server(coord, host="127.0.0.1", port=0)
+    import tempfile
+
+    save_td = tempfile.mkdtemp(prefix="evdr_mh_save_")
+    srv = make_server(coord, host="127.0.0.1", port=0, save_dir=save_td)
     port = srv.server_address[1]
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -85,6 +88,38 @@ def main() -> None:
             f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
         hz = json.loads(r.read())
     assert hz["n_docs"] == N, hz
+
+    # --- incremental mutations broadcast through the coordinator --------
+    # /add -> the new doc is findable; /delete -> gone again; /save ->
+    # the collective snapshot writes a loadable packed file. The follower
+    # mirrors every mutation in follow() — a desynced follower would hang
+    # the next broadcast and fail the whole worker on timeout.
+    def post(path, obj):
+        rq = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", data=json.dumps(obj).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(rq, timeout=120) as rr:
+            return json.loads(rr.read())
+
+    new_doc = unit(rng.normal(size=(LP, D))).astype(np.float32)
+    res = post("/add", {"documents": [new_doc.tolist()],
+                        "docids": ["added0"]})
+    assert res == {"added": 1, "n_docs": N + 1}, res
+    sres = post("/search", {"queries": [new_doc.tolist()], "k": 2})
+    assert sres["docids"][0][0] == "added0", sres["docids"]
+    dres = post("/delete", {"docids": ["added0", "d3"]})
+    assert dres == {"deleted": 2, "n_docs": N - 1}, dres
+    sres2 = post("/search", {"queries": [new_doc.tolist()], "k": 2})
+    assert sres2["docids"][0][0] != "added0", sres2["docids"]
+
+    import shutil
+
+    sv = post("/save", {"path": "inc.npz"})
+    assert sv["n_docs"] == N - 1, sv
+    with np.load(sv["saved"], allow_pickle=False) as z:
+        assert z["pmask"].shape[0] == N - 1
+        assert "added0" not in z["docid"].tolist()
+    shutil.rmtree(save_td, ignore_errors=True)
 
     coord.stop()
     srv.shutdown()

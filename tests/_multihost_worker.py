@@ -157,6 +157,59 @@ def main() -> None:
     sc_all = eng.score_all(Q, qmask)
     np.testing.assert_allclose(sc_all, ref, rtol=2e-5, atol=2e-5)
 
+    # --- incremental updates across the process boundary -----------------
+    # engine.add/delete/compact/save_npz are collectives: every process
+    # applies the identical mutation; the lazily-built tail assembles
+    # per-host rows like any multihost index
+    from jax.experimental import multihost_utils
+
+    enginc = RetrievalEngine(mesh=mesh, dtype="int8", impl="xla")
+    enginc.build(P, pmask, docids=[f"m{i}" for i in range(N)])
+    Pt = unit(rng.normal(size=(5, LP, D))).astype(np.float32)
+    pmt = rng.random((5, LP)) > 0.2
+    assert enginc.add(Pt, pmt, docids=[f"t{i}" for i in range(5)]) == 5
+    assert enginc.delete(["m2", "t1"]) == 2
+    assert enginc.n_docs == N + 5 - 2
+    vI, iI = enginc.search_dense(Q, qmask, k=K)
+    idsI = enginc.ids_for(iI)
+    ct, st_ = quantize_tokens_int8(Pt, pmt)
+    ref_t8 = maxsim_numpy(Q, dequantize_int8(ct, st_), qmask, pmt)
+    refI = np.concatenate([ref8, ref_t8], axis=1)
+    refI[:, 2] = -np.inf       # m2
+    refI[:, N + 1] = -np.inf   # t1
+    orderI = np.argsort(-refI, axis=1, kind="stable")[:, :K]
+    expectI = [[(f"m{j}" if j < N else f"t{j - N}") for j in row]
+               for row in orderI]
+    assert idsI == expectI, (idsI[0], expectI[0])
+    np.testing.assert_allclose(vI, np.take_along_axis(refI, orderI, axis=1),
+                               rtol=2e-5, atol=2e-5)
+
+    # durability with LIVE incremental state: process 0 writes, everyone
+    # reloads the packed file per-host-lazily and reproduces the results
+    import pathlib as _pl
+
+    save_path = _pl.Path(tempfile.gettempdir()) / (
+        f"evdr_mh_inc_{coord.rsplit(':', 1)[-1]}.npz")
+    enginc.save_npz(save_path)
+    multihost_utils.sync_global_devices("evdr_inc_saved")
+    engr = RetrievalEngine.from_npz(save_path, mesh=mesh, dtype="int8",
+                                    impl="xla", mmap=True)
+    assert engr.n_docs == N + 5 - 2
+    v3, i3 = engr.search_dense(Q, qmask, k=K)
+    assert engr.ids_for(i3) == idsI
+    np.testing.assert_allclose(v3, vI, rtol=2e-5, atol=2e-5)
+    multihost_utils.sync_global_devices("evdr_inc_loaded")
+    if pid == 0:
+        save_path.unlink(missing_ok=True)
+
+    # compact folds the tail + drops tombstones; results unchanged
+    enginc.compact()
+    assert enginc.tail is None and not enginc._tombstones
+    assert enginc.n_docs == N + 5 - 2
+    v2, i2 = enginc.search_dense(Q, qmask, k=K)
+    assert enginc.ids_for(i2) == idsI
+    np.testing.assert_allclose(v2, vI, rtol=1e-5, atol=1e-5)
+
     # --- one sharded TRAIN step across the process boundary -------------
     # identical unsharded reference computed process-locally; the global
     # doc-sharded step must reproduce its loss and its local param rows
