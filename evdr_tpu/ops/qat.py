@@ -1,0 +1,104 @@
+"""Quantization-aware distillation: train the student against its SERVING
+representation.
+
+The storage ladder (int8 / int4 / PQ — ops/quantize.py, ops/int4.py,
+ops/pq.py) is normally applied post-hoc to a student distilled in fp32; the
+resulting nDCG/recall deltas are avoidable by exposing the quantizer INSIDE
+the train step with a straight-through estimator (STE): the forward pass
+scores the exact quantize->dequantize reconstruction the serving index will
+use, while gradients flow through the identity, so the optimizer learns
+embeddings that survive their own serving dtype.
+
+Numerics contract: each ``qdq_*`` here reproduces
+``dequantize(quantize_tokens_*(x))`` of the numpy serving quantizers
+bit-for-bit (both use round-half-to-even; tests/test_qat.py pins this), so
+training-time scores see the true serving grid, not an approximation.
+
+This extends the reference's score-preservation objective
+(criterion.py:74-83) to the serving dtype — the reference itself has no
+quantized serving tier at all. Wired via ``TrainConfig.qat`` /
+``evdr-train --qat {int8,int4,pq}``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def ste(x, q):
+    """Straight-through estimator: forward = q, gradient = identity on x."""
+    return x + jax.lax.stop_gradient(q - x)
+
+
+def _qdq_symmetric(x, levels: float):
+    """Per-token symmetric quantize->dequantize on the last axis.
+
+    Matches ops/quantize.quantize_tokens_int8 (levels=127) and
+    ops/int4.quantize_tokens_int4 (levels=7): s = amax/levels per token,
+    code = clip(round(x/s)), fully-zero tokens reconstruct to exact 0.
+    jnp.round and np.rint both round half to even, so the grids agree.
+    """
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = amax / levels
+    safe = jnp.where(scale > 0, scale, 1.0)
+    q = jnp.clip(jnp.round(x / safe), -levels, levels)
+    return jnp.where(scale > 0, q * safe, 0.0)
+
+
+def qdq_int8(x):
+    return _qdq_symmetric(x, 127.0)
+
+
+def qdq_int4(x):
+    return _qdq_symmetric(x, 7.0)
+
+
+def qdq_pq(x, books):
+    """Nearest-centroid PQ reconstruction, differentiable-free assignment.
+
+    ``x`` (..., D) splits into M subvectors scored against compact
+    (M, K, D/M) codebooks (ops/pq.py layout); the reconstruction
+    concatenates the winning centroids. Assignment uses the same
+    ||x - c||^2 = ||c||^2 - 2<x, c> (+ const) expansion as the serving
+    encoder, so the chosen codes match ``encode_with_books``.
+    """
+    m, k, dsub = books.shape
+    lead = x.shape[:-1]
+    xs = x.reshape(*lead, m, dsub)
+    # (..., M, K) distances via the dot-expansion (||x||^2 constant in argmin)
+    dots = jnp.einsum("...md,mkd->...mk", xs, books)
+    c2 = jnp.sum(books * books, axis=-1)               # (M, K)
+    assign = jnp.argmin(c2 - 2.0 * dots, axis=-1)      # (..., M)
+    rec = jnp.take_along_axis(
+        jnp.broadcast_to(books, (*lead, m, k, dsub)),
+        assign[..., None, None], axis=-2)[..., 0, :]
+    rec = rec.reshape(*lead, m * dsub)
+    # masked tokens arrive as exact zeros; the nearest centroid to 0 is
+    # generally NOT 0, so force them back (serving masks those columns —
+    # encode_pq zeroes their codes — and downstream consumers of Ps, e.g.
+    # hardtoken mining, rely on masked tokens staying inert)
+    alive = jnp.any(x != 0, axis=-1, keepdims=True)
+    return jnp.where(alive, rec, 0.0)
+
+
+def qat_apply(Ps, cfg_qat: str, books=None):
+    """Serving-form STE pass over the normalized student ``Ps``.
+
+    ``cfg_qat``: 'none' (identity), 'int8', 'int4', or 'pq' (needs the
+    replicated codebooks trained on the init student — see
+    harness._maybe_qat_books). Masked tokens are all-zero in Ps and
+    reconstruct to exact 0 under every tier, so masking semantics are
+    untouched.
+    """
+    if cfg_qat == "none":
+        return Ps
+    if cfg_qat == "int8":
+        return ste(Ps, qdq_int8(Ps))
+    if cfg_qat == "int4":
+        return ste(Ps, qdq_int4(Ps))
+    if cfg_qat == "pq":
+        if books is None:
+            raise ValueError("qat='pq' needs trained codebooks")
+        return ste(Ps, qdq_pq(Ps, books))
+    raise ValueError(f"unknown qat tier {cfg_qat!r}")

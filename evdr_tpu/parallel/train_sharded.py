@@ -372,6 +372,14 @@ def _build_objective(cfg: TrainConfig, mesh: Mesh, n_docs: int, *,
         pmask_f = pms_loc[..., None].astype(param_loc.dtype)
         P_masked = param_loc * pmask_f
         Ps = l2_normalize(P_masked)
+        if cfg.qat in ("int8", "int4"):
+            # per-token quantize->dequantize is doc-independent, so the
+            # shard-local STE pass equals the global one bit-for-bit
+            # (qat='pq' needs replicated codebooks — single-device only,
+            # enforced by TrainConfig.validate)
+            from evdr_tpu.ops.qat import qat_apply
+
+            Ps = qat_apply(Ps, cfg.qat)
         s_loc = maxsim_xla(Q, Ps, qm, pms_loc, chunk_p=chunk_p)
         if needs_labels:
             t_loc = None

@@ -94,6 +94,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="after training, also write best_ndcg5.packed.npz "
                         "in the packed SERVING format at this storage tier "
                         "(drops straight into evdr-serve / from_npz)")
+    p.add_argument("--qat", default=defaults.qat,
+                   choices=("none", "int8", "int4", "pq"),
+                   help="quantization-aware distillation: train against the "
+                        "serving-dtype reconstruction (straight-through "
+                        "gradients) so the exported index quantizes with "
+                        "less quality loss (ops/qat.py)")
     p.add_argument("--mesh_docs", type=int, default=defaults.mesh_docs,
                    help="shard the doc axis over an N-device mesh (multi-chip "
                         "training; 0/1 = single device)")

@@ -99,6 +99,13 @@ class TrainConfig:
     # tier (tools/convert_packed.py; "none" skips). The packed file drops
     # straight into RetrievalEngine.from_npz / evdr-serve.
     export_packed: str = "none"            # none|float32|bfloat16|int8|int4|pq|opq
+    # quantization-aware distillation (ops/qat.py): score the student's
+    # quantize->dequantize SERVING reconstruction in the train step with
+    # straight-through gradients, so post-hoc index quantization at this
+    # tier costs (much) less quality. 'pq' trains codebooks on the init
+    # student and freezes them; the STE pass pulls embeddings toward that
+    # grid, so the export-time codebook refit lands on ~the same centroids.
+    qat: str = "none"                      # none|int8|int4|pq
     resume: bool = False
     # multi-device training: shard the student/teacher doc axis over an
     # N-device mesh (global-softmax losses via XLA collectives,
@@ -135,6 +142,12 @@ class TrainConfig:
                                       "int4", "pq", "opq"):
             raise ValueError(
                 f"unknown export_packed {self.export_packed!r}")
+        if self.qat not in ("none", "int8", "int4", "pq"):
+            raise ValueError(f"unknown qat tier {self.qat!r}")
+        if self.qat == "pq" and self.mesh_docs > 1:
+            raise ValueError("qat='pq' is single-device for now (the "
+                             "codebook arg is not threaded through the "
+                             "sharded step); int8/int4 QAT shard fine")
         if self.checkpoint_backend == "orbax":
             # fail fast at config time, not at the first mid-training save
             import importlib.util

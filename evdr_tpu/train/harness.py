@@ -332,7 +332,7 @@ def make_loss_fn(cfg: TrainConfig):
 # =============================================================================
 
 def build_train_step(cfg: TrainConfig, bundle: DatasetBundle,
-                     pmask_student: jnp.ndarray, optimizer):
+                     pmask_student: jnp.ndarray, optimizer, qat_books=None):
     """One donated-buffer jitted step: gather batch -> score -> loss -> AdamW.
 
     Batch selection happens on device via integer index gathers, teacher scores
@@ -359,6 +359,7 @@ def build_train_step(cfg: TrainConfig, bundle: DatasetBundle,
                  if bundle.pos_idx is not None else None),
         P_t=bundle.P_teacher_norm,
         pm_t=bundle.pmask_teacher,
+        qat_books=qat_books,
     )
 
     def step(param, opt_state, idx, rng, d):
@@ -397,6 +398,14 @@ def build_train_step(cfg: TrainConfig, bundle: DatasetBundle,
         def objective(p):
             P_masked = p * pmask_f
             Ps = l2_normalize(P_masked)
+            if cfg.qat != "none":
+                # quantization-aware distillation: score the exact serving
+                # reconstruction (STE gradients) so the student learns to
+                # survive its storage dtype (ops/qat.py). Downstream
+                # consumers of Ps (hardtoken mining) see the same form.
+                from evdr_tpu.ops.qat import qat_apply
+
+                Ps = qat_apply(Ps, cfg.qat, d["qat_books"])
             sc_s = score_student(Ps, Qb, qmb)
             total, parts = loss_fn(sc_s, sc_t, labels)
 
@@ -1040,7 +1049,21 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
             Q_all=Q_train_r, qm_all=qm_train_r, sct_all=sct_train_sh,
             pos_all=pos_train_r, optimizer=optimizer)
     else:
-        train_step = build_train_step(cfg, bundle, pmask_student, optimizer)
+        qat_books = None
+        if cfg.qat == "pq":
+            # codebooks fit ONCE on the init student's serving form and
+            # frozen: the STE pass pulls embeddings toward this grid, so a
+            # post-training refit (export / engine build) lands on ~the
+            # same centroids. Host kmeans on the init is seconds.
+            from evdr_tpu.ops.pq import train_pq
+
+            Ps0 = np.asarray(l2_normalize(
+                jnp.asarray(param)
+                * pmask_student[..., None].astype(jnp.float32)))
+            qat_books = jnp.asarray(
+                train_pq(Ps0, np.asarray(pmask_student), m=16))
+        train_step = build_train_step(cfg, bundle, pmask_student, optimizer,
+                                      qat_books=qat_books)
 
     n_train = int(bundle.Q_train.shape[0])
     if cfg.trainer == "iter":

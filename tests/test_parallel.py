@@ -135,6 +135,65 @@ def test_sharded_train_step_matches_unsharded(mesh, loss):
                                rtol=1e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("tier", ["int8", "int4"])
+def test_sharded_qat_step_matches_unsharded(mesh, tier):
+    # the per-token quantize->dequantize STE pass is doc-independent, so the
+    # shard-local application must reproduce the single-device step exactly
+    c, Q, qmask, Pn, pmask = _corpus(seed=11, n_docs=19)
+    init = pooled_init_index(c, mf=4, seed=11)
+    from evdr_tpu.data.align import align_by_docid
+
+    (docs, attn, img), ok = align_by_docid(
+        c["docid"], init["docid"], init["documents"], init["doc_attnmask"],
+        init["doc_imgmask"])
+    assert ok
+    Ps_raw, pm_s, _ = preprocess_docs(docs, attn, img)
+    param0 = (Ps_raw * pm_s[..., None]).astype(np.float32)
+
+    cfg = TrainConfig(loss="liscore", k=6, temp=0.3, lambda_score=0.5,
+                      lr=1e-3, chunk_p=8, qat=tier)
+
+    from evdr_tpu.train.harness import DatasetBundle, build_train_step
+
+    bundle = DatasetBundle(
+        dataset="x", Q_train=jnp.asarray(Q), qmask_train=jnp.asarray(qmask),
+        pos_idx=None, Q_test=jnp.asarray(Q), qmask_test=jnp.asarray(qmask),
+        P_teacher_norm=jnp.asarray(Pn), pmask_teacher=jnp.asarray(pmask),
+        docid_teacher=c["docid"], relevant_docs_test={},
+        docidx_2_docid_test={}, qsidx_2_query_test=None,
+    )
+    optimizer = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+    p1 = jnp.asarray(param0)
+    st1 = optimizer.init(p1)
+    step1 = build_train_step(cfg, bundle, jnp.asarray(pm_s), optimizer)
+    idx_b = jnp.arange(Q.shape[0], dtype=jnp.int32)
+    p1b, _, parts1 = step1(p1, st1, idx_b, jax.random.PRNGKey(0))
+
+    n = Pn.shape[0]
+    world = 8
+    pad = ((n + world - 1) // world) * world - n
+
+    def padded(x):
+        return np.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+    teacher_idx = build_sharded_index(Pn, pmask, mesh)
+    p2 = shard_docs(jnp.asarray(padded(param0)), mesh)
+    pm_s_sh = shard_docs(jnp.asarray(padded(pm_s)), mesh)
+    step2, opt2 = build_sharded_train_step(
+        cfg, mesh, pmask_student=pm_s_sh, P_teacher=teacher_idx.P,
+        pmask_teacher=teacher_idx.pmask, n_docs=n,
+        Q_all=replicate(jnp.asarray(Q), mesh),
+        qm_all=replicate(jnp.asarray(qmask), mesh))
+    st2 = opt2.init(p2)
+    p2b, _, parts2 = step2(p2, st2, idx_b, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(parts2["total_loss"]),
+                               float(parts1["total_loss"]), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p2b)[:n], np.asarray(p1b),
+                               rtol=1e-4, atol=2e-5)
+
+
 def test_sharded_losses_match_dense_directly(mesh):
     # direct check of the collective loss forms vs the dense functions
     rng = np.random.default_rng(0)

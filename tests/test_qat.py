@@ -1,0 +1,133 @@
+"""Quantization-aware distillation (ops/qat.py) numerics + wiring tests.
+
+The contract under test: each ``qdq_*`` reproduces the numpy SERVING
+quantizer round trip bit-for-bit (training scores the true serving grid,
+not an approximation), the straight-through estimator passes identity
+gradients, masked (all-zero) tokens stay exactly zero under every tier,
+and ``--qat`` threads through the train harness end-to-end.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evdr_tpu.data.packing import l2_normalize
+from evdr_tpu.ops.int4 import dequantize_int4, quantize_tokens_int4
+from evdr_tpu.ops.pq import decode_pq, encode_with_books, train_pq
+from evdr_tpu.ops.qat import qat_apply, qdq_int4, qdq_int8, qdq_pq, ste
+from evdr_tpu.ops.quantize import dequantize_int8, quantize_tokens_int8
+
+
+def _student(seed=0, n=6, lp=7, d=16):
+    """Normalized masked student tokens, the exact form qat_apply sees."""
+    rng = np.random.default_rng(seed)
+    P = rng.normal(size=(n, lp, d)).astype(np.float32)
+    pmask = rng.random((n, lp)) > 0.25
+    pmask[0, :] = True
+    pmask[1, :] = False          # fully-masked doc: every tier must keep 0
+    Ps = np.asarray(l2_normalize(P * pmask[..., None].astype(np.float32)))
+    return Ps, pmask
+
+
+def test_qdq_int8_matches_serving_grid():
+    Ps, pmask = _student(seed=1)
+    codes, scales = quantize_tokens_int8(Ps, pmask)
+    ref = dequantize_int8(codes, scales)
+    got = np.asarray(qdq_int8(jnp.asarray(Ps)))
+    # bit-for-bit: same f32 divide/round-half-even/clip/multiply chain
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("lp", [6, 7])  # even + odd (pad nibble) widths
+def test_qdq_int4_matches_serving_grid(lp):
+    Ps, pmask = _student(seed=2, lp=lp)
+    packed, scales = quantize_tokens_int4(Ps, pmask)
+    ref = dequantize_int4(packed, scales)
+    got = np.asarray(qdq_int4(jnp.asarray(Ps)))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_qdq_pq_matches_serving_reconstruction():
+    Ps, pmask = _student(seed=3, n=24, lp=8, d=16)
+    books = train_pq(Ps, pmask, m=4, k=8, iters=6, seed=0)
+    codes = encode_with_books(Ps, books, pmask)
+    ref = decode_pq(codes, books)
+    ref[~pmask] = 0.0  # serving scores mask these; qdq sees all-zero tokens
+    got = np.array(qdq_pq(jnp.asarray(Ps), jnp.asarray(books)))
+    got[~pmask] = 0.0
+    # assignments use the same ||c||^2 - 2<x,c> expansion; reconstructions
+    # are gathered centroids, so agreement is (near-)exact — tolerance only
+    # covers einsum-vs-matmul accumulation order at argmin ties
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-6)
+
+
+def test_ste_gradient_is_identity():
+    Ps, _ = _student(seed=4)
+    w = jnp.asarray(np.random.default_rng(5).normal(size=Ps.shape),
+                    dtype=jnp.float32)
+
+    g = jax.grad(lambda x: jnp.sum(qat_apply(x, "int8") * w))(jnp.asarray(Ps))
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    # forward value really is the quantized form (not the identity)
+    f = qat_apply(jnp.asarray(Ps), "int8")
+    np.testing.assert_array_equal(np.asarray(f),
+                                  np.asarray(qdq_int8(jnp.asarray(Ps))))
+
+
+@pytest.mark.parametrize("tier", ["int8", "int4", "pq"])
+def test_masked_tokens_reconstruct_to_zero(tier):
+    Ps, pmask = _student(seed=6, n=16, lp=8, d=16)
+    books = (jnp.asarray(train_pq(Ps, pmask, m=4, k=8, iters=4, seed=0))
+             if tier == "pq" else None)
+    out = np.asarray(qat_apply(jnp.asarray(Ps), tier, books))
+    assert np.all(out[~pmask] == 0.0)
+
+
+def test_qat_apply_none_is_identity_and_unknown_raises():
+    Ps, _ = _student(seed=7)
+    x = jnp.asarray(Ps)
+    assert qat_apply(x, "none") is x
+    with pytest.raises(ValueError):
+        qat_apply(x, "int3")
+    with pytest.raises(ValueError):
+        qat_apply(x, "pq")  # no books
+
+
+def test_config_rejects_pq_qat_on_mesh():
+    from evdr_tpu.train.config import TrainConfig
+
+    with pytest.raises(ValueError):
+        TrainConfig(datasets=["synth"], qat="pq", mesh_docs=2).validate()
+    TrainConfig(datasets=["synth"], qat="int4", mesh_docs=2).validate()
+
+
+# --- harness wiring ---------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    from evdr_tpu.data.synthetic import write_dataset_fixture
+
+    root = tmp_path_factory.mktemp("qatdata")
+    write_dataset_fixture(root, key="synth", n_docs=12, n_test_queries=10,
+                          n_train_queries=48, dim=32, mfs=(5,), seed=0,
+                          init_noise=2.5)
+    return root
+
+
+@pytest.mark.parametrize("tier", ["int8", "int4", "pq"])
+def test_training_with_qat_runs(fixture_root, tmp_path, tier):
+    from evdr_tpu.train.config import TrainConfig
+    from evdr_tpu.train.harness import run_training
+
+    cfg = TrainConfig(
+        datasets=["synth"], query_root=str(fixture_root),
+        teacher_root=str(fixture_root),
+        init_root=str(fixture_root / "S3E_init"),
+        mfs=[5], out_root=str(tmp_path / "results"), name=f"qat_{tier}",
+        max_steps=4, eval_every=4, print_every=4, q_batch=8, loss="liscore",
+        k=6, temp=0.1, chunk_p=8, qat=tier)
+    results = run_training(cfg)
+    best = results["synth/mf5"]["summary/best_ndcg5"]
+    assert np.isfinite(best["NDCG@5"])
