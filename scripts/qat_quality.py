@@ -1,0 +1,188 @@
+"""Quantization-aware distillation quality matrix (VERDICT r3 #6).
+
+Trains reference-scale students (full_matrix.py profiles / budget) three
+ways per (dataset, mf) — baseline fp32, --qat int4, --qat pq — then serves
+each through the standard RetrievalEngine path at fp32 AND at the matching
+storage tier, and reports the nDCG@5 / Recall@1 deltas vs the baseline
+student served in fp32:
+
+    posthoc delta = M(base student @ tier) - M(base student @ fp32)
+    QAT delta     = M(qat  student @ tier) - M(base student @ fp32)
+
+The QAT claim under test: training against the serving reconstruction
+(ops/qat.py straight-through pass) cuts the tier's quality delta to at most
+half the post-hoc one at mf 25/50. Extends the reference's score-
+preservation objective (criterion.py:74-83) to the serving dtype; the
+reference itself has no quantized serving tier.
+
+    python scripts/qat_quality.py [--datasets tatdqa arxivqa] [--mfs 25 50]
+        [--tiers int4 pq] [--max_steps 23460] [--out /tmp/evdr_qatq]
+
+Re-runs skip any training cell whose best_ndcg5.npz already exists, so the
+script is resumable and the evaluation sweep is cheap to repeat.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+import time
+
+_ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_ROOT))
+sys.path.insert(0, str(_ROOT / "scripts"))
+
+import numpy as np  # noqa: E402
+
+from full_matrix import DATASET_PROFILES  # noqa: E402
+
+
+def _student_dir(out, name, mf, ds):
+    return pathlib.Path(out) / "results" / name / f"mf{mf}" / ds
+
+
+def _train_missing(a, data_root, out, name, qat):
+    from evdr_tpu.train.config import TrainConfig
+    from evdr_tpu.train.harness import run_training
+
+    missing = [ds for ds in a.datasets for mf in a.mfs
+               if not (_student_dir(out, name, mf, ds)
+                       / "best_ndcg5.npz").exists()]
+    if not missing:
+        print(f"[qatq] {name}: all cells present, skipping train",
+              flush=True)
+        return
+    cfg = TrainConfig(
+        datasets=list(a.datasets), query_root=str(data_root),
+        teacher_root=str(data_root), init_root=str(data_root / "S3E_init"),
+        mfs=list(a.mfs), out_root=str(pathlib.Path(out) / "results"),
+        name=name, loss=a.loss, temp=0.1, k=40, max_steps=a.max_steps,
+        eval_every=a.eval_every, print_every=4096, q_batch=32, lr=1e-3,
+        chunk_p=128, steps_per_dispatch=a.steps_per_dispatch, seed=a.seed,
+        qat=qat)
+    t0 = time.time()
+    run_training(cfg)
+    print(json.dumps({"trained": name, "qat": qat,
+                      "wall_s": round(time.time() - t0, 1)}), flush=True)
+
+
+def _metrics_for(npz_path, bundle, dtype, pq_m):
+    """Serve the saved student through the engine at ``dtype``; mteb metrics."""
+    from evdr_tpu.engine import RetrievalEngine
+    from evdr_tpu.eval.evaluator import (CustomRetrievalEvaluator,
+                                         scores_to_results)
+
+    z = np.load(npz_path, allow_pickle=True)
+    eng = RetrievalEngine(dtype=dtype, impl="xla", pq_m=pq_m)
+    eng.build_from_ragged(z["documents"], z["doc_attnmask"],
+                          z["doc_imgmask"])
+    scores = eng.score_all(np.asarray(bundle.Q_test),
+                           np.asarray(bundle.qmask_test))
+    docid = [str(d) for d in z["docid"].tolist()]
+    results = scores_to_results(np.asarray(scores),
+                                bundle.qsidx_2_query_test,
+                                {str(i): d for i, d in enumerate(docid)})
+    m = CustomRetrievalEvaluator().compute_mteb_metrics(
+        bundle.relevant_docs_test, results)
+    return {"NDCG@5": m["NDCG"]["NDCG@5"], "Recall@1": m["Recall"]["Recall@1"]}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--datasets", type=str, nargs="+",
+                   default=["tatdqa", "arxivqa"])
+    p.add_argument("--mfs", type=int, nargs="+", default=[25, 50])
+    p.add_argument("--tiers", type=str, nargs="+", default=["int4", "pq"])
+    p.add_argument("--loss", type=str, default="liscore_std",
+                   help="flagship recipe (plain liscore collapses at mf25 — "
+                        "RESULTS.md matrix section)")
+    p.add_argument("--max_steps", type=int, default=23460)
+    p.add_argument("--eval_every", type=int, default=4096)
+    p.add_argument("--steps_per_dispatch", type=int, default=32)
+    p.add_argument("--pq_m", type=int, default=16)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", type=str, default="/tmp/evdr_qatq")
+    p.add_argument("--platform", type=str, default="auto",
+                   help="'cpu' forces the CPU backend (jax.config.update — "
+                        "env vars are too late, jax preloads via "
+                        "sitecustomize); 'auto' uses the default (TPU)")
+    a = p.parse_args()
+
+    if a.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from evdr_tpu.data.registry import register_dataset
+    from evdr_tpu.data.synthetic import write_dataset_fixture
+    from evdr_tpu.train.config import TrainConfig
+    from evdr_tpu.train.harness import load_dataset_bundle
+    from evdr_tpu.utils.timing import enable_persistent_cache
+
+    enable_persistent_cache()
+    out = pathlib.Path(a.out)
+    data_root = out / "data"
+    data_root.mkdir(parents=True, exist_ok=True)
+    for i, ds in enumerate(a.datasets):
+        prof = DATASET_PROFILES[ds]
+        if not (data_root / f"{ds}_test_dump_all.npz").exists():
+            print(f"[qatq] fixture {ds}", file=sys.stderr, flush=True)
+            write_dataset_fixture(
+                data_root, key=ds, n_test_queries=128, mfs=tuple(a.mfs),
+                seed=a.seed + i, init_noise=2.5, doc_len_range=(40, 90),
+                **prof)
+        else:
+            register_dataset(ds, f"{ds}_test", mfs=tuple(a.mfs))
+
+    runs = [("qatq_base", "none")] + [(f"qatq_{t}", t) for t in a.tiers]
+    for name, qat in runs:
+        _train_missing(a, data_root, out, name, qat)
+
+    # evaluation sweep: bundle loads are per-dataset (mf-independent)
+    eval_cfg = TrainConfig(
+        datasets=list(a.datasets), query_root=str(data_root),
+        teacher_root=str(data_root), init_root=str(data_root / "S3E_init"),
+        mfs=list(a.mfs), out_root=str(out / "results"), name="eval")
+    rows = []
+    for ds in a.datasets:
+        bundle = load_dataset_bundle(eval_cfg, ds)
+        for mf in a.mfs:
+            base_npz = _student_dir(out, "qatq_base", mf, ds) / "best_ndcg5.npz"
+            m_base = _metrics_for(base_npz, bundle, "float32", a.pq_m)
+            for tier in a.tiers:
+                m_posthoc = _metrics_for(base_npz, bundle, tier, a.pq_m)
+                qat_npz = (_student_dir(out, f"qatq_{tier}", mf, ds)
+                           / "best_ndcg5.npz")
+                m_qat = _metrics_for(qat_npz, bundle, tier, a.pq_m)
+                row = {"dataset": ds, "mf": mf, "tier": tier}
+                for k in ("NDCG@5", "Recall@1"):
+                    row[f"base_fp32_{k}"] = round(m_base[k], 5)
+                    row[f"posthoc_delta_{k}"] = round(
+                        m_posthoc[k] - m_base[k], 5)
+                    row[f"qat_delta_{k}"] = round(m_qat[k] - m_base[k], 5)
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+
+    # verdict line: QAT must cut every NEGATIVE post-hoc delta at least in
+    # half (deltas that are already >= 0 have nothing to halve)
+    checked = halved = 0
+    for r in rows:
+        for k in ("NDCG@5", "Recall@1"):
+            ph, qd = r[f"posthoc_delta_{k}"], r[f"qat_delta_{k}"]
+            if ph < 0:
+                checked += 1
+                halved += qd >= ph / 2
+    summary = {"metric": "qat_halves_posthoc_delta",
+               "value": round(halved / checked, 3) if checked else 1.0,
+               "checked": checked, "halved": halved,
+               "rows": len(rows), "out": str(out / "qat_quality.json")}
+    (out / "qat_quality.json").write_text(json.dumps(
+        {"rows": rows, "summary": summary}, indent=1))
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
