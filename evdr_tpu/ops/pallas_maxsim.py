@@ -48,7 +48,8 @@ NEG_THRESH = -1e29  # acc below this => doc had no valid token => score 0
 
 def _nt_layout(epilogue: str) -> bool:
     """Token-major epilogues that store (DB, QB) blocks (transposed in XLA)."""
-    return epilogue.startswith("tok") and epilogue != "tokmajor"
+    return (epilogue.startswith("tok") and epilogue != "tokmajor"
+            and not epilogue.startswith("tokfuse"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -126,6 +127,12 @@ def _finish_sum(weighted, db, qb, lq_pad, epilogue):
       the TPU (Mosaic: excess-precision f32 dot / lane-axis reshape).
     - 'none': profiling ceiling only — skips the sum (wrong results);
       bf16 151.5, int8full 258.2 TFLOP/s (query-major layout).
+
+    - 'tokfuse{G}' (see ``_fused_tree_sum``): where+qmask-mul fused into
+      tree level 0 with a G-term chain per level-0 partial — strictly less
+      VMEM traffic than 'tokmajor' (never materializes the full-width
+      weighted buffer; ~5.5 vs ~13.5 MB per emit at the config-5 int8full
+      tiling). Chip numbers pending (queued tunnel probes).
 
     Ruled out for the remaining int8 small-Lp gap (155 vs the 258 ceiling):
     a bf16-relayout sublane variant (half the transpose bytes; SLOWER and
@@ -298,6 +305,51 @@ def _value_chain_sum(bm, db, qb, lq_pad):
     return out  # (DB, QB), untransposed
 
 
+def _fused_tree_sum(acc, qm2, db, qb, lq_pad, group):
+    """'tokfuse{G}' epilogue: the doc_has_token ``where`` and the qmask mul
+    are fused into the FIRST level of the token-major tree sum, so the
+    full-width ``where(acc)*qmask`` buffer of 'tokmajor' (the measured
+    VMEM-traffic bound: tok1 299 vs tok32 155 TFLOP/s inside the int8
+    kernel) is never materialized — each acc lane slice is read exactly
+    once and immediately folded into a level-0 group partial.
+
+    acc: (DB, QBL) scratch value, token-major lanes (token t = lane columns
+    [t*qb, (t+1)*qb)). qm2: (lq_pad, qb) per-q-token weight rows — the SAME
+    bytes as the (1, QBL) token-major row, reshaped host-side so sublane t
+    is token t's weight row (Mosaic rejects lane-slicing a (1, QBL) row).
+    Level-0 chains ``group`` fused terms per partial (group=lq_pad
+    degenerates to a pure chain = minimum temporaries, maximum serial
+    dependence); the partials then tree-sum. Returns (QB, DB) — standard
+    emit layout, transposed in-kernel like 'tokmajor'.
+
+    Traffic model at the config-5 int8full shape ((DB, QBL) = (192, 4096)
+    f32 = 3 MB): 'tokmajor' streams ~13.5 MB per emit (where+mul read 3 +
+    write 3, tree read ~4 + write ~3 + output); 'tokfuse4' streams ~5.5 MB
+    (acc read 3, level-0 write 0.75, tree ~1.5, output ~0.1)."""
+    def term(t):
+        a = acc[:, t * qb:(t + 1) * qb]
+        return jnp.where(a > NEG_THRESH, a, 0.0) * qm2[t:t + 1, :]
+
+    parts = []
+    for g0 in range(0, lq_pad, group):
+        s = term(g0)
+        for t in range(g0 + 1, min(g0 + group, lq_pad)):
+            s = s + term(t)
+        parts.append(s)
+    while len(parts) > 1:
+        nxt = [parts[i] + parts[i + 1] for i in range(0, len(parts) - 1, 2)]
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    return jnp.transpose(parts[0])  # (QB, DB)
+
+
+def _fuse_group(epilogue: str, lq_pad: int) -> int:
+    """Level-0 chain length for a 'tokfuse{G}' epilogue name ('' -> 2)."""
+    g = int(epilogue[7:]) if epilogue[7:].isdigit() else 2
+    return max(1, min(g, lq_pad))
+
+
 def _emit_finish(out_ref, acc_ref, qmf_ref, db, qb, lq_pad, epilogue,
                  out_dtype):
     """End-of-contraction epilogue emit, shared by EVERY kernel variant
@@ -307,6 +359,11 @@ def _emit_finish(out_ref, acc_ref, qmf_ref, db, qb, lq_pad, epilogue,
     doc-major-in-block (the 'tokmajor_nt' driver transposes in XLA); the
     legacy epilogues store qb-major (db is 128-aligned for long-doc tiles,
     so the (..., qb, db) output array avoids lane padding at large N)."""
+    if epilogue.startswith("tokfuse"):
+        out_ref[0, 0] = _fused_tree_sum(
+            acc_ref[:], qmf_ref[0], db, qb, lq_pad,
+            _fuse_group(epilogue, lq_pad)).astype(out_dtype)
+        return
     if epilogue == "tokchain":
         out_ref[0, 0] = _chain_sum(acc_ref, qmf_ref, db, qb, lq_pad
                                    ).astype(out_dtype)
@@ -337,7 +394,15 @@ def _flatten_q(Qp, qm, n_qb, qb, lq_pad, d_pad, epilogue):
     """
     nq_pad = n_qb * qb
     qbl = qb * lq_pad
-    if epilogue.startswith("tok"):
+    if epilogue.startswith("tokfuse"):
+        # token-major rows; the weight rides as (n_qb, lq_pad, qb) — same
+        # bytes as the flat token-major row, pre-split so the kernel can
+        # SUBLANE-slice token t's weight row (lane-slicing a (1, QBL) row
+        # is illegal in Mosaic)
+        qf = (Qp.reshape(n_qb, qb, lq_pad, d_pad).transpose(0, 2, 1, 3)
+              .reshape(nq_pad * lq_pad, d_pad))
+        qmf = qm.reshape(n_qb, qb, lq_pad).transpose(0, 2, 1)
+    elif epilogue.startswith("tok"):
         qf = (Qp.reshape(n_qb, qb, lq_pad, d_pad).transpose(0, 2, 1, 3)
               .reshape(nq_pad * lq_pad, d_pad))
         qmf = (qm.reshape(n_qb, qb, lq_pad).transpose(0, 2, 1)
@@ -477,7 +542,8 @@ def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
         grid=(n_qb, n_db, n_lp),
         in_specs=[
             pl.BlockSpec((qbl, d_pad), lambda i, j, l: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, qbl), lambda i, j, l: (i, 0, 0),
+            # qmf: (1, 1, qbl) row, or (1, lq_pad, qb) for 'tokfuse*'
+            pl.BlockSpec((1,) + qmf.shape[1:], lambda i, j, l: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((db, tlp, d_pad), lambda i, j, l: (j, l, 0),
                          memory_space=pltpu.VMEM),
@@ -830,7 +896,8 @@ def _maxsim_int8_impl(Q, q_weight, P_i8, scales, pmask,
         in_specs=[
             pl.BlockSpec((qbl, d_pad), lambda i, j, l: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, qbl), lambda i, j, l: (i, 0, 0),
+            # qmf: (1, 1, qbl) row, or (1, lq_pad, qb) for 'tokfuse*'
+            pl.BlockSpec((1,) + qmf.shape[1:], lambda i, j, l: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((db, tlp, d_pad), lambda i, j, l: (j, l, 0),
                          memory_space=pltpu.VMEM),
@@ -1034,7 +1101,8 @@ def _maxsim_int4_impl(Q, q_weight, P_u8, scales, pmask,
         in_specs=[
             pl.BlockSpec((qbl, d_pad), lambda i, j, l: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, qbl), lambda i, j, l: (i, 0, 0),
+            # qmf: (1, 1, qbl) row, or (1, lq_pad, qb) for 'tokfuse*'
+            pl.BlockSpec((1,) + qmf.shape[1:], lambda i, j, l: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((db, tlp_half, d_pad), lambda i, j, l: (j, l, 0),
                          memory_space=pltpu.VMEM),

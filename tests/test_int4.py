@@ -277,7 +277,7 @@ def test_int4_pallas_kernel_epilogue_paths(rng):
     # confirm the auto gate engages a token-major path at this tiling
     qb, lqp, db, tlp = _pick_tiles(5, 7, 4096, 3072, nq=128)
     assert _resolve_epilogue("auto", qb, db)[0].startswith("tok")
-    for epi in ("auto", "sublane", "tokchain", "tokpre"):
+    for epi in ("auto", "sublane", "tokchain", "tokpre", "tokfuse4"):
         got = np.asarray(maxsim_pallas_int4(
             jnp.asarray(Q), jnp.asarray(packed), jnp.asarray(scale),
             jnp.asarray(qmask), jnp.asarray(pmask),

@@ -201,7 +201,8 @@ def test_pallas_epilogue_variants_match_oracle(rng, epilogue):
 
 
 @pytest.mark.parametrize("epilogue", ["tokmajor", "tokmajor_nt", "tokchain",
-                                      "tokpre", "auto"])
+                                      "tokpre", "auto", "tokfuse",
+                                      "tokfuse4", "tokfuse64"])
 def test_pallas_tokmajor_epilogues_match_oracle(rng, epilogue):
     """Token-major epilogues (lane-sliced Lq-sum; the measured winners at the
     config-5 shape — RESULTS.md round-3 epilogue study) are exact. Needs
