@@ -104,6 +104,11 @@ def tpu_available(retries: int = None, probe_timeout: int = 240,
         return False
     if retries is None and os.environ.get("EVDR_BENCH_TPU_RETRIES"):
         retries = int(os.environ["EVDR_BENCH_TPU_RETRIES"])
+        if wait_s is None and not os.environ.get("EVDR_BENCH_TPU_WAIT_S"):
+            # an EXPLICIT retry count means "run all N probes": don't let
+            # the default 900s window cut it short (each hanging probe
+            # burns up to probe_timeout, so N=10 needs ~N*(240+30)s)
+            wait_s = retries * (probe_timeout + sleep_s) + 60.0
     if wait_s is None:
         wait_s = float(os.environ.get("EVDR_BENCH_TPU_WAIT_S", "900"))
     deadline = time.monotonic() + wait_s

@@ -282,6 +282,18 @@ class RetrievalEngine:
         normalize = self.normalize if normalize is None else normalize
         P_new = np.asarray(P_new, dtype=np.float32)
         pm_new = np.asarray(pmask_new, dtype=bool)
+        # validate BEFORE mutating: adds are lazy (the tail materializes on
+        # the next search), so a malformed batch accepted here would wedge
+        # every later search/compact/save with no recovery path — via
+        # evdr-serve that is a remote, permanent 500 from one bad POST /add
+        if P_new.ndim != 3 or P_new.shape[-1] != self.dim:
+            raise ValueError(
+                f"add() embeddings must be (n, Lp, {self.dim}); "
+                f"got {P_new.shape}")
+        if pm_new.shape != P_new.shape[:2]:
+            raise ValueError(
+                f"pmask shape {pm_new.shape} does not match docs "
+                f"{P_new.shape[:2]}")
         if normalize:
             P_new = np.asarray(
                 l2_normalize(P_new * pm_new[..., None].astype(np.float32)),
@@ -890,3 +902,21 @@ class RetrievalEngine:
             return 0
         return (self.index.n_docs + len(self._tail_ids)
                 - len(self._tombstones))
+
+    @property
+    def dim(self) -> int:
+        """Token embedding dim of the built index. PQ indexes store uint8
+        codes, so D comes from the codebooks — whose layout (compact
+        (M, K, D/M) vs expanded OPQ (M, K, D)) is ambiguous from shape
+        alone; the builder records it as ``index.books_expanded``.
+        Float/int8 read D off the stored tokens, and int4's token-pair
+        packing (ops/int4.py) keeps full-width D lanes so the plain
+        fallback covers it too."""
+        if self.index is None:
+            raise RuntimeError("engine has no index; call build() first")
+        idx = self.index
+        if idx.books is not None:
+            b = idx.books
+            return (int(b.shape[-1]) if getattr(idx, "books_expanded", False)
+                    else int(b.shape[0] * b.shape[-1]))
+        return int(idx.P.shape[-1])

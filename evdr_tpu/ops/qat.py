@@ -54,7 +54,7 @@ def qdq_int4(x):
     return _qdq_symmetric(x, 7.0)
 
 
-def qdq_pq(x, books):
+def qdq_pq(x, books, pmask=None):
     """Nearest-centroid PQ reconstruction, differentiable-free assignment.
 
     ``x`` (..., D) splits into M subvectors scored against compact
@@ -74,22 +74,29 @@ def qdq_pq(x, books):
         jnp.broadcast_to(books, (*lead, m, k, dsub)),
         assign[..., None, None], axis=-2)[..., 0, :]
     rec = rec.reshape(*lead, m * dsub)
-    # masked tokens arrive as exact zeros; the nearest centroid to 0 is
-    # generally NOT 0, so force them back (serving masks those columns —
-    # encode_pq zeroes their codes — and downstream consumers of Ps, e.g.
-    # hardtoken mining, rely on masked tokens staying inert)
-    alive = jnp.any(x != 0, axis=-1, keepdims=True)
+    # masked tokens must reconstruct to 0: the nearest centroid to 0 is
+    # generally NOT 0 (serving masks those columns — encode_pq zeroes their
+    # codes — and downstream consumers of Ps, e.g. hardtoken mining, rely
+    # on masked tokens staying inert). Mask by ``pmask`` when the caller
+    # has it: the x!=0 fallback would ALSO zero a LIVE token whose
+    # embedding is exactly zero, while the serving encoder (pmask-driven)
+    # gives that token the nearest-centroid-to-0 reconstruction.
+    if pmask is not None:
+        alive = pmask.astype(bool)[..., None]
+    else:
+        alive = jnp.any(x != 0, axis=-1, keepdims=True)
     return jnp.where(alive, rec, 0.0)
 
 
-def qat_apply(Ps, cfg_qat: str, books=None):
+def qat_apply(Ps, cfg_qat: str, books=None, pmask=None):
     """Serving-form STE pass over the normalized student ``Ps``.
 
     ``cfg_qat``: 'none' (identity), 'int8', 'int4', or 'pq' (needs the
     replicated codebooks trained on the init student — see
     harness._maybe_qat_books). Masked tokens are all-zero in Ps and
-    reconstruct to exact 0 under every tier, so masking semantics are
-    untouched.
+    reconstruct to exact 0 under the symmetric tiers; PQ needs ``pmask``
+    to match the serving encoder exactly when a LIVE token is all-zero
+    (see :func:`qdq_pq`).
     """
     if cfg_qat == "none":
         return Ps
@@ -100,5 +107,5 @@ def qat_apply(Ps, cfg_qat: str, books=None):
     if cfg_qat == "pq":
         if books is None:
             raise ValueError("qat='pq' needs trained codebooks")
-        return ste(Ps, qdq_pq(Ps, books))
+        return ste(Ps, qdq_pq(Ps, books, pmask=pmask))
     raise ValueError(f"unknown qat tier {cfg_qat!r}")

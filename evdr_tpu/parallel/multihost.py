@@ -193,6 +193,10 @@ class MultihostSearchCoordinator:
         return self.engine.n_docs
 
     @property
+    def dim(self):
+        return self.engine.dim
+
+    @property
     def dtype(self):
         return self.engine.dtype
 
@@ -261,6 +265,17 @@ class MultihostSearchCoordinator:
         assembles per-host rows on the next (SPMD) search."""
         P_new = np.asarray(P_new, dtype=np.float32)
         pm_new = np.asarray(pmask_new, dtype=bool)
+        # validate BEFORE the first broadcast: a deterministic shape error
+        # must raise on the frontend only (HTTP 400), never reach the
+        # followers — their mutation path is fail-stop (see follow())
+        if P_new.ndim != 3 or P_new.shape[-1] != self.engine.dim:
+            raise ValueError(
+                f"add() embeddings must be (n, Lp, {self.engine.dim}); "
+                f"got {P_new.shape}")
+        if pm_new.shape != P_new.shape[:2]:
+            raise ValueError(
+                f"pmask shape {pm_new.shape} does not match docs "
+                f"{P_new.shape[:2]}")
         blob = (self._ids_blob(docids) if docids is not None
                 else np.zeros(0, np.uint8))
         norm_code = -1 if normalize is None else int(bool(normalize))
@@ -316,13 +331,24 @@ class MultihostSearchCoordinator:
     def follow(self) -> None:
         """Follower loop (processes > 0): mirror searches until OP_STOP.
 
-        A per-request failure is logged and the loop continues — the
-        frontend's HTTP handler catches the same exception and answers the
-        client; a follower that died on it would leave the next broadcast
-        blocking forever on a missing peer (the whole deployment bricked by
-        one bad request). Desync is not a risk: both sides run the same
-        program on the same inputs, so they fail (or not) together.
+        READ ops (search, snapshot): a per-request failure is logged and
+        the loop continues — the frontend's HTTP handler catches the same
+        exception and answers the client; a follower that died on it would
+        leave the next broadcast blocking forever on a missing peer (the
+        whole deployment bricked by one bad request). Deterministic desync
+        is not a risk: both sides run the same program on the same inputs,
+        so they fail (or not) together.
+
+        MUTATING ops (add, delete, compact) are FAIL-STOP: deterministic
+        validation errors are raised on the frontend BEFORE the broadcast
+        (see :meth:`add`), so an exception here is a host-LOCAL anomaly
+        (allocation failure, disk error). Swallowing it would leave this
+        process's engine state diverged from the frontend's, and the next
+        SPMD search would then enter collectives with mismatched global
+        shapes — a cluster-wide hang far from the cause. Crashing here
+        stops the deployment AT the cause with the error on stderr.
         """
+        mutating = (self.OP_ADD, self.OP_DELETE, self.OP_COMPACT)
         while True:
             hdr = self._bcast(np.zeros(6, dtype=np.int32))
             op, b, lq, d, k, nc = (int(x) for x in hdr)
@@ -352,7 +378,14 @@ class MultihostSearchCoordinator:
                     self.engine.to_packed_payload()  # collective gathers
                 else:
                     raise RuntimeError(f"unknown multihost opcode {op}")
-            except Exception as e:  # mirror of the HTTP handler's catch-all
+            except Exception as e:
+                if op in mutating:  # host-local anomaly -> fail-stop
+                    print(f"[multihost follower] MUTATION op {op} failed; "
+                          f"state would diverge — stopping: "
+                          f"{type(e).__name__}: {e}",
+                          file=sys.stderr, flush=True)
+                    raise
+                # read op: mirror of the HTTP handler's catch-all
                 print(f"[multihost follower] op {op} failed (frontend "
                       f"answers the client): {type(e).__name__}: {e}",
                       file=sys.stderr, flush=True)

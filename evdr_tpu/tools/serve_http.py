@@ -293,19 +293,9 @@ class MicroBatcher:
 
 
 def warm_query_dim(engine) -> int:
-    """Token dim for the warm-up queries. PQ indexes store uint8 codes, so
-    D must come from the codebooks — whose layout (compact (M, K, D/M) vs
-    expanded OPQ (M, K, D)) is ambiguous from shape alone; the builder
-    records it as ``index.books_expanded``. Float/int8 indexes read D off
-    the stored tokens."""
-    idx = engine.index
-    if idx.books is not None:
-        b = idx.books
-        return (int(b.shape[-1]) if getattr(idx, "books_expanded", False)
-                else int(b.shape[0] * b.shape[-1]))
-    # int4's token-pair packing (ops/int4.py) keeps full-width D lanes, so
-    # the plain fallback is correct for it too
-    return int(idx.P.shape[-1])
+    """Token dim for the warm-up queries (engine.dim; kept as a named
+    helper because the handlers and CLI cite it as the request-dim gate)."""
+    return engine.dim
 
 
 def make_server(engine, host: str = "127.0.0.1", port: int = 8080,

@@ -100,6 +100,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "serving-dtype reconstruction (straight-through "
                         "gradients) so the exported index quantizes with "
                         "less quality loss (ops/qat.py)")
+    p.add_argument("--qat_pq_m", type=int, default=defaults.qat_pq_m,
+                   help="subvector count for --qat pq codebooks; must match "
+                        "the serving/export pq_m")
     p.add_argument("--mesh_docs", type=int, default=defaults.mesh_docs,
                    help="shard the doc axis over an N-device mesh (multi-chip "
                         "training; 0/1 = single device)")

@@ -106,6 +106,10 @@ class TrainConfig:
     # student and freezes them; the STE pass pulls embeddings toward that
     # grid, so the export-time codebook refit lands on ~the same centroids.
     qat: str = "none"                      # none|int8|int4|pq
+    # subvector count for qat='pq' codebooks — MUST match the geometry the
+    # index will be served/exported with (engine pq_m / convert_packed
+    # --pq_m), or training targets the wrong quantization grid
+    qat_pq_m: int = 16
     resume: bool = False
     # multi-device training: shard the student/teacher doc axis over an
     # N-device mesh (global-softmax losses via XLA collectives,

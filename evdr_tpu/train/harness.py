@@ -405,7 +405,7 @@ def build_train_step(cfg: TrainConfig, bundle: DatasetBundle,
                 # consumers of Ps (hardtoken mining) see the same form.
                 from evdr_tpu.ops.qat import qat_apply
 
-                Ps = qat_apply(Ps, cfg.qat, d["qat_books"])
+                Ps = qat_apply(Ps, cfg.qat, d["qat_books"], pmask=pmask_s)
             sc_s = score_student(Ps, Qb, qmb)
             total, parts = loss_fn(sc_s, sc_t, labels)
 
@@ -1061,7 +1061,7 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
                 jnp.asarray(param)
                 * pmask_student[..., None].astype(jnp.float32)))
             qat_books = jnp.asarray(
-                train_pq(Ps0, np.asarray(pmask_student), m=16))
+                train_pq(Ps0, np.asarray(pmask_student), m=cfg.qat_pq_m))
         train_step = build_train_step(cfg, bundle, pmask_student, optimizer,
                                       qat_books=qat_books)
 

@@ -4,7 +4,12 @@ Measures, on a corpus-scale index:
 - baseline exact search q/s (no incremental state);
 - search q/s with a small tail + tombstones (the fused merged program —
   main + tail + alive-mask filter in ONE dispatch);
-- add() latency (tail rebuild + one merged-program compile);
+- add() latency (an O(batch) host append — the tail build is LAZY) and,
+  separately, the deferred tail quantize/device build (_ensure_tail) and
+  the first merged-program compile;
+- 1k SEQUENTIAL single-doc adds: per-add cost must stay flat (first vs
+  last decile) — the consolidation is deferred, so a burst of adds pays
+  ONE tail concatenation, not a quadratic re-copy per add;
 - delete() -> next-search latency (MUST be compile-free: the alive mask
   is a dynamic argument).
 
@@ -48,9 +53,16 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--tail", type=int, default=100,
                    help="docs added incrementally before the tail timing")
+    p.add_argument("--platform", default="auto",
+                   help="'cpu' forces the CPU backend (jax.config.update — "
+                        "env vars are too late, jax preloads via "
+                        "sitecustomize); 'auto' uses the default (TPU)")
     a = p.parse_args()
 
     import jax
+
+    if a.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from evdr_tpu.engine import RetrievalEngine
     from evdr_tpu.utils.timing import enable_persistent_cache
@@ -74,12 +86,30 @@ def main():
     Pt = unit(rng.normal(size=(a.tail, a.lp, a.d))).astype(np.float32)
     pmt = np.ones((a.tail, a.lp), bool)
     t0 = time.perf_counter()
-    eng.add(Pt, pmt)           # tail build (no search compile yet)
+    eng.add(Pt, pmt)           # O(batch) host append (tail is LAZY now)
     add_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    eng._ensure_tail()         # deferred tail quantize + device build
+    tail_build_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     eng.search_dense(Q, qm, k=a.k)   # first merged search: pays compile
     first_merged_s = time.perf_counter() - t0
     merged_qps = timed_search(eng, Q, qm, a.k)
+
+    # 1k sequential single-doc adds: flat per-add cost (lazy consolidation)
+    one = unit(rng.normal(size=(1, a.lp, a.d))).astype(np.float32)
+    onem = np.ones((1, a.lp), bool)
+    per_add = []
+    for i in range(1000):
+        t0 = time.perf_counter()
+        eng.add(one + np.float32(1e-6) * i, onem)
+        per_add.append(time.perf_counter() - t0)
+    first_decile = float(np.mean(per_add[:100]))
+    last_decile = float(np.mean(per_add[-100:]))
+    t0 = time.perf_counter()
+    eng._ensure_tail()   # the ONE deferred consolidation for the burst
+    burst_consolidate_s = time.perf_counter() - t0
+    eng.search_dense(Q, qm, k=a.k)   # absorb the tail-shape recompile
 
     # deletes must NOT recompile: time the search right after each
     victims = [str(int(i)) for i in rng.integers(0, a.n_docs, size=5)]
@@ -98,8 +128,13 @@ def main():
         "baseline_qps": round(base_qps, 1),
         "merged_qps": round(merged_qps, 1),
         "merged_over_baseline": round(merged_qps / base_qps, 3),
-        "add_s": round(add_s, 3),
+        "add_s": round(add_s, 4),
+        "tail_build_s": round(tail_build_s, 3),
         "first_merged_search_s": round(first_merged_s, 2),
+        "seq_adds_first_decile_us": round(first_decile * 1e6, 1),
+        "seq_adds_last_decile_us": round(last_decile * 1e6, 1),
+        "seq_adds_flat": bool(last_decile < 10 * first_decile + 1e-4),
+        "burst_consolidate_s": round(burst_consolidate_s, 3),
         "max_post_delete_search_s": round(max(post_delete_s), 3),
     }))
 

@@ -48,24 +48,28 @@ def _train_missing(a, data_root, out, name, qat):
     from evdr_tpu.train.config import TrainConfig
     from evdr_tpu.train.harness import run_training
 
-    missing = [ds for ds in a.datasets for mf in a.mfs
+    # PER-CELL resume: one run_training per missing (dataset, mf) cell, so
+    # a crashed matrix re-trains only the missing cells instead of
+    # re-paying (and overwriting) every finished one
+    missing = [(ds, mf) for ds in a.datasets for mf in a.mfs
                if not (_student_dir(out, name, mf, ds)
                        / "best_ndcg5.npz").exists()]
     if not missing:
         print(f"[qatq] {name}: all cells present, skipping train",
               flush=True)
         return
-    cfg = TrainConfig(
-        datasets=list(a.datasets), query_root=str(data_root),
-        teacher_root=str(data_root), init_root=str(data_root / "S3E_init"),
-        mfs=list(a.mfs), out_root=str(pathlib.Path(out) / "results"),
-        name=name, loss=a.loss, temp=0.1, k=40, max_steps=a.max_steps,
-        eval_every=a.eval_every, print_every=4096, q_batch=32, lr=1e-3,
-        chunk_p=128, steps_per_dispatch=a.steps_per_dispatch, seed=a.seed,
-        qat=qat)
     t0 = time.time()
-    run_training(cfg)
-    print(json.dumps({"trained": name, "qat": qat,
+    for ds, mf in missing:
+        cfg = TrainConfig(
+            datasets=[ds], query_root=str(data_root),
+            teacher_root=str(data_root), init_root=str(data_root / "S3E_init"),
+            mfs=[mf], out_root=str(pathlib.Path(out) / "results"),
+            name=name, loss=a.loss, temp=0.1, k=40, max_steps=a.max_steps,
+            eval_every=a.eval_every, print_every=4096, q_batch=32, lr=1e-3,
+            chunk_p=128, steps_per_dispatch=a.steps_per_dispatch, seed=a.seed,
+            qat=qat, qat_pq_m=a.pq_m)
+        run_training(cfg)
+    print(json.dumps({"trained": name, "qat": qat, "cells": len(missing),
                       "wall_s": round(time.time() - t0, 1)}), flush=True)
 
 

@@ -10,6 +10,7 @@ import threading
 import urllib.request
 
 import numpy as np
+import pytest
 
 from evdr_tpu.engine import RetrievalEngine
 from evdr_tpu.ops.maxsim import maxsim_numpy
@@ -558,3 +559,37 @@ def test_http_add_and_delete_endpoints(rng):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_add_rejects_malformed_batch_and_engine_stays_usable(rng):
+    """A wrong-dim/wrong-shape add() must raise AT add() time, not poison
+    the lazy tail: the old eager build surfaced such errors inside add(),
+    but with deferred consolidation an accepted bad batch would wedge
+    every later search/compact/save permanently (via evdr-serve: one bad
+    POST /add = an unrecoverable remote 500-forever)."""
+    d = 32
+    P1, pm1 = _corpus(rng, 12, d=d)
+    eng = RetrievalEngine(dtype="float32", impl="xla", mesh=make_mesh(1))
+    eng.build(P1, pm1)
+    Q, qm = _queries(rng, P1, pm1, nq=4)
+    ok_vals, ok_idx = eng.search_dense(Q, qm, k=3)
+
+    bad_d = rng.normal(size=(2, 5, d // 2)).astype(np.float32)
+    with pytest.raises(ValueError, match="add\\(\\) embeddings"):
+        eng.add(bad_d, np.ones((2, 5), bool))
+    with pytest.raises(ValueError, match="add\\(\\) embeddings"):
+        eng.add(rng.normal(size=(2, 5 * d)).astype(np.float32),
+                np.ones((2, 5), bool))                    # ndim != 3
+    with pytest.raises(ValueError, match="pmask shape"):
+        eng.add(rng.normal(size=(2, 5, d)).astype(np.float32),
+                np.ones((2, 4), bool))
+
+    # nothing was mutated: the engine still serves identical results and
+    # a good add still works
+    assert eng.n_docs == 12
+    v2, i2 = eng.search_dense(Q, qm, k=3)
+    np.testing.assert_array_equal(ok_idx, i2)
+    P2, pm2 = _corpus(rng, 3, d=d)
+    assert eng.add(P2, pm2) == 3
+    eng.search_dense(Q, qm, k=3)
+    assert eng.n_docs == 15

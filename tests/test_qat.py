@@ -131,3 +131,27 @@ def test_training_with_qat_runs(fixture_root, tmp_path, tier):
     results = run_training(cfg)
     best = results["synth/mf5"]["summary/best_ndcg5"]
     assert np.isfinite(best["NDCG@5"])
+
+
+def test_qdq_pq_live_allzero_token_matches_serving_encoder():
+    """A LIVE token whose embedding is exactly zero must reconstruct to the
+    nearest centroid to 0 (what the pmask-driven serving encoder does), not
+    be forced to 0 like a masked token — qdq_pq takes pmask for this; the
+    value-based x!=0 fallback cannot tell the two cases apart."""
+    Ps, pmask = _student(seed=3)
+    Ps = Ps.copy()
+    Ps[0, 2, :] = 0.0            # live (pmask True) but all-zero embedding
+    assert pmask[0, 2]
+    books = train_pq(Ps, pmask, m=4, k=8, seed=0)
+
+    rec = np.asarray(qdq_pq(jnp.asarray(Ps), jnp.asarray(books),
+                            pmask=jnp.asarray(pmask)))
+    # serving path: encode with pmask, decode
+    codes = encode_with_books(Ps, books, pmask)
+    want = decode_pq(codes, books)
+    np.testing.assert_allclose(rec[0, 2], want[0, 2], rtol=1e-6, atol=1e-6)
+    # masked tokens still exactly zero under the pmask-driven path
+    assert np.all(rec[~pmask] == 0.0)
+    # the nearest centroid to 0 is generically nonzero: the test must not
+    # pass vacuously
+    assert np.any(rec[0, 2] != 0.0)
