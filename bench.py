@@ -97,7 +97,10 @@ def tpu_available(retries: int = None, probe_timeout: int = 240,
     Round-3 postmortem: ONE failed probe -> CPU fallback lost the round's
     perf record to a transient outage. Default behavior is now a bounded
     wait-and-retry window: keep probing every ``sleep_s`` until ``wait_s``
-    wall-clock seconds elapse (env EVDR_BENCH_TPU_WAIT_S, default 900;
+    wall-clock seconds elapse (env EVDR_BENCH_TPU_WAIT_S, default 600
+    — chosen so wait + CPU-fallback measurement stays comfortably inside
+    an unknown driver timeout: an empty killed record is worse than a
+    fallback record carrying last_known_tpu_qps;
     worst case ~wait_s + probe_timeout). ``retries`` caps the number of
     probes when given (tests / quick checks)."""
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
@@ -106,11 +109,11 @@ def tpu_available(retries: int = None, probe_timeout: int = 240,
         retries = int(os.environ["EVDR_BENCH_TPU_RETRIES"])
         if wait_s is None and not os.environ.get("EVDR_BENCH_TPU_WAIT_S"):
             # an EXPLICIT retry count means "run all N probes": don't let
-            # the default 900s window cut it short (each hanging probe
+            # the default wait window cut it short (each hanging probe
             # burns up to probe_timeout, so N=10 needs ~N*(240+30)s)
             wait_s = retries * (probe_timeout + sleep_s) + 60.0
     if wait_s is None:
-        wait_s = float(os.environ.get("EVDR_BENCH_TPU_WAIT_S", "900"))
+        wait_s = float(os.environ.get("EVDR_BENCH_TPU_WAIT_S", "600"))
     deadline = time.monotonic() + wait_s
     attempt = 0
     while True:
