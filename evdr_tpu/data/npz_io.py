@@ -122,8 +122,13 @@ def save_compressed_npz(
     doc_attnmask_obj: Optional[np.ndarray],
     doc_imgmask_obj: Optional[np.ndarray],
     meta: Dict[str, Any],
+    extra: Optional[Dict[str, np.ndarray]] = None,
 ) -> None:
-    """Write a compressed student index npz (reference ``utils/utils.py:83-103``)."""
+    """Write a compressed student index npz (reference ``utils/utils.py:83-103``).
+
+    ``extra``: additional dense arrays stored verbatim (e.g. the frozen
+    ``qat_books`` a QAT-pq student was trained against — serving with the
+    exact training grid is the point of QAT)."""
     save_path = Path(save_path)
     save_path.parent.mkdir(parents=True, exist_ok=True)
     payload = {
@@ -135,6 +140,8 @@ def save_compressed_npz(
         payload["doc_attnmask"] = _as_object_array(doc_attnmask_obj)
     if doc_imgmask_obj is not None:
         payload["doc_imgmask"] = _as_object_array(doc_imgmask_obj)
+    if extra:
+        payload.update({k: np.asarray(v) for k, v in extra.items()})
     np.savez_compressed(str(save_path), **payload)
 
 

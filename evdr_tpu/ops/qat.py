@@ -14,6 +14,13 @@ Numerics contract: each ``qdq_*`` here reproduces
 bit-for-bit (both use round-half-to-even; tests/test_qat.py pins this), so
 training-time scores see the true serving grid, not an approximation.
 
+Model selection happens in the serving form too: under ``cfg.qat`` the
+harness evaluates (and picks best checkpoints by) the reconstruction, and
+for 'pq' the codebooks REFIT on the current student at every eval so the
+grid tracks the drifting embeddings (a grid frozen on the init measured
+WORSE than post-hoc quantization at reference compression); the final
+books export with the best npz so serving uses the exact training grid.
+
 This extends the reference's score-preservation objective
 (criterion.py:74-83) to the serving dtype — the reference itself has no
 quantized serving tier at all. Wired via ``TrainConfig.qat`` /

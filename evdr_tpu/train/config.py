@@ -102,9 +102,11 @@ class TrainConfig:
     # quantization-aware distillation (ops/qat.py): score the student's
     # quantize->dequantize SERVING reconstruction in the train step with
     # straight-through gradients, so post-hoc index quantization at this
-    # tier costs (much) less quality. 'pq' trains codebooks on the init
-    # student and freezes them; the STE pass pulls embeddings toward that
-    # grid, so the export-time codebook refit lands on ~the same centroids.
+    # tier costs (much) less quality. Eval + best-checkpoint selection run
+    # on the reconstruction too. 'pq' refits its codebooks on the current
+    # student at every eval (the grid tracks the drifting embeddings) and
+    # exports the final books with the best npz ("qat_books" key) — serve
+    # with those, not a refit.
     qat: str = "none"                      # none|int8|int4|pq
     # subvector count for qat='pq' codebooks — MUST match the geometry the
     # index will be served/exported with (engine pq_m / convert_packed

@@ -453,6 +453,10 @@ def build_train_step(cfg: TrainConfig, bundle: DatasetBundle,
     def run_step(param, opt_state, idx, rng):
         return jstep(param, opt_state, idx, rng, data)
 
+    # expose the per-call data dict: every entry is a jit ARGUMENT, so the
+    # caller may swap same-shape values between dispatches without a
+    # recompile (the QAT-pq codebook refit at eval cadence uses this)
+    run_step.data = data
     if cfg.steps_per_dispatch <= 1:
         return run_step
 
@@ -483,6 +487,7 @@ def build_train_step(cfg: TrainConfig, bundle: DatasetBundle,
     def run_multi(param, opt_state, idx_block, rng):
         return jmulti(param, opt_state, idx_block, rng, data)
 
+    run_multi.data = data
     return run_multi
 
 
@@ -571,12 +576,20 @@ def _test_pos_idx(bundle: DatasetBundle) -> Optional[np.ndarray]:
     return pos if ok.all() else np.where(ok, pos, -1)
 
 
-def evaluation_loss(cfg: TrainConfig, bundle: DatasetBundle, param, pmask_student
-                    ) -> Dict[str, float]:
+def evaluation_loss(cfg: TrainConfig, bundle: DatasetBundle, param, pmask_student,
+                    qat_books=None) -> Dict[str, float]:
     """Distillation loss on test queries (mainv2_iter_liscore.py:343-370);
-    for supervised InfoNCE, the gt-docs eval loss of mainv2_iter_super_infonce."""
+    for supervised InfoNCE, the gt-docs eval loss of mainv2_iter_super_infonce.
+
+    Under ``cfg.qat`` the train objective scores the serving reconstruction,
+    so this does too — otherwise train and eval loss diverge systematically
+    by the quantization error."""
     loss_fn = make_loss_fn(cfg)
     Ps = l2_normalize(param * pmask_student[..., None].astype(jnp.float32))
+    if cfg.qat != "none":
+        from evdr_tpu.ops.qat import qat_apply
+
+        Ps = qat_apply(Ps, cfg.qat, qat_books, pmask=pmask_student)
     sc_s = maxsim_xla(bundle.Q_test, Ps, bundle.qmask_test, pmask_student,
                       chunk_p=cfg.chunk_p)
     if cfg.loss == "infonce_sup":
@@ -625,7 +638,8 @@ def update_best(best: Optional[Dict[str, Any]], metrics: Dict[str, Any],
 
 def save_best_npz(out_dir: Path, fname: str, *, cfg: TrainConfig, dataset: str,
                   mf: int, step: int, best: Dict, metrics: Dict,
-                  param, pmask_student, docid, doc_attn_in, doc_img_in) -> None:
+                  param, pmask_student, docid, doc_attn_in, doc_img_in,
+                  qat_books=None) -> None:
     """Export the student as a compressed index npz.
 
     Convention parity: iter-family scripts save the UNNORMALIZED masked param
@@ -663,6 +677,10 @@ def save_best_npz(out_dir: Path, fname: str, *, cfg: TrainConfig, dataset: str,
             "lambda score": cfg.lambda_score,
             "lr": cfg.lr,
         },
+        # QAT-pq: the codebooks this checkpoint was trained (and its best
+        # metrics measured) against — serve with THESE, not a refit
+        extra=({"qat_books": np.asarray(qat_books, np.float32)}
+               if qat_books is not None else None),
     )
 
 
@@ -900,6 +918,12 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
 
         def _mesh_score_fn():
             Ps = l2_normalize(param * pmask_student[..., None].astype(jnp.float32))
+            if cfg.qat in ("int8", "int4"):
+                # serving-form eval under the mesh too: per-token qdq is
+                # doc-independent, so it preserves the doc sharding
+                from evdr_tpu.ops.qat import qat_apply
+
+                Ps = qat_apply(Ps, cfg.qat, pmask=pmask_student)
             sidx = ShardedIndex(P=Ps, pmask=pmask_student, n_docs=n_docs,
                                 mesh=mesh)
             # multi-host: metric computation is host-side on every process
@@ -935,12 +959,56 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
             return out
 
     def eval_now(step):
+        nonlocal qat_books
         if mesh is not None:
             metrics = eval_retrieval(
                 evaluator, bundle.Q_test, bundle.qmask_test, None, None,
                 bundle.relevant_docs_test, bundle.docidx_2_docid_test,
                 bundle.qsidx_2_query_test, score_fn=_mesh_score_fn)
             ev_loss = _mesh_eval_loss()
+        elif cfg.qat != "none":
+            # QAT: evaluate (and select best checkpoints by) the SERVING
+            # reconstruction, not the raw fp32 student — selecting on raw
+            # metrics exports a checkpoint never validated under its own
+            # storage dtype (the first qat_quality run did exactly that
+            # and measured QAT worse than post-hoc).
+            from evdr_tpu.ops.qat import qat_apply
+
+            if cfg.qat == "pq":
+                # refit the codebooks on the CURRENT student (see the
+                # qat_books init comment); swapping the value through
+                # train_step.data is recompile-free (same shape jit arg)
+                from evdr_tpu.ops.pq import train_pq
+
+                Ps_np = np.asarray(l2_normalize(
+                    param * pmask_student[..., None].astype(jnp.float32)))
+                qat_books = jnp.asarray(train_pq(
+                    Ps_np, np.asarray(pmask_student), m=cfg.qat_pq_m,
+                    seed=cfg.seed))
+                try:
+                    train_step.data["qat_books"] = qat_books
+                except NameError:
+                    pass  # step-0 eval runs before the step is built; the
+                    # builder receives these freshly-fit books directly
+            P_now = l2_normalize(
+                param * pmask_student[..., None].astype(jnp.float32))
+            Pq = jax.block_until_ready(qat_apply(
+                P_now, cfg.qat, qat_books, pmask=pmask_student))
+
+            def _qat_score_fn():
+                # reconstruction precomputed above (serving quantizes at
+                # build time; eval latency times scoring only)
+                return maxsim(bundle.Q_test, Pq, bundle.qmask_test,
+                              pmask_student, chunk_p=cfg.chunk_p,
+                              impl=cfg.eval_impl,
+                              compute_dtype=jnp.float32)
+
+            metrics = eval_retrieval(
+                evaluator, bundle.Q_test, bundle.qmask_test, None, None,
+                bundle.relevant_docs_test, bundle.docidx_2_docid_test,
+                bundle.qsidx_2_query_test, score_fn=_qat_score_fn)
+            ev_loss = evaluation_loss(cfg, bundle, param, pmask_student,
+                                      qat_books=qat_books)
         else:
             metrics = eval_retrieval(
                 evaluator, bundle.Q_test, bundle.qmask_test, param, pmask_student,
@@ -961,6 +1029,24 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
             writer.add_scalar("eval/NDCG@5", scalars["eval/NDCG@5"], step)
             writer.add_scalar("eval/loss", ev_loss["total_loss"], step)
         return metrics
+
+    # QAT-pq codebooks: fit on the init student BEFORE the step-0 eval (the
+    # eval scores the serving reconstruction, which needs them), then REFIT
+    # at every eval so the STE grid tracks the drifting student — a grid
+    # frozen on the init measured WORSE than post-hoc quantization at
+    # reference compression (the student drifts far from the init at mf25,
+    # and serving refits on the final student; RESULTS.md QAT section). The
+    # final books are exported with the best npz so serving uses the exact
+    # training grid.
+    qat_books = None
+    if cfg.qat == "pq":
+        from evdr_tpu.ops.pq import train_pq
+
+        Ps0 = np.asarray(l2_normalize(
+            jnp.asarray(param) * pmask_student[..., None].astype(jnp.float32)))
+        qat_books = jnp.asarray(
+            train_pq(Ps0, np.asarray(pmask_student), m=cfg.qat_pq_m,
+                     seed=cfg.seed))
 
     step0 = 0
     ckpt_path = out_dir / ("ckpt.orbax" if cfg.checkpoint_backend == "orbax"
@@ -1049,19 +1135,8 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
             Q_all=Q_train_r, qm_all=qm_train_r, sct_all=sct_train_sh,
             pos_all=pos_train_r, optimizer=optimizer)
     else:
-        qat_books = None
-        if cfg.qat == "pq":
-            # codebooks fit ONCE on the init student's serving form and
-            # frozen: the STE pass pulls embeddings toward this grid, so a
-            # post-training refit (export / engine build) lands on ~the
-            # same centroids. Host kmeans on the init is seconds.
-            from evdr_tpu.ops.pq import train_pq
-
-            Ps0 = np.asarray(l2_normalize(
-                jnp.asarray(param)
-                * pmask_student[..., None].astype(jnp.float32)))
-            qat_books = jnp.asarray(
-                train_pq(Ps0, np.asarray(pmask_student), m=cfg.qat_pq_m))
+        # qat_books (pq) were fit before the step-0 eval; they refresh at
+        # every eval via train_step.data (a jit argument — no recompile)
         train_step = build_train_step(cfg, bundle, pmask_student, optimizer,
                                       qat_books=qat_books)
 
@@ -1216,7 +1291,8 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
                                   mf=mf, step=step, best=best_r1, metrics=metrics,
                                   param=p_exp, pmask_student=pm_exp,
                                   docid=bundle.docid_teacher,
-                                  doc_attn_in=doc_attn_in, doc_img_in=doc_img_in)
+                                  doc_attn_in=doc_attn_in, doc_img_in=doc_img_in,
+                                  qat_books=qat_books)
             if upd_nd5:
                 logger.info(
                     f"best nDCG@5 step| {step} | nDCG@5={best_nd5['NDCG@5']:.5f} | "
@@ -1226,7 +1302,8 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
                                   mf=mf, step=step, best=best_nd5, metrics=metrics,
                                   param=p_exp, pmask_student=pm_exp,
                                   docid=bundle.docid_teacher,
-                                  doc_attn_in=doc_attn_in, doc_img_in=doc_img_in)
+                                  doc_attn_in=doc_attn_in, doc_img_in=doc_img_in,
+                                  qat_books=qat_books)
 
         if checkpoint_every and step % checkpoint_every == 0:
             if multiproc:

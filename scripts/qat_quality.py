@@ -81,8 +81,22 @@ def _metrics_for(npz_path, bundle, dtype, pq_m):
 
     z = np.load(npz_path, allow_pickle=True)
     eng = RetrievalEngine(dtype=dtype, impl="xla", pq_m=pq_m)
-    eng.build_from_ragged(z["documents"], z["doc_attnmask"],
-                          z["doc_imgmask"])
+    if dtype == "pq" and "qat_books" in z.files:
+        # QAT-pq students ship the codebooks they trained (and were
+        # best-selected) against — serving with a refit grid would measure
+        # a different quantizer than the one training optimized for
+        from evdr_tpu.data.packing import l2_normalize, preprocess_docs
+        from evdr_tpu.ops.pq import encode_with_books
+
+        P, pmask, _ = preprocess_docs(z["documents"], z["doc_attnmask"],
+                                      z["doc_imgmask"])
+        Pn = np.asarray(l2_normalize(
+            P * pmask[..., None].astype(np.float32)), np.float32)
+        books = np.asarray(z["qat_books"], np.float32)
+        eng.build_from_pq(encode_with_books(Pn, books, pmask), books, pmask)
+    else:
+        eng.build_from_ragged(z["documents"], z["doc_attnmask"],
+                              z["doc_imgmask"])
     scores = eng.score_all(np.asarray(bundle.Q_test),
                            np.asarray(bundle.qmask_test))
     docid = [str(d) for d in z["docid"].tolist()]
