@@ -743,9 +743,27 @@ class RetrievalEngine:
                       normalize=False if normalized else None)
         else:
             payload = load_payload(npz_path)
-            eng.build_from_ragged(
-                payload["documents"], payload.get("doc_attnmask"),
-                payload.get("doc_imgmask"), docids=payload.get("docid"))
+            if eng.dtype == "pq" and payload.get("qat_books") is not None:
+                # a QAT-pq student (evdr-train --qat pq): quantize with the
+                # exact codebooks it was trained and best-selected against
+                # — a fresh refit would serve a different grid than the one
+                # the checkpoint's metrics were measured under
+                from evdr_tpu.data.packing import preprocess_docs
+                from evdr_tpu.ops.pq import encode_with_books
+
+                P, pmask, _ = preprocess_docs(
+                    payload["documents"], payload.get("doc_attnmask"),
+                    payload.get("doc_imgmask"))
+                Pn = np.asarray(l2_normalize(
+                    P * pmask[..., None].astype(np.float32)), np.float32)
+                books = np.asarray(payload["qat_books"], np.float32)
+                eng.pq_m = int(books.shape[0])
+                eng.build_from_pq(encode_with_books(Pn, books, pmask), books,
+                                  pmask, docids=payload.get("docid"))
+            else:
+                eng.build_from_ragged(
+                    payload["documents"], payload.get("doc_attnmask"),
+                    payload.get("doc_imgmask"), docids=payload.get("docid"))
         return eng
 
     # ----------------------------------------------------------------- search

@@ -72,7 +72,14 @@ def convert_payload_to_packed(payload: dict, length_multiple: int = 1,
             # accelerator encode past ~2M tokens (see engine.build)
             enc = (encode_pq_device
                    if P.shape[0] * P.shape[1] > 2_000_000 else encode_pq)
-            if pq_opq:
+            if payload.get("qat_books") is not None and not pq_opq:
+                # QAT-pq student: pack with the codebooks it was trained
+                # and best-selected against, not a refit (engine.from_npz
+                # does the same for the ragged file)
+                books = np.asarray(payload["qat_books"], np.float32)
+                out["P_pq_codes"] = enc(P, books, pmask)
+                out["P_pq_books"] = books
+            elif pq_opq:
                 books, rot = train_opq(P, pmask, m=pq_m)
                 out["P_pq_codes"] = enc(P, books, pmask, rot=rot)
                 # rotation folded into full-width books: consumers score/

@@ -155,3 +155,35 @@ def test_qdq_pq_live_allzero_token_matches_serving_encoder():
     # the nearest centroid to 0 is generically nonzero: the test must not
     # pass vacuously
     assert np.any(rec[0, 2] != 0.0)
+
+
+def test_from_npz_serves_qat_pq_student_with_saved_books(tmp_path):
+    """engine.from_npz(dtype='pq') on a QAT npz must quantize with the
+    SAVED qat_books (the grid training optimized for), not a refit —
+    scores must equal building from those books directly."""
+    from evdr_tpu.data.npz_io import save_compressed_npz, tokens_to_object
+    from evdr_tpu.engine import RetrievalEngine
+    from evdr_tpu.ops.pq import encode_with_books
+
+    Ps, pmask = _student(seed=5, n=8, lp=6, d=16)
+    books = train_pq(Ps, pmask, m=4, k=8, seed=1)
+    path = tmp_path / "qat_student.npz"
+    save_compressed_npz(
+        path, docid=np.array([str(i) for i in range(8)], object),
+        documents_obj=tokens_to_object(Ps, pmask),
+        doc_attnmask_obj=None, doc_imgmask_obj=None, meta={},
+        extra={"qat_books": books})
+
+    eng = RetrievalEngine.from_npz(path, dtype="pq", impl="xla")
+    np.testing.assert_allclose(np.asarray(eng.index.books), books,
+                               rtol=1e-6, atol=1e-6)
+
+    want_eng = RetrievalEngine(dtype="pq", impl="xla")
+    want_eng.build_from_pq(encode_with_books(Ps, books, pmask), books, pmask)
+    rng = np.random.default_rng(0)
+    Q = rng.normal(size=(3, 4, 16)).astype(np.float32)
+    qm = np.ones((3, 4), bool)
+    got_v, got_i = eng.search_dense(Q, qm, k=4)
+    want_v, want_i = want_eng.search_dense(Q, qm, k=4)
+    np.testing.assert_array_equal(got_i, want_i)
+    np.testing.assert_allclose(got_v, want_v, rtol=1e-5, atol=1e-5)
