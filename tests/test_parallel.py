@@ -711,3 +711,30 @@ def test_sharded_topk_agrees_with_maxsim_on_empty_doc():
         assert set(ids[q].tolist()) == set(range(nd))
         assert 2 in ids[q].tolist()  # the empty doc is present, score 0
         assert vals[q][list(ids[q]).index(2)] == 0.0
+
+
+def test_mesh_training_with_qat_evaluates_serving_form(tmp_path):
+    """--mesh_docs with --qat int8: the doc-sharded harness runs end to end
+    and its eval metrics equal the SINGLE-DEVICE qat run's (both score the
+    serving reconstruction; per-token qdq is doc-independent)."""
+    from evdr_tpu.data.synthetic import write_dataset_fixture
+    from evdr_tpu.train.config import TrainConfig
+    from evdr_tpu.train.harness import run_training
+
+    root = tmp_path / "data"
+    root.mkdir()
+    write_dataset_fixture(root, key="synth", n_docs=21, n_test_queries=8,
+                          n_train_queries=32, dim=32, mfs=(5,), seed=0,
+                          init_noise=2.5)
+    base = dict(datasets=["synth"], query_root=str(root),
+                teacher_root=str(root), init_root=str(root / "S3E_init"),
+                mfs=[5], out_root=str(tmp_path / "out"),
+                eval_every=8, print_every=0, q_batch=8, loss="liscore",
+                k=6, temp=0.1, chunk_p=8, qat="int8", max_steps=8)
+    r_mesh = run_training(TrainConfig(**base, name="qm", mesh_docs=8))
+    r_one = run_training(TrainConfig(**base, name="q1"))
+    bm = r_mesh["synth/mf5"]["summary/best_ndcg5"]
+    b1 = r_one["synth/mf5"]["summary/best_ndcg5"]
+    assert bm["step"] == b1["step"]
+    np.testing.assert_allclose(bm["NDCG@5"], b1["NDCG@5"], atol=1e-5)
+    np.testing.assert_allclose(bm["Recall@1"], b1["Recall@1"], atol=1e-5)
