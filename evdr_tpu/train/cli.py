@@ -103,6 +103,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--qat_pq_m", type=int, default=defaults.qat_pq_m,
                    help="subvector count for --qat pq codebooks; must match "
                         "the serving/export pq_m")
+    p.add_argument("--qat_start_frac", type=float,
+                   default=defaults.qat_start_frac,
+                   help="QAT fine-tune phase: train the first frac of steps "
+                        "WITHOUT the STE pass (same trajectory as --qat "
+                        "none under the same seed), then adapt to the "
+                        "serving grid; 0 = STE from step 0")
     p.add_argument("--mesh_docs", type=int, default=defaults.mesh_docs,
                    help="shard the doc axis over an N-device mesh (multi-chip "
                         "training; 0/1 = single device)")

@@ -112,6 +112,13 @@ class TrainConfig:
     # index will be served/exported with (engine pq_m / convert_packed
     # --pq_m), or training targets the wrong quantization grid
     qat_pq_m: int = 16
+    # QAT as a FINE-TUNE phase: the first frac*max_steps train WITHOUT the
+    # STE pass (an identical trajectory to a qat='none' run under the same
+    # seed — quantization noise in every training score from step 0
+    # measurably DEGRADES the student, RESULTS.md round-4 QAT study), then
+    # the tail adapts to the serving grid. Serving-form eval/selection
+    # applies for the whole run either way. 0.0 = STE from step 0.
+    qat_start_frac: float = 0.0
     resume: bool = False
     # multi-device training: shard the student/teacher doc axis over an
     # N-device mesh (global-softmax losses via XLA collectives,
@@ -154,6 +161,9 @@ class TrainConfig:
             raise ValueError("qat='pq' is single-device for now (the "
                              "codebook arg is not threaded through the "
                              "sharded step); int8/int4 QAT shard fine")
+        if not 0.0 <= self.qat_start_frac < 1.0:
+            raise ValueError(
+                f"qat_start_frac must be in [0, 1), got {self.qat_start_frac}")
         if self.checkpoint_backend == "orbax":
             # fail fast at config time, not at the first mid-training save
             import importlib.util

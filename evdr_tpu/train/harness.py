@@ -1124,6 +1124,7 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
         # index, not the discarded init
         last_metrics = eval_now(step0)
 
+    step_phase1 = None  # QAT fine-tune phase-1 (no-STE) step, if any
     if mesh is not None:
         from evdr_tpu.parallel import build_sharded_train_step
 
@@ -1134,11 +1135,28 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
             pmask_teacher=teacher_sh.pmask, n_docs=n_docs,
             Q_all=Q_train_r, qm_all=qm_train_r, sct_all=sct_train_sh,
             pos_all=pos_train_r, optimizer=optimizer)
+        if cfg.qat != "none" and cfg.qat_start_frac > 0:
+            import dataclasses as _dc
+
+            step_phase1, _ = build_sharded_train_step(
+                _dc.replace(cfg, qat="none"), mesh,
+                pmask_student=pmask_student, P_teacher=teacher_sh.P,
+                pmask_teacher=teacher_sh.pmask, n_docs=n_docs,
+                Q_all=Q_train_r, qm_all=qm_train_r, sct_all=sct_train_sh,
+                pos_all=pos_train_r, optimizer=optimizer)
     else:
         # qat_books (pq) were fit before the step-0 eval; they refresh at
         # every eval via train_step.data (a jit argument — no recompile)
         train_step = build_train_step(cfg, bundle, pmask_student, optimizer,
                                       qat_books=qat_books)
+        if cfg.qat != "none" and cfg.qat_start_frac > 0:
+            # QAT fine-tune phase 1: the plain (no-STE) step — identical
+            # trajectory to a qat='none' run under the same seed
+            import dataclasses as _dc
+
+            step_phase1 = build_train_step(
+                _dc.replace(cfg, qat="none"), bundle, pmask_student,
+                optimizer)
 
     n_train = int(bundle.Q_train.shape[0])
     if cfg.trainer == "iter":
@@ -1187,6 +1205,14 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
         save_every = _snap(save_every)
         checkpoint_every = _snap(checkpoint_every)
         gap_log_every = _snap(gap_log_every)
+    # QAT fine-tune phase boundary: dispatches whose last step is
+    # <= qat_switch run the plain step; the tail runs the STE step. Snapped
+    # to dispatch boundaries so no dispatch straddles the switch.
+    qat_switch = 0
+    if step_phase1 is not None:
+        qat_switch = int(cfg.qat_start_frac * max_steps)
+        if K > 1:
+            qat_switch = -(-qat_switch // K) * K
     if step0:
         if step0 % K:
             # the loop visits step0 + K, step0 + 2K, ...: a misaligned step0
@@ -1211,7 +1237,9 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
             idx = jnp.asarray(next(stream))
         else:
             idx = jnp.asarray(np.stack([next(stream) for _ in range(K)]))
-        param, opt_state, parts = train_step(param, opt_state, idx, rngs.next())
+        fn = (step_phase1 if step_phase1 is not None and step <= qat_switch
+              else train_step)
+        param, opt_state, parts = fn(param, opt_state, idx, rngs.next())
         loss_cum = loss_cum + parts.get("total_loss_sum", parts["total_loss"])
         loss_cnt += K
 

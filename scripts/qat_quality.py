@@ -67,7 +67,8 @@ def _train_missing(a, data_root, out, name, qat):
             name=name, loss=a.loss, temp=0.1, k=40, max_steps=a.max_steps,
             eval_every=a.eval_every, print_every=4096, q_batch=32, lr=1e-3,
             chunk_p=128, steps_per_dispatch=a.steps_per_dispatch, seed=a.seed,
-            qat=qat, qat_pq_m=a.pq_m)
+            qat=qat, qat_pq_m=a.pq_m,
+            qat_start_frac=(a.qat_start_frac if qat != "none" else 0.0))
         run_training(cfg)
     print(json.dumps({"trained": name, "qat": qat, "cells": len(missing),
                       "wall_s": round(time.time() - t0, 1)}), flush=True)
@@ -121,6 +122,10 @@ def main():
     p.add_argument("--eval_every", type=int, default=4096)
     p.add_argument("--steps_per_dispatch", type=int, default=32)
     p.add_argument("--pq_m", type=int, default=16)
+    p.add_argument("--qat_start_frac", type=float, default=0.9,
+                   help="QAT fine-tune phase: first frac of steps train "
+                        "without the STE pass (from-scratch STE measurably "
+                        "degraded the student — RESULTS.md round-4 study)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="/tmp/evdr_qatq")
     p.add_argument("--platform", type=str, default="auto",

@@ -187,3 +187,44 @@ def test_from_npz_serves_qat_pq_student_with_saved_books(tmp_path):
     want_v, want_i = want_eng.search_dense(Q, qm, k=4)
     np.testing.assert_array_equal(got_i, want_i)
     np.testing.assert_allclose(got_v, want_v, rtol=1e-5, atol=1e-5)
+
+
+def test_qat_start_frac_phase1_matches_plain_run(fixture_root, tmp_path):
+    """--qat_start_frac f: the first f*max_steps are EXACTLY a qat='none'
+    trajectory under the same seed (quantization noise from step 0
+    measurably degrades the student — round-4 RESULTS study); the STE pass
+    engages only after the switch."""
+    from evdr_tpu.train.config import TrainConfig
+    from evdr_tpu.train.harness import run_training
+
+    base = dict(datasets=["synth"], query_root=str(fixture_root),
+                teacher_root=str(fixture_root),
+                init_root=str(fixture_root / "S3E_init"),
+                mfs=[5], out_root=str(tmp_path / "results"),
+                max_steps=8, eval_every=4, save_period=4, print_every=0,
+                q_batch=8, loss="liscore", k=6, temp=0.1, chunk_p=8, seed=3)
+    run_training(TrainConfig(**base, name="plain"))
+    run_training(TrainConfig(**base, name="ft", qat="int8",
+                             qat_start_frac=0.5))
+
+    def _student(name, step):
+        p = (tmp_path / "results" / name / "mf5" / "synth"
+             / f"compressed_ep{step}.npz")
+        z = np.load(p, allow_pickle=True)
+        return np.concatenate(  # ragged per-doc token counts
+            [np.asarray(d, np.float32).reshape(-1) for d in z["documents"]])
+
+    # at the switch (step 4 = 0.5*8): identical params
+    np.testing.assert_array_equal(_student("ft", 4), _student("plain", 4))
+    # after the switch the STE step has engaged: trajectories diverge
+    assert not np.array_equal(_student("ft", 8), _student("plain", 8))
+
+
+def test_qat_start_frac_validation():
+    from evdr_tpu.train.config import TrainConfig
+
+    with pytest.raises(ValueError):
+        TrainConfig(datasets=["x"], qat_start_frac=1.0).validate()
+    with pytest.raises(ValueError):
+        TrainConfig(datasets=["x"], qat_start_frac=-0.1).validate()
+    TrainConfig(datasets=["x"], qat="int8", qat_start_frac=0.9).validate()
