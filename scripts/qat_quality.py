@@ -180,12 +180,18 @@ def main():
                 qat_npz = (_student_dir(out, f"qatq_{tier}", mf, ds)
                            / "best_ndcg5.npz")
                 m_qat = _metrics_for(qat_npz, bundle, tier, a.pq_m)
+                # diagnostic: the QAT student's UNQUANTIZED quality — a
+                # large drop here means the STE phase hurt the underlying
+                # student, not just failed to help the tier
+                m_qat_fp = _metrics_for(qat_npz, bundle, "float32", a.pq_m)
                 row = {"dataset": ds, "mf": mf, "tier": tier}
                 for k in ("NDCG@5", "Recall@1"):
                     row[f"base_fp32_{k}"] = round(m_base[k], 5)
                     row[f"posthoc_delta_{k}"] = round(
                         m_posthoc[k] - m_base[k], 5)
                     row[f"qat_delta_{k}"] = round(m_qat[k] - m_base[k], 5)
+                    row[f"qat_fp32_delta_{k}"] = round(
+                        m_qat_fp[k] - m_base[k], 5)
                 rows.append(row)
                 print(json.dumps(row), flush=True)
 
