@@ -84,11 +84,10 @@ def main():
                    help="capture a jax.profiler trace of the baseline "
                         "measurement into DIR")
     p.add_argument("--epilogue", default="sublane",
-                   choices=["auto", "sublane", "tokmajor", "tokmajor_nt",
-                            "tokchain", "tokpre", "f32", "bf16", "f32d",
-                            "reduce", "none"],
                    help="Lq-sum epilogue variant (ops/pallas_maxsim."
-                        "_finish_sum); 'none' = epilogue-free ceiling "
+                        "_finish_sum): auto, sublane, tokmajor, tokmajor_nt,"
+                        " tokchain, tokpre, tokfuse{G}, f32, bf16, f32d,"
+                        " reduce, or 'none' = epilogue-free ceiling "
                         "(wrong results, profiling only)")
     p.add_argument("--small-lp", action="store_true",
                    help="config-5 shape: 250k docs x 16 tokens/page")
