@@ -137,7 +137,10 @@ def tpu_available(retries: int = None, probe_timeout: int = 240,
         time.sleep(sleep_s)
 
 
-_LAST_QPS_FILE = pathlib.Path("/tmp/evdr_last_tpu_qps.json")
+# In-repo, NOT /tmp: the 8/19 machine restart wiped /tmp, and this file is
+# the outage fallback's freshest source — it must survive restarts.
+_LAST_QPS_FILE = (pathlib.Path(__file__).resolve().parent
+                  / "bench_artifacts" / "last_tpu_qps.json")
 
 
 def last_known_tpu_qps():
