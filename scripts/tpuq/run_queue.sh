@@ -15,8 +15,12 @@ JOBS="${1:-scripts/tpuq/jobs.txt}"
 
 say() { echo "[$(date -u +%H:%M:%S)] $*" | tee -a "$LOG"; }
 
+# A healthy probe completes in <10s (tunnel RTT ~30ms, small program); a
+# down tunnel HANGS in backend init (~5 min before raising UNAVAILABLE), so
+# a short timeout is the down-detector. 90s leaves headroom for a cold
+# backend setup on a fresh up-window.
 probe() {
-  timeout 240 python -c "
+  timeout 90 python -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((256,256), jnp.bfloat16)
 assert float(jnp.sum(x@x)) > 0" >/dev/null 2>&1
@@ -26,9 +30,9 @@ wait_tpu() {
   local tries=0
   while ! probe; do
     tries=$((tries+1))
-    say "tpu DOWN (probe $tries); sleeping 60s"
-    if [ "$tries" -ge 30 ]; then return 1; fi
-    sleep 60
+    say "tpu DOWN (probe $tries); sleeping 45s"
+    if [ "$tries" -ge 90 ]; then return 1; fi
+    sleep 45
   done
   return 0
 }
