@@ -181,10 +181,10 @@ def measure_tpu_qps():
     """Returns (int8-serving q/s, bf16 q/s)."""
     import jax
 
-    try:  # persistent compilation cache: repeat runs skip the 1-2 min compile
-        jax.config.update("jax_compilation_cache_dir", "/tmp/evdr_jax_cache")
-    except Exception:
-        pass
+    # persistent compilation cache: repeat runs skip the 1-2 min compile
+    from evdr_tpu.utils.timing import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from evdr_tpu.ops.maxsim import maxsim_xla

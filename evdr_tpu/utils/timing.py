@@ -12,13 +12,21 @@ from typing import Dict
 import jax
 
 
-def enable_persistent_cache(path: str = "/tmp/evdr_jax_cache") -> None:
+def enable_persistent_cache(path: str | None = None) -> None:
     """Turn on JAX's persistent compilation cache (best effort).
 
     TPU compiles through the remote tunnel take 1-3 minutes; the cache makes
     repeat invocations (bench reruns, CLI restarts, resumed training) free.
+    Default location is DURABLE (~/.cache, not /tmp): the 8/19 machine
+    restart wiped /tmp and turned every queued benchmark retry into a cold
+    compile. Override with EVDR_JAX_CACHE.
     """
     try:
+        if path is None:
+            path = os.environ.get(
+                "EVDR_JAX_CACHE",
+                os.path.join(os.path.expanduser("~"), ".cache",
+                             "evdr_jax_cache"))
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
