@@ -759,6 +759,19 @@ def maxsim_pallas_int8full(Q, P_i8, scales, qmask, pmask,
     Q_i8 = jnp.clip(jnp.round(Q.astype(jnp.float32) / safe[..., None]),
                     -127, 127).astype(jnp.int8)
     q_weight = qmask.astype(jnp.float32) * sq
+    if max_tlp is None and epilogue == "auto":
+        # long-doc auto policy (int8 dot only — measured): splitting Lp so
+        # db becomes a multiple of 8 unlocks the token-major epilogue.
+        # v5e at Lp=768 (256q x 32t): tlp=384/db=8 tokmajor 169.9 vs
+        # tlp=768/db=4 sublane ~153 TFLOP/s (tpuq tlp384_i8f, 8/19). The
+        # bf16 dot LOSES from the same split (127 vs 146) — policy is
+        # deliberately scoped to this driver.
+        qb_n, _, db_n, tlp_n = _pick_tiles(qmask.shape[-1], pmask.shape[-1],
+                                           target_rows, target_cols,
+                                           nq=Q.shape[0])
+        if (tlp_n > 384 and db_n % 8 != 0 and qb_n % 128 == 0
+                and (target_cols // 384) % 8 == 0):
+            max_tlp = 384
     return _maxsim_int8_impl(Q_i8, q_weight, P_i8, scales, pmask,
                              compute_dtype=jnp.int8, interpret=interpret,
                              target_rows=target_rows, target_cols=target_cols,

@@ -331,25 +331,32 @@ def decode_pq(codes, books, expanded: bool = False) -> np.ndarray:
     return gathered.reshape(*codes.shape[:2], m * w)      # concat subspaces
 
 
-def _pq_chunk(lut, qmask_f, codes_c, pmc):
-    """Score one doc chunk from the LUT: (B,Lq,M,K)x(C,Lp,M) -> (B,C).
+def _pq_chunk(lut, qmask_f, codes_mc, pmc):
+    """Score one doc chunk from the LUT: (B,Lq,M,K)x(M,C*Lp) -> (B,C).
 
     sim[b,c,l,p] = sum_m lut[b,l,m,codes[c,p,m]] — M gathers along the
-    K=256 axis (unrolled: M is small and static), accumulated in f32."""
+    K=256 axis (unrolled: M is small and static), accumulated in f32.
+
+    Codes arrive SUBSPACE-major (M leading, tokens minor): with the big
+    token axis on lanes the u8 chunk tiles with NO padding. The earlier
+    (C, Lp, M) layout lane-padded M=16 by 8x — a 496 MB HBM copy at 250k
+    docs that, next to the gather transients, OOM'd the 16 GB chip
+    (bench_artifacts/tpuq/bench_pq.out, 8/19). The reduction runs max ->
+    weight -> sum directly on the (B, Lq, C, Lp) view; the old per-chunk
+    transpose to (B, C, Lq, Lp) doubled the peak transient."""
     b, lq, m, k = lut.shape
-    c, lp, _ = codes_c.shape
-    flat = codes_c.reshape(c * lp, m)
-    sim = jnp.zeros((b, lq, c * lp), jnp.float32)
+    c_lp = codes_mc.shape[-1]
+    c, lp = pmc.shape
+    sim = jnp.zeros((b, lq, c_lp), jnp.float32)
     for j in range(m):
         # (B, Lq, K) gathered at (C*Lp,) positions -> (B, Lq, C*Lp)
-        sim = sim + jnp.take(lut[:, :, j], flat[:, j].astype(jnp.int32),
+        sim = sim + jnp.take(lut[:, :, j], codes_mc[j].astype(jnp.int32),
                              axis=-1)
-    sim = sim.reshape(b, lq, c, lp).transpose(0, 2, 1, 3)  # (B, C, Lq, Lp)
-    sim = jnp.where(pmc[None, :, None, :], sim, NEG_FILL)
-    mx = jnp.max(sim, axis=-1)
-    mx = mx * jnp.any(pmc, axis=-1)[None, :, None].astype(mx.dtype)
-    mx = mx * qmask_f[:, None, :]
-    return jnp.sum(mx, axis=-1)
+    sim = jnp.where(pmc[None, None], sim.reshape(b, lq, c, lp), NEG_FILL)
+    mx = jnp.max(sim, axis=-1)                                 # (B, Lq, C)
+    mx = mx * jnp.any(pmc, axis=-1)[None, None, :].astype(mx.dtype)
+    mx = mx * qmask_f[:, :, None]
+    return jnp.sum(mx, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_p",))
@@ -382,20 +389,27 @@ def maxsim_pq_xla(Q, codes, qmask, pmask, books, chunk_p: int = 128):
                          books.astype(jnp.float32),
                          preferred_element_type=jnp.float32)
 
-    pn = codes.shape[0]
-    chunk_p = min(chunk_p, pn)
+    pn, lp = pmask.shape
+    # clamp the doc chunk so the per-chunk (B, Lq, C*Lp) f32 sim transient
+    # stays under ~128 MB regardless of the caller's chunk_p (the gather
+    # fusions materialize remat clones of it; 4096-doc chunks at B=64 built
+    # four 1 GB clones and OOM'd — bench_artifacts/tpuq/bench_pq.out)
+    budget_elems = (128 << 20) // 4
+    chunk_cap = max(1, budget_elems // max(1, b * lq * lp))
+    chunk_p = min(chunk_p, chunk_cap, pn)
     n_chunks = -(-pn // chunk_p)
     pad = n_chunks * chunk_p - pn
     if pad:
         codes = jnp.pad(codes, ((0, pad), (0, 0), (0, 0)))
         pmask = jnp.pad(pmask, ((0, pad), (0, 0)))
-    cc = codes.reshape(n_chunks, chunk_p, *codes.shape[1:])
-    pmc = pmask.reshape(n_chunks, chunk_p, pmask.shape[1])
+    # subspace-major flat codes: (M, n_chunks, C*Lp) — see _pq_chunk
+    cm = codes.transpose(2, 0, 1).reshape(m, n_chunks, chunk_p * lp)
+    pmc = pmask.reshape(n_chunks, chunk_p, lp)
 
     if n_chunks == 1:
-        out = _pq_chunk(lut, qmask_f, cc[0], pmc[0])[:, None, :]
+        out = _pq_chunk(lut, qmask_f, cm[:, 0], pmc[0])[:, None, :]
     else:
         out = jax.lax.map(lambda args: _pq_chunk(lut, qmask_f, *args),
-                          (cc, pmc))
+                          (cm.transpose(1, 0, 2), pmc))
         out = jnp.transpose(out, (1, 0, 2))
     return out.reshape(b, n_chunks * chunk_p)[:, :pn]

@@ -1,7 +1,7 @@
 """PQ serving-path benchmark: throughput + index bytes vs int8/bf16.
 
-Measures exact top-10 retrieval over a synthetic corpus for three index
-tiers at the same (N, Lp) shape, with the honest remote protocol (distinct
+Measures exact top-10 retrieval over a synthetic corpus for the index-tier
+ladder at the same (N, Lp) shape, with the honest remote protocol (distinct
 inputs, K chained applications in one jit, forced fetch — CLAUDE.md):
 
 - bf16 tokens + fused Pallas kernel      (2 D bytes/token)
@@ -12,12 +12,18 @@ inputs, K chained applications in one jit, forced fetch — CLAUDE.md):
 PQ trades MXU-kernel throughput for an 8x (at D=128, M=16) smaller index —
 the pages-per-chip lever. Run: python scripts/bench_pq.py
 [--n_docs 250000 --lp 16 --batch 64 --pq_m 16]
+
+RESUMABLE per tier: each completed section is checkpointed to --state
+(bench_artifacts/tpuq/pq_state.json) keyed by the shape, so a tunnel flap
+mid-run (the ~7-minute up-windows) only costs the tier in flight. A rerun
+skips finished tiers and prints the combined JSON when all are present.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import pathlib
 import sys
 import time
@@ -48,6 +54,29 @@ def timed_qps(fn, args, nq: int, K: int = 3, reps: int = 3) -> float:
     return nq * K / best
 
 
+def _load_state(path: str, key: str) -> dict:
+    try:
+        with open(path) as f:
+            all_state = json.load(f)
+        return all_state.get(key, {})
+    except Exception:
+        return {}
+
+
+def _save_state(path: str, key: str, state: dict) -> None:
+    try:
+        with open(path) as f:
+            all_state = json.load(f)
+    except Exception:
+        all_state = {}
+    all_state[key] = state
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(all_state, f, indent=1)
+    os.replace(tmp, path)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n_docs", type=int, default=250_000)
@@ -58,9 +87,19 @@ def main():
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--pq_m", type=int, default=16)
     p.add_argument("--chunk_p", type=int, default=4096)
+    p.add_argument("--state", default="bench_artifacts/tpuq/pq_state.json")
+    p.add_argument("--fresh", action="store_true",
+                   help="ignore the checkpoint and re-measure every tier")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu). JAX_PLATFORMS in "
+                        "the environment is TOO LATE on this machine — "
+                        "sitecustomize preloads jax on the axon backend.")
     a = p.parse_args()
 
     import jax
+
+    if a.platform:
+        jax.config.update("jax_platforms", a.platform)
     import jax.numpy as jnp
 
     from evdr_tpu.ops.pallas_maxsim import maxsim_pallas, maxsim_pallas_int8
@@ -70,6 +109,23 @@ def main():
 
     enable_persistent_cache()
     rng = np.random.default_rng(0)
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    key = (f"{jax.default_backend()}:{a.n_docs}x{a.lp}x{a.d}"
+           f"_b{a.batch}q{a.lq}_m{a.pq_m}")
+    results = {} if a.fresh else _load_state(a.state, key)
+
+    def done(name):
+        if name in results:
+            print(f"[skip] {name} (checkpointed): "
+                  f"{json.dumps(results[name])}", flush=True)
+            return True
+        return False
+
+    def save(name, val):
+        results[name] = val
+        _save_state(a.state, key, results)
+        print(f"[done] {name}: {json.dumps(val)}", flush=True)
 
     def unit(x):
         return x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
@@ -89,134 +145,153 @@ def main():
     qm = rng.random((a.batch, a.lq)) > 0.15
     Qd, qmd, pmd = map(jnp.asarray, (Q, qm, pm))
 
-    results = {}
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-
     # --- bf16 fused kernel / xla fallback
-    Pd = jnp.asarray(P)
-    if on_tpu:
-        def f_bf16(q, m, P_, pm_):
-            sc = maxsim_pallas(q, P_, m, pm_)
-            return jax.lax.top_k(sc, a.k)
-    else:
-        from evdr_tpu.ops.maxsim import maxsim_xla
+    if not done("bf16"):
+        Pd = jnp.asarray(P)
+        if on_tpu:
+            def f_bf16(q, m, P_, pm_):
+                sc = maxsim_pallas(q, P_, m, pm_)
+                return jax.lax.top_k(sc, a.k)
+        else:
+            from evdr_tpu.ops.maxsim import maxsim_xla
 
-        def f_bf16(q, m, P_, pm_):
-            sc = maxsim_xla(q, P_, m, pm_, chunk_p=1024)
-            return jax.lax.top_k(sc, a.k)
-    results["bf16"] = {
-        "qps": timed_qps(lambda q, m, P_, pm_: f_bf16(q, m, P_, pm_),
-                         (Qd, qmd, Pd, pmd), a.batch),
-        "index_bytes": int(a.n_docs * a.lp * a.d * 2)}
-    del Pd
+            def f_bf16(q, m, P_, pm_):
+                sc = maxsim_xla(q, P_, m, pm_, chunk_p=1024)
+                return jax.lax.top_k(sc, a.k)
+        save("bf16", {
+            "qps": timed_qps(lambda q, m, P_, pm_: f_bf16(q, m, P_, pm_),
+                             (Qd, qmd, Pd, pmd), a.batch),
+            "index_bytes": int(a.n_docs * a.lp * a.d * 2)})
+        del Pd
 
     # --- int8 index
-    codes, scales = quantize_tokens_int8(P, pm)
-    Cd, Sd = jnp.asarray(codes), jnp.asarray(scales)
-    if on_tpu:
+    if on_tpu and not done("int8"):
+        codes, scales = quantize_tokens_int8(P, pm)
+        Cd, Sd = jnp.asarray(codes), jnp.asarray(scales)
+
         def f_i8(q, m, C_, S_, pm_):
             sc = maxsim_pallas_int8(q, C_, S_, m, pm_)
             return jax.lax.top_k(sc, a.k)
 
-        results["int8"] = {
+        save("int8", {
             "qps": timed_qps(lambda q, m, *r: f_i8(q, m, *r),
                              (Qd, qmd, Cd, Sd, pmd), a.batch),
-            "index_bytes": int(a.n_docs * a.lp * (a.d + 4))}
-    del Cd, Sd
+            "index_bytes": int(a.n_docs * a.lp * (a.d + 4))})
+        del Cd, Sd
 
     # --- int4 packed index (capacity rung between int8 and PQ): Pallas
     # in-VMEM unpack kernel on TPU, chunked unpack + matmul elsewhere
     from evdr_tpu.ops.int4 import maxsim_int4_xla, quantize_tokens_int4
 
-    packed4, scales4 = quantize_tokens_int4(P, pm)
-    C4d, S4d = jnp.asarray(packed4), jnp.asarray(scales4)
+    if not done("int4"):
+        packed4, scales4 = quantize_tokens_int4(P, pm)
+        C4d, S4d = jnp.asarray(packed4), jnp.asarray(scales4)
 
-    if on_tpu:
-        from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int4
+        if on_tpu:
+            from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int4
 
-        def f_i4(q, m, C_, S_, pm_):
-            sc = maxsim_pallas_int4(q, C_, S_, m, pm_, target_rows=2048)
-            return jax.lax.top_k(sc, a.k)
-    else:
-        def f_i4(q, m, C_, S_, pm_):
-            sc = maxsim_int4_xla(q, C_, S_, m, pm_, chunk_p=a.chunk_p)
-            return jax.lax.top_k(sc, a.k)
+            def f_i4(q, m, C_, S_, pm_):
+                sc = maxsim_pallas_int4(q, C_, S_, m, pm_,
+                                        target_rows=2048)
+                return jax.lax.top_k(sc, a.k)
+        else:
+            def f_i4(q, m, C_, S_, pm_):
+                sc = maxsim_int4_xla(q, C_, S_, m, pm_, chunk_p=a.chunk_p)
+                return jax.lax.top_k(sc, a.k)
 
-    results["int4"] = {
-        "qps": timed_qps(lambda q, m, *r: f_i4(q, m, *r),
-                         (Qd, qmd, C4d, S4d, pmd), a.batch),
-        "index_bytes": int(a.n_docs * a.lp * (a.d // 2 + 4))}
-    del C4d, S4d
+        save("int4", {
+            "qps": timed_qps(lambda q, m, *r: f_i4(q, m, *r),
+                             (Qd, qmd, C4d, S4d, pmd), a.batch),
+            "index_bytes": int(a.n_docs * a.lp * (a.d // 2 + 4))})
+        del C4d, S4d
 
-    # --- PQ (encode timed: host numpy vs accelerator — the O(corpus)
+    # --- PQ books (needed by every remaining section; kmeans is seeded so
+    # reruns reproduce the same books)
+    need_pq = any(s not in results
+                  for s in ("pq_encode", "pq", "opq", "quality"))
+    if need_pq:
+        books = train_pq(P, pm, m=a.pq_m)
+
+    # --- PQ encode (timed: host numpy vs accelerator — the O(corpus)
     # index-build step; engine.build auto-routes to the device past 2M
     # tokens)
-    from evdr_tpu.ops.pq import encode_pq_device
+    if not done("pq_encode"):
+        from evdr_tpu.ops.pq import encode_pq_device
 
-    books = train_pq(P, pm, m=a.pq_m)
-    n_tok = a.n_docs * a.lp
-    t0 = time.perf_counter()
-    pq_codes = encode_pq(P, books, pm)
-    t_host = time.perf_counter() - t0
-    # warm/compile at the EXACT chunk shape the timed run uses: chunk
-    # must be a token count both runs share (262144 is not a multiple of
-    # every lp — a mismatched tail shape would put a 40s-3min tunnel
-    # compile inside t_dev)
-    nw = min(a.n_docs, max(1, 262_144 // a.lp))
-    chunk = nw * a.lp
-    encode_pq_device(P[:nw], books, pm[:nw], chunk_tokens=chunk)
-    t0 = time.perf_counter()
-    pq_codes_dev = encode_pq_device(P, books, pm, chunk_tokens=chunk)
-    t_dev = time.perf_counter() - t0
-    results["pq_encode"] = {
-        "host_tok_per_s": round(n_tok / t_host),
-        "device_tok_per_s": round(n_tok / t_dev),
-        "agree": float(np.mean(pq_codes == pq_codes_dev))}
-    del pq_codes_dev
-    PQd, Bd = jnp.asarray(pq_codes), jnp.asarray(books)
+        n_tok = a.n_docs * a.lp
+        t0 = time.perf_counter()
+        pq_codes = encode_pq(P, books, pm)
+        t_host = time.perf_counter() - t0
+        # warm/compile at the EXACT chunk shape the timed run uses: chunk
+        # must be a token count both runs share (262144 is not a multiple
+        # of every lp — a mismatched tail shape would put a 40s-3min
+        # tunnel compile inside t_dev)
+        nw = min(a.n_docs, max(1, 262_144 // a.lp))
+        chunk = nw * a.lp
+        encode_pq_device(P[:nw], books, pm[:nw], chunk_tokens=chunk)
+        t0 = time.perf_counter()
+        pq_codes_dev = encode_pq_device(P, books, pm, chunk_tokens=chunk)
+        t_dev = time.perf_counter() - t0
+        save("pq_encode", {
+            "host_tok_per_s": round(n_tok / t_host),
+            "device_tok_per_s": round(n_tok / t_dev),
+            "agree": float(np.mean(pq_codes == pq_codes_dev))})
+        del pq_codes_dev, pq_codes
 
     def f_pq(q, m, C_, pm_, B_):
         sc = maxsim_pq_xla(q, C_, m, pm_, B_, chunk_p=a.chunk_p)
         return jax.lax.top_k(sc, a.k)
 
-    results["pq"] = {
-        "qps": timed_qps(lambda q, m, *r: f_pq(q, m, *r),
-                         (Qd, qmd, PQd, pmd, Bd), a.batch),
-        "index_bytes": int(a.n_docs * a.lp * a.pq_m)}
-    del PQd, Bd
+    if not done("pq"):
+        pq_codes = encode_pq(P, books, pm)
+        PQd, Bd = jnp.asarray(pq_codes), jnp.asarray(books)
+        save("pq", {
+            "qps": timed_qps(lambda q, m, *r: f_pq(q, m, *r),
+                             (Qd, qmd, PQd, pmd, Bd), a.batch),
+            "index_bytes": int(a.n_docs * a.lp * a.pq_m)})
+        del PQd, Bd, pq_codes
 
     # --- OPQ (same bytes; expanded (M, K, D) books -> a D-wide LUT einsum,
     # the only serving-cost difference vs plain PQ)
     from evdr_tpu.ops.pq import expand_books, train_opq
 
-    obooks, rot = train_opq(P, pm, m=a.pq_m)
-    opq_codes = encode_pq(P, obooks, pm, rot=rot)
-    ebooks = expand_books(obooks, rot)
-    OQd, EBd = jnp.asarray(opq_codes), jnp.asarray(ebooks)
-    results["opq"] = {
-        "qps": timed_qps(lambda q, m, *r: f_pq(q, m, *r),
-                         (Qd, qmd, OQd, pmd, EBd), a.batch),
-        "index_bytes": int(a.n_docs * a.lp * a.pq_m)}
-    del OQd, EBd
+    if not done("opq"):
+        obooks, rot = train_opq(P, pm, m=a.pq_m)
+        opq_codes = encode_pq(P, obooks, pm, rot=rot)
+        ebooks = expand_books(obooks, rot)
+        OQd, EBd = jnp.asarray(opq_codes), jnp.asarray(ebooks)
+        save("opq", {
+            "qps": timed_qps(lambda q, m, *r: f_pq(q, m, *r),
+                             (Qd, qmd, OQd, pmd, EBd), a.batch),
+            "index_bytes": int(a.n_docs * a.lp * a.pq_m)})
+        del OQd, EBd, opq_codes
 
-    # quality: top-1 agreement vs the bf16 path on a small exact slice
-    from evdr_tpu.ops.maxsim import maxsim_numpy
-    from evdr_tpu.ops.pq import decode_pq
+    # quality: top-1 agreement vs the exact fp32 path on a small slice
+    # (encodes only the slice; scoring runs on the current backend)
+    if not done("quality"):
+        from evdr_tpu.ops.maxsim import maxsim_numpy
+        from evdr_tpu.ops.pq import expand_books, train_opq
 
-    ns = min(a.n_docs, 20_000)
-    ex = maxsim_numpy(Q[:16], P[:ns], qm[:16], pm[:ns])
-    pq_sc = np.asarray(maxsim_pq_xla(Q[:16], pq_codes[:ns], qm[:16],
-                                     pm[:ns], books, chunk_p=2048))
-    results["pq"]["top1_vs_exact"] = float(
-        np.mean(np.argmax(pq_sc, 1) == np.argmax(ex, 1)))
-    opq_sc = np.asarray(maxsim_pq_xla(Q[:16], opq_codes[:ns], qm[:16],
-                                      pm[:ns], ebooks, chunk_p=2048))
-    results["opq"]["top1_vs_exact"] = float(
-        np.mean(np.argmax(opq_sc, 1) == np.argmax(ex, 1)))
-    i4_sc = np.asarray(maxsim_int4_xla(Q[:16], packed4[:ns], scales4[:ns],
-                                       qm[:16], pm[:ns], chunk_p=2048))
-    results["int4"]["top1_vs_exact"] = float(
-        np.mean(np.argmax(i4_sc, 1) == np.argmax(ex, 1)))
+        ns = min(a.n_docs, 20_000)
+        ex = maxsim_numpy(Q[:16], P[:ns], qm[:16], pm[:ns])
+        pq_sl = encode_pq(P[:ns], books, pm[:ns])
+        pq_sc = np.asarray(maxsim_pq_xla(Q[:16], pq_sl, qm[:16],
+                                         pm[:ns], books, chunk_p=2048))
+        obooks, rot = train_opq(P, pm, m=a.pq_m)
+        opq_sl = encode_pq(P[:ns], obooks, pm[:ns], rot=rot)
+        ebooks = expand_books(obooks, rot)
+        opq_sc = np.asarray(maxsim_pq_xla(Q[:16], opq_sl, qm[:16],
+                                          pm[:ns], ebooks, chunk_p=2048))
+        packed4, scales4 = quantize_tokens_int4(P[:ns], pm[:ns])
+        i4_sc = np.asarray(maxsim_int4_xla(Q[:16], packed4, scales4,
+                                           qm[:16], pm[:ns], chunk_p=2048))
+        save("quality", {
+            "pq_top1_vs_exact": float(
+                np.mean(np.argmax(pq_sc, 1) == np.argmax(ex, 1))),
+            "opq_top1_vs_exact": float(
+                np.mean(np.argmax(opq_sc, 1) == np.argmax(ex, 1))),
+            "int4_top1_vs_exact": float(
+                np.mean(np.argmax(i4_sc, 1) == np.argmax(ex, 1)))})
 
     print(json.dumps({"backend": jax.default_backend(),
                       "shape": [a.n_docs, a.lp, a.d, a.batch],

@@ -16,6 +16,7 @@ Run on the TPU:  python scripts/bench_suite.py [--configs 1 2 5]
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import pathlib
 import sys
@@ -275,19 +276,33 @@ def config5_million_pages(n_pages: int = 1_000_000, tokens: int = 16, d: int = 1
                           scales=shard_docs(scales, mesh))
 
     # packed-int4 variant (ops/int4.py token-pair layout, quantized/packed
-    # ON DEVICE): quarter of bf16's HBM stream — 1.1 GB index for 1M pages
-    @jax.jit
-    def quant4(P):
-        a = jnp.max(jnp.abs(P.astype(jnp.float32)), axis=-1)
-        s = a / 7.0
-        safe = jnp.where(s > 0, s, 1.0)
-        q = jnp.clip(jnp.round(P.astype(jnp.float32) / safe[..., None]),
-                     -7, 7).astype(jnp.int32)
-        if q.shape[1] % 2:  # odd token count: zero pad token (inert)
-            q = jnp.pad(q, ((0, 0), (0, 1), (0, 0)))
-        lo = q[:, 0::2] & 15
-        hi = q[:, 1::2] & 15
-        return (lo | (hi << 4)).astype(jnp.uint8), s.astype(jnp.float32)
+    # ON DEVICE): quarter of bf16's HBM stream — 1.1 GB index for 1M pages.
+    # CHUNKED via lax.map: the unchunked form's int32 intermediates are 2x
+    # the f32 corpus (8 GB at 1M pages) and HBM-OOM'd on the 16 GB chip
+    # (bench_artifacts/tpuq/config5.out, 8/19).
+    @functools.partial(jax.jit, static_argnames=("chunk",))
+    def quant4(P, chunk: int = 31_250):
+        n = P.shape[0]
+        nc = -(-n // chunk)
+        pad = nc * chunk - n
+        Pp = jnp.pad(P, ((0, pad), (0, 0), (0, 0))) if pad else P
+        Pc = Pp.reshape(nc, chunk, *P.shape[1:])
+
+        def one(Pb):
+            a = jnp.max(jnp.abs(Pb.astype(jnp.float32)), axis=-1)
+            s = a / 7.0
+            safe = jnp.where(s > 0, s, 1.0)
+            q = jnp.clip(jnp.round(Pb.astype(jnp.float32) / safe[..., None]),
+                         -7, 7).astype(jnp.int32)
+            if q.shape[1] % 2:  # odd token count: zero pad token (inert)
+                q = jnp.pad(q, ((0, 0), (0, 1), (0, 0)))
+            lo = q[:, 0::2] & 15
+            hi = q[:, 1::2] & 15
+            return (lo | (hi << 4)).astype(jnp.uint8), s.astype(jnp.float32)
+
+        codes, s = jax.lax.map(one, Pc)
+        codes = codes.reshape(nc * chunk, *codes.shape[2:])[:n]
+        return codes, s.reshape(nc * chunk, *s.shape[2:])[:n]
 
     codes4, scales4 = quant4(Pdev)
     index4 = ShardedIndex(P=shard_docs(codes4, mesh),

@@ -102,6 +102,11 @@ def main():
                    help="cap the lp-tile so long docs split Lp across "
                         "contraction steps (e.g. 384 at Lp=768 -> db=8, "
                         "enabling the token-major epilogue)")
+    p.add_argument("--target-rows", type=int, default=None,
+                   help="baseline tile rows (QB*Lq budget); default = the "
+                        "kernel's own default")
+    p.add_argument("--target-cols", type=int, default=None,
+                   help="baseline tile cols (DB*TLP budget)")
     a = p.parse_args()
 
     global ND, LP
@@ -153,11 +158,28 @@ def main():
         fwd = functools.partial(_maxsim_pallas_fwd, epilogue=a.epilogue,
                                 max_tlp=a.max_tlp)
 
-    with trace_ctx(a.trace):
-        base = timed_tflops(
-            lambda q, p_, qm_, pm_: fwd(q, p_, qm_, pm_),
-            Qd, Pd, qmd, pmd)
-    print(f"baseline (epilogue={a.epilogue}): {base:.1f} TFLOP/s", flush=True)
+    tile_kw = {}
+    if a.target_rows is not None:
+        tile_kw["target_rows"] = a.target_rows
+    if a.target_cols is not None:
+        tile_kw["target_cols"] = a.target_cols
+    fwd_base = functools.partial(fwd, **tile_kw) if tile_kw else fwd
+
+    # A failing baseline (VMEM overflow at this tiling) must not kill the
+    # sweep: the sweep exists precisely to find tilings that DO compile
+    # (the int4 small-Lp auto tiling scope-OOMs — bench_artifacts/tpuq).
+    try:
+        with trace_ctx(a.trace):
+            base = timed_tflops(
+                lambda q, p_, qm_, pm_: fwd_base(q, p_, qm_, pm_),
+                Qd, Pd, qmd, pmd)
+        print(f"baseline (epilogue={a.epilogue}{', ' + str(tile_kw) if tile_kw else ''}):"
+              f" {base:.1f} TFLOP/s", flush=True)
+    except Exception as e:
+        print(f"baseline (epilogue={a.epilogue}): FAIL {type(e).__name__}: "
+              f"{str(e)[:300]}", flush=True)
+        if not a.sweep:
+            raise
 
     if a.sweep:
         results = []

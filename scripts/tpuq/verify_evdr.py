@@ -38,7 +38,9 @@ def main():
 
     if os.environ.get("VERIFY_PLATFORM"):  # jax preloads axon; env is too late
         jax.config.update("jax_platforms", os.environ["VERIFY_PLATFORM"])
-    jax.config.update("jax_compilation_cache_dir", "/tmp/evdr_jax_cache")
+    from evdr_tpu.utils.timing import enable_persistent_cache
+
+    enable_persistent_cache()
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
     # CPU smoke mode: pallas only runs interpreted on CPU, so the kernel
     # checks go through interpret=True and the eval impl through xla —
@@ -209,6 +211,18 @@ def main():
               f"{got1} vs {want1}")
     finally:
         srv.shutdown()
+
+    # --- 12. capacity tiers end-to-end: int4 and PQ engines vs fp32 oracle
+    # (exercises maxsim_pq_xla's subspace-major chunk path and the packed
+    # int4 route through the public engine API)
+    ob1 = ob.argmax(1)
+    for dt, kw, bar in (("int4", {}, 0.95), ("pq", {"pq_m": 16}, 0.85)):
+        engt = RetrievalEngine(dtype=dt, **kw)
+        engt.build(Pb, pmb)
+        _, tidx = engt.search_dense(Qb, qmb, k=1)
+        agree = float((np.asarray(tidx)[:, 0] == ob1).mean())
+        check(f"12 {dt} engine top-1 vs oracle", agree >= bar,
+              f"agree={agree:.2f}")
 
     print(f"\n{len(FAILS)} failures" + (f": {FAILS}" if FAILS else ""),
           flush=True)
