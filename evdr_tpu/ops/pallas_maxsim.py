@@ -694,6 +694,28 @@ def _kernel_int8(qf_ref, qmf_ref, p_ref, sc_ref, out_ref, acc_ref, *, db, tlp,
                      out_dtype)
 
 
+def _int8full_auto_max_tlp(nq, lq, lp, target_rows, target_cols):
+    """Long-doc auto policy (int8 dot only — measured): splitting Lp so db
+    becomes a multiple of 8 unlocks the token-major epilogue. v5e at Lp=768
+    (256q x 32t): tlp=384/db=8 tokmajor 169.9 vs tlp=768/db=4 sublane ~153
+    TFLOP/s (tpuq tlp384_i8f, 8/19). The bf16 dot LOSES from the same split
+    (127 vs 146) and the int8-INDEX (bf16-dot) kernel too (124.5, tpuq
+    tlp384_i8x) — policy is deliberately scoped to the int8full driver.
+
+    Gated on LOW PADDING WASTE: _maxsim_int8_impl pads lp up to a multiple
+    of tlp, so forcing tlp=384 at e.g. Lp=512 would pad to 768 (1.5x MXU
+    work) — the split only engages when the 384-padded lp stays within
+    ~10% of the natural padding (Lp=768 -> 768/768, exactly the probed
+    win; Lp=512 or 400 -> skip)."""
+    qb_n, _, db_n, tlp_n = _pick_tiles(lq, lp, target_rows, target_cols,
+                                       nq=nq)
+    if (tlp_n > 384 and db_n % 8 != 0 and qb_n % 128 == 0
+            and (target_cols // 384) % 8 == 0
+            and _round_up(lp, 384) * 10 <= 11 * _round_up(lp, tlp_n)):
+        return 384
+    return None
+
+
 def _kernel_int8_defer(qf_ref, qmf_ref, p_ref, sc_ref, out_ref, acc_ref,
                        done_ref, *, db, tlp, lq_pad, qb, out_dtype, precision,
                        compute_dtype, n_db):
@@ -760,18 +782,9 @@ def maxsim_pallas_int8full(Q, P_i8, scales, qmask, pmask,
                     -127, 127).astype(jnp.int8)
     q_weight = qmask.astype(jnp.float32) * sq
     if max_tlp is None and epilogue == "auto":
-        # long-doc auto policy (int8 dot only — measured): splitting Lp so
-        # db becomes a multiple of 8 unlocks the token-major epilogue.
-        # v5e at Lp=768 (256q x 32t): tlp=384/db=8 tokmajor 169.9 vs
-        # tlp=768/db=4 sublane ~153 TFLOP/s (tpuq tlp384_i8f, 8/19). The
-        # bf16 dot LOSES from the same split (127 vs 146) — policy is
-        # deliberately scoped to this driver.
-        qb_n, _, db_n, tlp_n = _pick_tiles(qmask.shape[-1], pmask.shape[-1],
-                                           target_rows, target_cols,
-                                           nq=Q.shape[0])
-        if (tlp_n > 384 and db_n % 8 != 0 and qb_n % 128 == 0
-                and (target_cols // 384) % 8 == 0):
-            max_tlp = 384
+        max_tlp = _int8full_auto_max_tlp(Q.shape[0], qmask.shape[-1],
+                                         pmask.shape[-1], target_rows,
+                                         target_cols)
     return _maxsim_int8_impl(Q_i8, q_weight, P_i8, scales, pmask,
                              compute_dtype=jnp.int8, interpret=interpret,
                              target_rows=target_rows, target_cols=target_cols,
@@ -940,6 +953,32 @@ def _maxsim_int8_impl(Q, q_weight, P_i8, scales, pmask,
 # The two scale sentinels ride as separate planes of one prefetched row.
 # ---------------------------------------------------------------------------
 
+# measured-good maximum for one (db*tlp_half, QBL) f32 sim plane at SMALL lp
+# tiles: rows=4096/cols=1536 at qbl=4096 => db=96, 96*8*4096 elems = 12.6 MB
+# (chip: 121.5 full / 134.3 index TFLOP/s — the wave-2 sweep bests), while
+# the cols=3072 default's 25.2 MB plane scope-OOMs remote compile (HTTP 500,
+# bench_artifacts/tpuq/int4_*_smalllp_sweep.out).
+_INT4_PLANE_BUDGET_ELEMS = 96 * 8 * 4096
+
+
+def _clamp_int4_db(db: int, tlp_half: int, qbl: int) -> int:
+    """VMEM legality clamp for the int4 kernel's doc-block size.
+
+    At tiny lp tiles Mosaic materializes a full (db*tlp_half, QBL) f32 sim
+    plane per nibble — the segmented max over tlp_half sublane groups
+    cannot stream it — so library-default tiles exceed the 16 MB scoped-
+    VMEM budget and the TPU compile fails. Long-doc tiles stream fine
+    (tlp_half=384 ran a would-be 25 MB plane at 161.7 TFLOP/s) and are
+    left alone. Clamped db keeps a multiple of 8 when possible so the
+    token-major epilogue stays legal."""
+    if tlp_half >= 128:
+        return db
+    db_max = max(1, _INT4_PLANE_BUDGET_ELEMS // max(1, tlp_half * qbl))
+    if db_max >= 8:
+        db_max -= db_max % 8
+    return min(db, db_max)
+
+
 def _int4_blockmax(qf_ref, p_ref, sc_ref, db, tlp_half, compute_dtype,
                    precision, qrow=None):
     """Masked, dequantized per-doc blockmax (DB, QBL) from one packed tile."""
@@ -1062,6 +1101,7 @@ def _maxsim_int4_impl(Q, q_weight, P_u8, scales, pmask,
                                       nq=nq, max_tlp=max_tlp)
     tlp = max(16, tlp)          # multiples of 16 -> always even
     tlp_half = tlp // 2
+    db = _clamp_int4_db(db, tlp_half, qb * lq_pad)
     epilogue, _ = _resolve_epilogue(epilogue, qb, db, interpret=interpret)
 
     nq_pad = _round_up(max(nq, qb), qb)

@@ -37,15 +37,15 @@ def _local_scores(Q, qmask, P_loc, pm_loc, chunk_p: int, impl: str,
         if impl == "pallas_q8":
             from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int4full
 
-            # serving tiles: same VMEM-safe 2048-row tiling as int8 (the
-            # 4096 default OOMs scoped VMEM on small-Lp corpora)
-            return maxsim_pallas_int4full(Q, P_loc, scales, qmask, pm_loc,
-                                          target_rows=2048)
+            # default tiles: the kernel's small-Lp VMEM clamp
+            # (_clamp_int4_db) makes rows=4096 legal everywhere and lands
+            # on the swept-best config (rows=4096/cols->1536: 121.5 full /
+            # 134.3 index TFLOP/s vs ~106 at the old 2048-row serving tile)
+            return maxsim_pallas_int4full(Q, P_loc, scales, qmask, pm_loc)
         if impl == "pallas":
             from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int4
 
-            return maxsim_pallas_int4(Q, P_loc, scales, qmask, pm_loc,
-                                      target_rows=2048)
+            return maxsim_pallas_int4(Q, P_loc, scales, qmask, pm_loc)
         from evdr_tpu.ops.int4 import maxsim_int4_xla
 
         return maxsim_int4_xla(Q, P_loc, scales, qmask, pm_loc,

@@ -191,8 +191,9 @@ def main():
             from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int4
 
             def f_i4(q, m, C_, S_, pm_):
-                sc = maxsim_pallas_int4(q, C_, S_, m, pm_,
-                                        target_rows=2048)
+                # default tiles: the kernel's small-Lp VMEM clamp lands on
+                # the swept-best rows=4096/cols->1536 config
+                sc = maxsim_pallas_int4(q, C_, S_, m, pm_)
                 return jax.lax.top_k(sc, a.k)
         else:
             def f_i4(q, m, C_, S_, pm_):
@@ -206,11 +207,19 @@ def main():
         del C4d, S4d
 
     # --- PQ books (needed by every remaining section; kmeans is seeded so
-    # reruns reproduce the same books)
+    # reruns reproduce the same books). OPQ books likewise train ONCE here
+    # and are shared by the 'opq' and 'quality' sections — train_opq is
+    # minutes of host kmeans at 250k docs, too costly to run twice.
+    from evdr_tpu.ops.pq import expand_books, train_opq
+
     need_pq = any(s not in results
                   for s in ("pq_encode", "pq", "opq", "quality"))
+    need_opq = any(s not in results for s in ("opq", "quality"))
     if need_pq:
         books = train_pq(P, pm, m=a.pq_m)
+    if need_opq:
+        obooks, rot = train_opq(P, pm, m=a.pq_m)
+        ebooks = expand_books(obooks, rot)
 
     # --- PQ encode (timed: host numpy vs accelerator — the O(corpus)
     # index-build step; engine.build auto-routes to the device past 2M
@@ -253,12 +262,8 @@ def main():
 
     # --- OPQ (same bytes; expanded (M, K, D) books -> a D-wide LUT einsum,
     # the only serving-cost difference vs plain PQ)
-    from evdr_tpu.ops.pq import expand_books, train_opq
-
     if not done("opq"):
-        obooks, rot = train_opq(P, pm, m=a.pq_m)
         opq_codes = encode_pq(P, obooks, pm, rot=rot)
-        ebooks = expand_books(obooks, rot)
         OQd, EBd = jnp.asarray(opq_codes), jnp.asarray(ebooks)
         save("opq", {
             "qps": timed_qps(lambda q, m, *r: f_pq(q, m, *r),
@@ -270,16 +275,13 @@ def main():
     # (encodes only the slice; scoring runs on the current backend)
     if not done("quality"):
         from evdr_tpu.ops.maxsim import maxsim_numpy
-        from evdr_tpu.ops.pq import expand_books, train_opq
 
         ns = min(a.n_docs, 20_000)
         ex = maxsim_numpy(Q[:16], P[:ns], qm[:16], pm[:ns])
         pq_sl = encode_pq(P[:ns], books, pm[:ns])
         pq_sc = np.asarray(maxsim_pq_xla(Q[:16], pq_sl, qm[:16],
                                          pm[:ns], books, chunk_p=2048))
-        obooks, rot = train_opq(P, pm, m=a.pq_m)
         opq_sl = encode_pq(P[:ns], obooks, pm[:ns], rot=rot)
-        ebooks = expand_books(obooks, rot)
         opq_sc = np.asarray(maxsim_pq_xla(Q[:16], opq_sl, qm[:16],
                                           pm[:ns], ebooks, chunk_p=2048))
         packed4, scales4 = quantize_tokens_int4(P[:ns], pm[:ns])

@@ -109,6 +109,17 @@ def main():
                    help="baseline tile cols (DB*TLP budget)")
     a = p.parse_args()
 
+    # validate --epilogue EARLY (it lost argparse `choices` to admit
+    # tokfuse{G}): a typo otherwise fails deep in the kernel, after corpus
+    # generation and a 40s-3min tunnel compile attempt
+    import re
+
+    _known = {"auto", "sublane", "tokmajor", "tokmajor_nt", "tokchain",
+              "tokpre", "f32", "bf16", "f32d", "reduce", "none"}
+    if not (a.epilogue in _known or re.fullmatch(r"tok(fuse)?\d+", a.epilogue)):
+        p.error(f"unknown --epilogue {a.epilogue!r}; expected one of "
+                f"{sorted(_known)} or tokfuse<G>/tok<N>")
+
     global ND, LP
     if a.small_lp:
         ND, LP = 250_000, 16

@@ -342,3 +342,53 @@ def _as_ragged(P, pmask):
             rows = np.zeros((1, P.shape[2]), np.float32)
         out[i] = rows
     return out
+
+
+def test_int4_db_clamp_vmem_legality_grid():
+    """Library-default tiles must never exceed the scoped-VMEM budget at
+    small lp tiles (the wave-2 chip sweeps: cols=3072 at Lp=16 scope-OOMs
+    remote compile with HTTP 500; cols=1536 is the swept best). The clamp
+    is a pure host function — assert the plane bound over an (lp, nq,
+    target_cols) grid, and that long-doc tiles are untouched."""
+    from evdr_tpu.ops.pallas_maxsim import (_INT4_PLANE_BUDGET_ELEMS,
+                                            _clamp_int4_db, _pick_tiles)
+
+    for lp in (2, 7, 16, 33, 64, 128, 255):
+        for nq in (8, 64, 128, 256, 1024):
+            for cols in (512, 1536, 3072, 6144):
+                qb, lqp, db, tlp = _pick_tiles(32, lp, 4096, cols, nq=nq)
+                tlp = max(16, tlp)
+                th = tlp // 2
+                dbc = _clamp_int4_db(db, th, qb * lqp)
+                assert 1 <= dbc <= db
+                if th < 128:
+                    assert dbc * th * qb * lqp <= _INT4_PLANE_BUDGET_ELEMS
+                if dbc < db and dbc >= 8:
+                    # when the clamp engages it lands on a multiple of 8
+                    # so the token-major epilogue stays legal
+                    assert dbc % 8 == 0
+    # long-doc tiles (tlp_half >= 128) stream fine and are left alone
+    assert _clamp_int4_db(4, 384, 4096) == 4
+    # the exact wave-2 data points: default cols=3072 at Lp=16/qbl=4096
+    # clamps 192 -> 96 (the swept best); qbl=2048 keeps 192
+    assert _clamp_int4_db(192, 8, 4096) == 96
+    assert _clamp_int4_db(192, 8, 2048) == 192
+
+
+def test_int4_default_tiles_parity_with_clamp_engaged(rng):
+    """Interpret-mode parity straight through the library-default tiling
+    at a shape where the clamp engages (nq=128 -> qbl=4096, lp small):
+    a user's engine dtype='int4' at config-5-like shapes must not need
+    manual tile flags."""
+    import jax.numpy as jnp
+
+    from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int4
+
+    P, pmask, Q, qmask, _ = _corpus(rng, n=24, lp=7, lq=5, nq=128, d=128)
+    packed, scale = quantize_tokens_int4(P, pmask)
+    want = maxsim_numpy(Q, dequantize_int4(packed, scale), qmask, pmask)
+    got = np.asarray(maxsim_pallas_int4(
+        jnp.asarray(Q), jnp.asarray(packed), jnp.asarray(scale),
+        jnp.asarray(qmask), jnp.asarray(pmask),
+        compute_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -272,3 +272,21 @@ def test_from_npz_does_not_mutate_engine_normalize(tmp_path):
     np.testing.assert_array_equal(np.asarray(i_raw), np.asarray(i_loaded))
     np.testing.assert_allclose(np.asarray(v_raw), np.asarray(v_loaded),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_int8full_long_doc_policy_gates_on_padding_waste():
+    """The max_tlp=384 split (tokmajor unlock, 169.9 TFLOP/s at Lp=768)
+    must only engage when the 384-padded lp stays within ~10% of natural
+    padding: _maxsim_int8_impl pads lp UP to a tlp multiple, so Lp=512
+    under the split would pad to 768 (1.5x MXU work) — a net loss."""
+    from evdr_tpu.ops.pallas_maxsim import _int8full_auto_max_tlp
+
+    # the probed win: Lp=768 at the headline tiling -> split engages
+    assert _int8full_auto_max_tlp(256, 32, 768, 4096, 3072) == 384
+    # padding-waste cases: 512 -> 768 (1.5x), 400 -> 768 (1.9x): skip
+    assert _int8full_auto_max_tlp(256, 32, 512, 4096, 3072) is None
+    assert _int8full_auto_max_tlp(256, 32, 400, 4096, 3072) is None
+    # small lp never triggers (tlp_n <= 384 already)
+    assert _int8full_auto_max_tlp(256, 32, 16, 4096, 3072) is None
+    # qb not lane-aligned (nq < 128 clamps qb): tokmajor illegal -> skip
+    assert _int8full_auto_max_tlp(64, 32, 768, 4096, 3072) is None
