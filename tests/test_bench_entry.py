@@ -77,12 +77,50 @@ def test_last_known_tpu_qps_skips_fallback_records(monkeypatch, tmp_path):
     assert known[1] > 1000
 
 
+def test_main_tpu_path_reports_median_and_spread(monkeypatch, capsys,
+                                                 tmp_path):
+    """VERDICT r4 #4: same-day chip runs drift up to 9% on unchanged code,
+    so the headline must be a median with its spread reported — the JSON
+    carries {value=median, reps, spread, bf16_spread, cpu_qps(fresh)}."""
+    st = lambda q: {"qps": q, "qps_min": q * 0.95, "qps_max": q * 1.05,
+                    "reps": 7}
+    monkeypatch.setattr(bench, "tpu_available", lambda *a, **k: True)
+    monkeypatch.setattr(bench, "measure_tpu_qps",
+                        lambda: (st(37000.0), st(35000.0)))
+    calls = []
+    monkeypatch.setattr(bench, "measure_cpu_qps",
+                        lambda *a, **k: calls.append(k) or 2.0)
+    monkeypatch.setattr(bench, "_LAST_QPS_FILE", tmp_path / "last.json")
+    monkeypatch.setattr("sys.argv", ["bench.py"])
+    bench.main()
+    line = [l for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["value"] == 37000.0 and out["reps"] == 7
+    assert out["spread"] == [35150.0, 38850.0]
+    assert out["bf16_qps"] == 35000.0 and len(out["bf16_spread"]) == 2
+    assert out["vs_baseline"] == 18500.0 and out["cpu_qps"] == 2.0
+    # the TPU path measures the baseline FRESH (no fresh=False override)
+    assert calls == [{}]
+
+
+def test_timed_chained_stats_contract():
+    """Median/min/max over reps, computed from per-rep wall times."""
+    import jax.numpy as jnp
+
+    res = bench._timed_chained(lambda q: q * 0, (jnp.ones((4, 4)),),
+                               K=2, reps=3)
+    assert set(res) == {"qps", "qps_min", "qps_max", "reps"}
+    assert res["reps"] == 3
+    assert res["qps_min"] <= res["qps"] <= res["qps_max"]
+
+
 def test_main_cpu_fallback_emits_contract_json(monkeypatch, capsys, tmp_path):
     """When the tunnel is down, main() must still print ONE parseable JSON
     line with the driver-contract keys instead of crashing — and carry the
     last known chip number so the outage is not mistaken for a regression."""
     monkeypatch.setattr(bench, "tpu_available", lambda *a, **k: False)
-    monkeypatch.setattr(bench, "measure_cpu_qps", lambda: 5.0)
+    monkeypatch.setattr(bench, "measure_cpu_qps", lambda *a, **k: 5.0)
     monkeypatch.setattr(bench, "_LAST_QPS_FILE", tmp_path / "missing.json")
     monkeypatch.setattr("sys.argv", ["bench.py"])
     bench.main()
