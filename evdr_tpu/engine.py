@@ -62,7 +62,8 @@ class RetrievalEngine:
 
         if impl == "auto":
             impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
-        if quantize_queries and dtype in ("int8", "int4") and impl == "pallas":
+        if quantize_queries and dtype in ("int8", "int4", "pq") \
+                and impl == "pallas":
             impl = "pallas_q8"
         self.impl = impl
         # multi-host deployments (one process per pod host, wired by

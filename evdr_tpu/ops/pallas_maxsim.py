@@ -943,6 +943,317 @@ def _maxsim_int8_impl(Q, q_weight, P_i8, scales, pmask,
 
 
 # ---------------------------------------------------------------------------
+# product-quantized index variant (serving): P stored as (nd, Lp, M) uint8
+# nearest-centroid codes + (M, K<=256, ·) codebooks (ops/pq.py) — M bytes per
+# token, 8x below int8 at M=16. The XLA LUT-gather path (ops/pq.py:
+# maxsim_pq_xla) measured 17.4 q/s on chip vs 2,561 for the fused bf16 tier
+# at the identical 250k-doc shape (bench_artifacts/tpuq/bench_pq2.out) — a
+# TPU has no fast gather, so the kernel DECODES each doc tile in VMEM
+# instead and feeds the same dot/blockmax/epilogue machinery as every other
+# tier:
+#
+#   decoded (rows, D) = sum_m  onehot(codes_m) (rows, K) @ books[m] (K, D)
+#
+# - the one-hot matmul IS the gather, phrased for the MXU; with full-width
+#   (M, K, D) books the per-subspace products SUM (ops/pq.expand_books), so
+#   an OPQ rotation rides inside the books and the kernel never knows.
+#   Compact (M, K, D/M) books are embedded block-diagonally host-side
+#   (concat-decode == sum-decode of the embedding).
+# - decode FLOPs = rows*M*K*D per (doc-tile, q-block) vs rows*D*QBL for the
+#   scoring dot: M*K/QBL extra work (1x at M=16, K=256, QBL=4096). Books
+#   are therefore int8-quantized by default (one global scale, folded into
+#   the post-max q-weight row exactly like the int8 kernel's q-scale): the
+#   0/1 one-hot rides the int8 MXU path at 2x bf16 peak, halving the
+#   decode overhead. The scoring dot stays compute_dtype (bf16).
+# - codes ride as (n_db*n_lp, M, db*tlp) uint8 subspace-plane tiles: lanes
+#   carry the big rows axis unpadded; the per-m row extraction is the same
+#   sublane-slice pattern as the int4 kernel's scale sentinels. (The u8
+#   sublane tile is 32, so M=16 planes cost 2x in the tiled HBM array —
+#   still 4x below int8; the npz/engine STORAGE stays tight (nd, Lp, M).)
+# - doc-token validity rides the bf16 kernel's (1, db*tlp) mask row; masked
+#   and padded tokens carry code 0 and are NEG_INIT-filled after the dot.
+# ---------------------------------------------------------------------------
+
+_PQ_KMAX = 256  # uint8 code => at most 256 centroids per subspace
+
+
+def quantize_books_int8(books) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 quantization of (expanded) codebooks with ONE global
+    scale: (M, K, D) float -> ((M, K, D) int8, scalar f32 scale). A single
+    scale keeps the kernel's decoded tile a plain int32 sum (per-subspace
+    scales would not commute with the sum-decode); centroid entries share
+    one dynamic range in practice, and the serving-quality sweep measures
+    the end effect (scripts/index_quality.py)."""
+    books = jnp.asarray(books, jnp.float32)
+    s = jnp.max(jnp.abs(books)) / 127.0
+    safe = jnp.where(s > 0, s, 1.0)
+    return (jnp.clip(jnp.round(books / safe), -127, 127).astype(jnp.int8),
+            safe.astype(jnp.float32))
+
+
+def _pq_decode_tile(codes_ref, books_ref, rows, m_sub, k_pad, dec_dtype,
+                    precision):
+    """Decode one (M, rows) code tile to (rows, d_pad) tokens in VMEM.
+
+    int8 books: one-hot int8 x int8 book dot -> exact int32 sum (the global
+    scale is folded into the caller's q-weight row). Float books: one-hot in
+    the books' dtype (0/1 exact in bf16) -> f32-accumulated sum.
+    ``dec_dtype=int8`` is exact ONLY for compact-embedded int8 books (one
+    contribution per lane, |value| <= 127) — the driver gates it."""
+    int8_books = books_ref.dtype == jnp.int8
+    dec = None
+    for m in range(m_sub):
+        # (1, rows) plane -> (rows, 1) column; cast BEFORE the transpose so
+        # the relayout runs on i32 tiles (same pattern as the int4 kernel's
+        # f32 scale-sentinel planes)
+        col = jnp.transpose(codes_ref[0, m:m + 1, :].astype(jnp.int32))
+        iota = jax.lax.broadcasted_iota(jnp.int32, (rows, k_pad), 1)
+        if int8_books:
+            oh = (iota == col).astype(jnp.int8)
+            part = jax.lax.dot_general(
+                oh, books_ref[m],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        else:
+            oh = (iota == col).astype(books_ref.dtype)
+            part = jax.lax.dot_general(
+                oh, books_ref[m],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision)
+        dec = part if dec is None else dec + part
+    return dec.astype(dec_dtype)
+
+
+def _kernel_pq(qf_ref, qmf_ref, codes_ref, pm_ref, books_ref, out_ref,
+               acc_ref, *, db, tlp, lq_pad, qb, m_sub, k_pad, out_dtype,
+               precision, compute_dtype, score_int8, epilogue="sublane",
+               n_lp_static=None):
+    """Same skeleton as the bf16 `_kernel`, with the P tile decoded from PQ
+    codes in VMEM first. Decode is query-independent; it reruns per q-block
+    (n_qb is 1 at serving batch sizes — see the module-top analysis)."""
+    l = pl.program_id(2)
+    n_l = pl.num_programs(2)
+    rows = db * tlp
+
+    dec = _pq_decode_tile(codes_ref, books_ref, rows, m_sub, k_pad,
+                          jnp.int8 if score_int8 else compute_dtype,
+                          precision)
+    if score_int8:
+        # full-quantized scoring: int8 queries x int8 decoded tokens
+        simT = jax.lax.dot_general(
+            dec, qf_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+    else:
+        # int8-rounded queries under OPQ books cast up: a mixed int8 x bf16
+        # dot is not an MXU mode, and quantized-query values (<= 127
+        # integers) are exact in bf16
+        qblk = (qf_ref[:].astype(compute_dtype)
+                if qf_ref.dtype == jnp.int8 else qf_ref[:])
+        simT = jax.lax.dot_general(
+            dec, qblk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)                       # (rows, QBL)
+    pmcol = jnp.transpose(pm_ref[0])                   # (rows, 1)
+    if epilogue == "tokpre":
+        simT = jnp.where(pmcol > 0.5, simT * qmf_ref[0], NEG_INIT)
+    else:
+        simT = jnp.where(pmcol > 0.5, simT, NEG_INIT)
+    bm = jnp.max(simT.reshape(db, tlp, simT.shape[-1]), axis=1)  # (DB, QBL)
+
+    if epilogue == "tokpre" and n_lp_static == 1:
+        out_ref[0, 0] = _value_chain_sum(bm, db, qb, lq_pad).astype(out_dtype)
+        return
+
+    @pl.when(l == 0)
+    def _init():
+        acc_ref[:] = jnp.full_like(acc_ref, NEG_INIT)
+
+    acc_ref[:] = jnp.maximum(acc_ref[:], bm)
+
+    @pl.when(l == n_l - 1)
+    def _finish():
+        _emit_finish(out_ref, acc_ref, qmf_ref, db, qb, lq_pad, epilogue,
+                     out_dtype)
+
+
+def _embed_books_full(books, d: int):
+    """Books to kernel form: full-width (M, K, D) where per-subspace vectors
+    SUM to the reconstruction. Expanded OPQ books pass through; compact
+    (M, K, D/M) books embed block-diagonally (concat == sum of the
+    embedding). Pure jnp on (M, 256, D) — negligible next to the index."""
+    books = jnp.asarray(books, jnp.float32)
+    m, k, w = books.shape
+    if m > 1 and w == d:                     # already expanded (ops/pq.py)
+        return books
+    if m * w != d:
+        raise ValueError(f"books {books.shape} do not match token dim {d}")
+    full = jnp.zeros((m, k, d), jnp.float32)
+    return full.at[
+        jnp.arange(m)[:, None, None],
+        jnp.arange(k)[None, :, None],
+        (jnp.arange(m) * w)[:, None, None] + jnp.arange(w)[None, None, :],
+    ].set(books)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("compute_dtype", "interpret", "target_rows",
+                              "target_cols", "epilogue", "book_quant"))
+def maxsim_pallas_pq(Q, codes, qmask, pmask, books,
+                     compute_dtype=jnp.bfloat16, interpret: bool = False,
+                     target_rows: int = 4096, target_cols: int = 3072,
+                     epilogue: str = "auto", book_quant: bool = True):
+    """Fused MaxSim over a product-quantized index (decode-in-VMEM).
+
+    Q (nq, Lq, D) float; codes (nd, Lp, M) uint8; books compact (M, K, D/M)
+    or expanded OPQ (M, K, D) float. Scores match the reconstruction oracle
+    ``maxsim(Q, decode_pq(codes, books))`` up to compute-dtype rounding
+    (plus the int8 book rounding when ``book_quant``, the default — see
+    :func:`quantize_books_int8`)."""
+    q_weight = qmask.astype(jnp.float32)
+    return _maxsim_pq_impl(Q, q_weight, codes, pmask, books,
+                           compute_dtype=compute_dtype, interpret=interpret,
+                           target_rows=target_rows, target_cols=target_cols,
+                           epilogue=epilogue, book_quant=book_quant)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("compute_dtype", "interpret", "target_rows",
+                              "target_cols", "epilogue", "book_quant"))
+def maxsim_pallas_pqfull(Q, codes, qmask, pmask, books,
+                         compute_dtype=jnp.bfloat16, interpret: bool = False,
+                         target_rows: int = 4096, target_cols: int = 3072,
+                         epilogue: str = "auto", book_quant: bool = True):
+    """PQ serving with int8-quantized queries (the pallas_q8 tier). Query
+    quantization and q-side scale placement match maxsim_pallas_int8full.
+    With compact plain-PQ books (+ book_quant) the decoded tile is exactly
+    int8 (block-diagonal embedding: one contribution per lane, <= 127) and
+    the scoring dot runs int8 x int8 at 2x MXU peak; OPQ expanded books
+    overlap lanes (a sum-decode can exceed int8), so there the quantized
+    queries cast up and score in compute_dtype."""
+    amax = jnp.max(jnp.abs(Q).astype(jnp.float32), axis=-1)
+    sq = amax / 127.0
+    safe = jnp.where(sq > 0, sq, 1.0)
+    Q_i8 = jnp.clip(jnp.round(Q.astype(jnp.float32) / safe[..., None]),
+                    -127, 127).astype(jnp.int8)
+    q_weight = qmask.astype(jnp.float32) * sq
+    return _maxsim_pq_impl(Q_i8, q_weight, codes, pmask, books,
+                           compute_dtype=compute_dtype, interpret=interpret,
+                           target_rows=target_rows, target_cols=target_cols,
+                           epilogue=epilogue, book_quant=book_quant)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("compute_dtype", "interpret", "target_rows",
+                              "target_cols", "epilogue", "book_quant"))
+def _maxsim_pq_impl(Q, q_weight, codes, pmask, books,
+                    compute_dtype=jnp.bfloat16, interpret: bool = False,
+                    target_rows: int = 4096, target_cols: int = 3072,
+                    epilogue: str = "auto", book_quant: bool = True):
+    """Shared PQ kernel driver; Q float (compute_dtype dot) or int8."""
+    nq, lq, d = Q.shape
+    nd, lp, m_sub = codes.shape
+    qb, lq_pad, db, tlp = _pick_tiles(lq, lp, target_rows, target_cols,
+                                      nq=nq)
+    epilogue, _ = _resolve_epilogue(epilogue, qb, db, interpret=interpret)
+
+    nq_pad = _round_up(max(nq, qb), qb)
+    nd_pad = _round_up(max(nd, db), db)
+    lp_pad = _round_up(lp, tlp)
+    d_pad = _round_up(d, 128)
+
+    def padded(x, shape, dtype, fill=0):
+        x = x.astype(dtype)
+        if x.shape == shape:
+            return x
+        return jnp.full(shape, fill, dtype).at[
+            tuple(slice(0, s) for s in x.shape)].set(x)
+
+    compact = not (books.shape[0] > 1 and books.shape[-1] == d)
+    books_full = _embed_books_full(books, d)           # (M, K, D) f32
+    k_pad = _round_up(books_full.shape[1], 128)
+    if books_full.shape[1] > _PQ_KMAX:
+        raise ValueError(f"uint8 codes support K <= {_PQ_KMAX} centroids; "
+                         f"got K={books_full.shape[1]}")
+    if book_quant:
+        books_q, s_books = quantize_books_int8(books_full)
+        books_k = padded(books_q, (m_sub, k_pad, d_pad), jnp.int8)
+        q_weight = q_weight * s_books                 # post-max, commutes
+    else:
+        books_k = padded(books_full, (m_sub, k_pad, d_pad),
+                         jnp.float32 if compute_dtype == jnp.float32
+                         else compute_dtype)
+    # int8 x int8 scoring (2x MXU peak) needs an exactly-int8 decoded tile:
+    # only compact-embedded int8 books guarantee one contribution per lane
+    score_int8 = bool(Q.dtype == jnp.int8 and book_quant and compact)
+
+    qdt = Q.dtype if Q.dtype == jnp.int8 else compute_dtype
+    Qp = padded(Q, (nq_pad, lq_pad, d_pad), qdt)
+    qm = padded(q_weight, (nq_pad, lq_pad), jnp.float32)
+    pm = padded(pmask.astype(jnp.float32), (nd_pad, lp_pad), jnp.float32)
+    codes_p = padded(codes, (nd_pad, lp_pad, m_sub), jnp.uint8)
+
+    qbl = qb * lq_pad
+    n_qb, n_db, n_lp = nq_pad // qb, nd_pad // db, lp_pad // tlp
+    qf, qmf = _flatten_q(Qp, qm, n_qb, qb, lq_pad, d_pad, epilogue)
+
+    # subspace-plane code tiles: (n_db*n_lp, M, db*tlp), rows on lanes
+    ct = (codes_p.reshape(n_db, db, n_lp, tlp, m_sub)
+          .transpose(0, 2, 4, 1, 3).reshape(n_db * n_lp, m_sub, db * tlp))
+    pm_t = (pm.reshape(n_db, db, n_lp, tlp).transpose(0, 2, 1, 3)
+            .reshape(n_db * n_lp, 1, db * tlp))
+
+    precision = (jax.lax.Precision.HIGHEST
+                 if compute_dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    # decode adds rows*M*K*D FLOPs per (doc-tile, q-block)
+    flops = (2 * (nq_pad * lq_pad) * (nd_pad * lp_pad) * d_pad
+             + 2 * n_qb * (nd_pad * lp_pad) * m_sub * k_pad * d_pad)
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=qf.size * qf.dtype.itemsize
+        + ct.size * 1 * n_qb + nq_pad * nd_pad * 4,
+        transcendentals=0,
+    )
+    kernel = functools.partial(
+        _kernel_pq, db=db, tlp=tlp, lq_pad=lq_pad, qb=qb, m_sub=m_sub,
+        k_pad=k_pad, out_dtype=jnp.float32, precision=precision,
+        compute_dtype=compute_dtype, score_int8=score_int8,
+        epilogue=epilogue, n_lp_static=n_lp)
+
+    out_spec, out_shape, finalize = _out_layout(n_qb, n_db, qb, db, epilogue)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_qb, n_db, n_lp),
+        in_specs=[
+            pl.BlockSpec((qbl, d_pad), lambda i, j, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + qmf.shape[1:], lambda i, j, l: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_sub, db * tlp),
+                         lambda i, j, l: (j * pl.num_programs(2) + l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, db * tlp),
+                         lambda i, j, l: (j * pl.num_programs(2) + l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # books replicate: same block every step, stays VMEM-resident
+            pl.BlockSpec((m_sub, k_pad, d_pad), lambda i, j, l: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((db, qbl), jnp.float32)],
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(qf, qmf, ct, pm_t, books_k)
+    return finalize(out)[:nq, :nd]
+
+
+# ---------------------------------------------------------------------------
 # packed-int4 index variant (serving): P stored as TOKEN-PAIR packed uint8
 # (two Lp-tokens per byte, full-width D lanes — ops/int4.py) + per-token f32
 # scales. Halves the dominant HBM stream vs int8. The layout is chosen so

@@ -26,7 +26,20 @@ def _local_scores(Q, qmask, P_loc, pm_loc, chunk_p: int, impl: str,
                   scales=None, books=None):
     if books is not None:
         # product-quantized index: P_loc holds (N_loc, Lp, M) uint8 codes,
-        # books the replicated (M, K, D/M) codebooks (ops/pq.py)
+        # books the replicated compact (M, K, D/M) or expanded OPQ (M, K, D)
+        # codebooks (ops/pq.py). Serving goes through the fused decode-in-
+        # VMEM kernel — the XLA LUT-gather path measured 17.4 q/s on chip vs
+        # 2,561 for the fused bf16 tier at the same shape (TPUs have no fast
+        # gather; bench_artifacts/tpuq/bench_pq2.out) and stays as the
+        # portable impl="xla" fallback.
+        if impl == "pallas_q8":
+            from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_pqfull
+
+            return maxsim_pallas_pqfull(Q, P_loc, qmask, pm_loc, books)
+        if impl == "pallas":
+            from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_pq
+
+            return maxsim_pallas_pq(Q, P_loc, qmask, pm_loc, books)
         from evdr_tpu.ops.pq import maxsim_pq_xla
 
         return maxsim_pq_xla(Q, P_loc, qmask, pm_loc, books, chunk_p=chunk_p)

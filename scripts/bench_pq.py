@@ -213,8 +213,10 @@ def main():
     from evdr_tpu.ops.pq import expand_books, train_opq
 
     need_pq = any(s not in results
-                  for s in ("pq_encode", "pq", "opq", "quality"))
-    need_opq = any(s not in results for s in ("opq", "quality"))
+                  for s in ("pq_encode", "pq", "opq", "quality",
+                            "pq_kernel", "pqfull_kernel", "opq_kernel"))
+    need_opq = any(s not in results
+                   for s in ("opq", "quality", "opq_kernel"))
     if need_pq:
         books = train_pq(P, pm, m=a.pq_m)
     if need_opq:
@@ -267,6 +269,52 @@ def main():
         OQd, EBd = jnp.asarray(opq_codes), jnp.asarray(ebooks)
         save("opq", {
             "qps": timed_qps(lambda q, m, *r: f_pq(q, m, *r),
+                             (Qd, qmd, OQd, pmd, EBd), a.batch),
+            "index_bytes": int(a.n_docs * a.lp * a.pq_m)})
+        del OQd, EBd, opq_codes
+
+    # --- fused PQ kernel (decode-in-VMEM, ops/pallas_maxsim.py): the
+    # SERVING path for PQ bytes — the LUT-gather sections above are the
+    # portable fallback (17.4 q/s on chip at this shape, bench_pq2.out)
+    if on_tpu and not done("pq_kernel"):
+        from evdr_tpu.ops.pallas_maxsim import (maxsim_pallas_pq,
+                                                maxsim_pallas_pqfull)
+
+        pq_codes = encode_pq(P, books, pm)
+        PQd, Bd = jnp.asarray(pq_codes), jnp.asarray(books)
+
+        def f_pqk(q, m, C_, pm_, B_):
+            sc = maxsim_pallas_pq(q, C_, m, pm_, B_)
+            return jax.lax.top_k(sc, a.k)
+
+        save("pq_kernel", {
+            "qps": timed_qps(lambda q, m, *r: f_pqk(q, m, *r),
+                             (Qd, qmd, PQd, pmd, Bd), a.batch),
+            "index_bytes": int(a.n_docs * a.lp * a.pq_m)})
+
+        if not done("pqfull_kernel"):
+            def f_pqf(q, m, C_, pm_, B_):
+                sc = maxsim_pallas_pqfull(q, C_, m, pm_, B_)
+                return jax.lax.top_k(sc, a.k)
+
+            save("pqfull_kernel", {
+                "qps": timed_qps(lambda q, m, *r: f_pqf(q, m, *r),
+                                 (Qd, qmd, PQd, pmd, Bd), a.batch),
+                "index_bytes": int(a.n_docs * a.lp * a.pq_m)})
+        del PQd, Bd, pq_codes
+
+    if on_tpu and not done("opq_kernel"):
+        from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_pq
+
+        opq_codes = encode_pq(P, obooks, pm, rot=rot)
+        OQd, EBd = jnp.asarray(opq_codes), jnp.asarray(ebooks)
+
+        def f_opqk(q, m, C_, pm_, B_):
+            sc = maxsim_pallas_pq(q, C_, m, pm_, B_)
+            return jax.lax.top_k(sc, a.k)
+
+        save("opq_kernel", {
+            "qps": timed_qps(lambda q, m, *r: f_opqk(q, m, *r),
                              (Qd, qmd, OQd, pmd, EBd), a.batch),
             "index_bytes": int(a.n_docs * a.lp * a.pq_m)})
         del OQd, EBd, opq_codes

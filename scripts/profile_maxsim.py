@@ -98,6 +98,13 @@ def main():
                    help="profile the packed-int4 kernel (ops/int4.py token-"
                         "pair layout): 'index' = bf16 dot, 'full' = int8 "
                         "queries x int4 codes on the int8 MXU path")
+    p.add_argument("--pq", default="off", choices=["off", "index", "full"],
+                   help="profile the fused PQ kernel (decode-in-VMEM, "
+                        "int8 books): 'index' = float queries (bf16 dot), "
+                        "'full' = int8 queries (int8 x int8 scoring dot "
+                        "for compact books)")
+    p.add_argument("--pq-m", type=int, default=16,
+                   help="PQ subspaces (bytes/token) for --pq")
     p.add_argument("--max-tlp", type=int, default=None,
                    help="cap the lp-tile so long docs split Lp across "
                         "contraction steps (e.g. 384 at Lp=768 -> db=8, "
@@ -132,7 +139,23 @@ def main():
 
     enable_persistent_cache()
     Q, P, qm, pm = _data()
-    if a.int4 != "off":
+    if a.pq != "off":
+        from evdr_tpu.ops.pallas_maxsim import (maxsim_pallas_pq,
+                                                maxsim_pallas_pqfull)
+        from evdr_tpu.ops.pq import encode_pq_device, train_pq
+
+        books = train_pq(P, pm, m=a.pq_m)
+        codes = encode_pq_device(P, books, pm)
+        Qd, qmd, pmd = map(jnp.asarray, (Q, qm, pm))
+        Pd, bkd = jnp.asarray(codes), jnp.asarray(books)
+        kern = maxsim_pallas_pqfull if a.pq == "full" else maxsim_pallas_pq
+        fwd = functools.partial(kern, epilogue=a.epilogue)
+
+        def _wrapq(f):
+            return lambda q, p_, qm_, pm_, **kw: f(q, p_, qm_, pm_, bkd, **kw)
+
+        fwd = _wrapq(fwd)
+    elif a.int4 != "off":
         from evdr_tpu.ops.int4 import quantize_tokens_int4
         from evdr_tpu.ops.pallas_maxsim import (maxsim_pallas_int4,
                                                 maxsim_pallas_int4full)

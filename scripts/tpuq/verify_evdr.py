@@ -224,6 +224,41 @@ def main():
         check(f"12 {dt} engine top-1 vs oracle", agree >= bar,
               f"agree={agree:.2f}")
 
+    # --- 13. fused PQ kernel (round 5): direct parity vs the reconstruction
+    # oracle (bf16 dot + int8 books => loose rtol, top-1 must hold), the
+    # OPQ expanded-books path, and the quantized-queries pqfull tier
+    import jax.numpy as jnp
+
+    from evdr_tpu.ops.maxsim import maxsim_numpy
+    from evdr_tpu.ops.pallas_maxsim import (maxsim_pallas_pq,
+                                            maxsim_pallas_pqfull)
+    from evdr_tpu.ops.pq import decode_pq, encode_pq, train_pq
+
+    books = train_pq(Pb, pmb, m=16, iters=6, seed=0)
+    codes = encode_pq(Pb, books, pmb)
+    rec_oracle = maxsim_numpy(Qb[:8], decode_pq(codes, books), qmb[:8], pmb)
+    pqk = np.asarray(maxsim_pallas_pq(
+        jnp.asarray(Qb[:8]), jnp.asarray(codes), jnp.asarray(qmb[:8]),
+        jnp.asarray(pmb), jnp.asarray(books)))
+    rel = (np.abs(pqk - rec_oracle)
+           / np.maximum(np.abs(rec_oracle), 1e-3)).max()
+    check("13 pq kernel vs reconstruction oracle", rel <= 2e-2,
+          f"max rel={rel:.4f}")
+    check("13b pq kernel top-1 == oracle top-1",
+          bool((pqk.argmax(1) == rec_oracle.argmax(1)).all()))
+    pqf = np.asarray(maxsim_pallas_pqfull(
+        jnp.asarray(Qb[:8]), jnp.asarray(codes), jnp.asarray(qmb[:8]),
+        jnp.asarray(pmb), jnp.asarray(books)))
+    agree = float((pqf.argmax(1) == rec_oracle.argmax(1)).mean())
+    check("13c pqfull (int8 queries) top-1 vs oracle", agree >= 0.95,
+          f"agree={agree:.2f}")
+    engo = RetrievalEngine(dtype="pq", pq_m=16, pq_opq=True)
+    engo.build(Pb, pmb)
+    _, oidx = engo.search_dense(Qb, qmb, k=1)
+    agree = float((np.asarray(oidx)[:, 0] == ob1).mean())
+    check("13d OPQ engine (expanded books) top-1 vs oracle", agree >= 0.85,
+          f"agree={agree:.2f}")
+
     print(f"\n{len(FAILS)} failures" + (f": {FAILS}" if FAILS else ""),
           flush=True)
     return 1 if FAILS else 0

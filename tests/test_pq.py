@@ -354,3 +354,135 @@ def test_pq_tiny_corpus_fewer_tokens_than_centroids(rng):
     codes = encode_pq(P, books, pmask)
     np.testing.assert_allclose(decode_pq(codes, books), P, rtol=1e-5,
                                atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# fused Pallas PQ kernel (decode-in-VMEM): interpret-mode parity vs the
+# reconstruction oracle. The XLA LUT path above stays the portable
+# fallback; the kernel is the serving path (chip: the LUT path measured
+# 17.4 q/s vs 2,561 for the fused bf16 tier — bench_artifacts/tpuq/
+# bench_pq2.out).
+# ---------------------------------------------------------------------------
+
+def _pq_kernel(Q, codes, qmask, pmask, books, **kw):
+    import jax.numpy as jnp
+
+    from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_pq
+
+    return np.asarray(maxsim_pallas_pq(
+        jnp.asarray(Q), jnp.asarray(codes), jnp.asarray(qmask),
+        jnp.asarray(pmask), jnp.asarray(books),
+        compute_dtype=jnp.float32, interpret=True, **kw))
+
+
+def test_pq_kernel_parity_compact_books(rng):
+    P, pmask, Q, qmask, _ = _corpus(rng, d=128)
+    books = train_pq(P, pmask, m=16, iters=6, seed=0)
+    codes = encode_pq(P, books, pmask)
+    ref = maxsim_numpy(Q, decode_pq(codes, books), qmask, pmask)
+    got = _pq_kernel(Q, codes, qmask, pmask, books, book_quant=False)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(got[:, 3], 0.0)  # fully-masked doc
+
+
+def test_pq_kernel_parity_expanded_opq_books(rng):
+    from evdr_tpu.ops.pq import expand_books, train_opq
+
+    P, pmask, Q, qmask, _ = _corpus(rng, d=128)
+    obooks, rot = train_opq(P, pmask, m=16, iters=4, opq_iters=3, seed=0)
+    codes = encode_pq(P, obooks, pmask, rot=rot)
+    ebooks = expand_books(obooks, rot)
+    ref = maxsim_numpy(Q, decode_pq(codes, ebooks, expanded=True), qmask,
+                       pmask)
+    got = _pq_kernel(Q, codes, qmask, pmask, ebooks, book_quant=False)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pq_kernel_book_quant_matches_host_quantized_oracle(rng):
+    """book_quant=True scores == the oracle computed on HOST-quantized
+    books (same global-scale int8 formula), exactly up to f32 rounding."""
+    P, pmask, Q, qmask, _ = _corpus(rng, d=128)
+    books = train_pq(P, pmask, m=16, iters=6, seed=0)
+    codes = encode_pq(P, books, pmask)
+    # embed compact books full-width, quantize with the kernel's formula
+    m, k, ds = books.shape
+    E = np.zeros((m, k, m * ds), np.float32)
+    for j in range(m):
+        E[j, :, j * ds:(j + 1) * ds] = books[j]
+    s = float(np.max(np.abs(E))) / 127.0
+    E_hat = np.clip(np.round(E / s), -127, 127) * s
+    ref = maxsim_numpy(Q, decode_pq(codes, E_hat.astype(np.float32),
+                                    expanded=True), qmask, pmask)
+    got = _pq_kernel(Q, codes, qmask, pmask, books, book_quant=True)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pqfull_kernel_int8_queries_compact_books(rng):
+    """pqfull with compact books runs the exact int8 x int8 path: parity
+    vs a host oracle with the same query/book quantization."""
+    import jax.numpy as jnp
+
+    from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_pqfull
+
+    P, pmask, Q, qmask, _ = _corpus(rng, d=128)
+    books = train_pq(P, pmask, m=16, iters=6, seed=0)
+    codes = encode_pq(P, books, pmask)
+    m, k, ds = books.shape
+    E = np.zeros((m, k, m * ds), np.float32)
+    for j in range(m):
+        E[j, :, j * ds:(j + 1) * ds] = books[j]
+    s = float(np.max(np.abs(E))) / 127.0
+    E_i8 = np.clip(np.round(E / s), -127, 127).astype(np.int8)
+    # host-quantized queries (maxsim_pallas_int8full's formula)
+    amax = np.max(np.abs(Q), axis=-1)
+    sq = amax / 127.0
+    safe = np.where(sq > 0, sq, 1.0)
+    Q_i8 = np.clip(np.round(Q / safe[..., None]), -127, 127)
+    dec = decode_pq(codes, E_i8.astype(np.float32), expanded=True)
+    sim = np.einsum("qld,ndp->qlnp", Q_i8,
+                    np.swapaxes(dec, 1, 2))            # integer-exact in f64
+    sim = np.where(pmask[None, None], sim, -1e30)
+    mx = sim.max(-1) * pmask.any(-1)[None, None]
+    ref = ((mx * (qmask * sq * s)[:, :, None]).sum(1)).astype(np.float32)
+    got = np.asarray(maxsim_pallas_pqfull(
+        jnp.asarray(Q), jnp.asarray(codes), jnp.asarray(qmask),
+        jnp.asarray(pmask), jnp.asarray(books),
+        compute_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pq_kernel_multiple_lp_tiles_and_qblocks(rng):
+    """Grid accumulation across lp tiles + >1 q-blocks: tiny target tiles
+    force n_lp > 1 and n_qb > 1; scores must not depend on the tiling."""
+    P, pmask, Q, qmask, _ = _corpus(rng, n=37, lp=33, lq=7, nq=24, d=128)
+    books = train_pq(P, pmask, m=8, iters=4, seed=2)
+    codes = encode_pq(P, books, pmask)
+    ref = maxsim_numpy(Q, decode_pq(codes, books), qmask, pmask)
+    got = _pq_kernel(Q, codes, qmask, pmask, books, book_quant=False,
+                     target_rows=16, target_cols=32)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pq_kernel_epilogue_variants_agree(rng):
+    """tokmajor (qb%128==0, db%8==0 at these tiles) == sublane == auto."""
+    P, pmask, Q, qmask, _ = _corpus(rng, n=40, lp=6, lq=4, nq=128, d=128)
+    books = train_pq(P, pmask, m=16, iters=4, seed=3)
+    codes = encode_pq(P, books, pmask)
+    outs = [
+        _pq_kernel(Q, codes, qmask, pmask, books, book_quant=False,
+                   epilogue=e)
+        for e in ("auto", "sublane", "tokmajor")
+    ]
+    for o in outs[1:]:
+        np.testing.assert_allclose(o, outs[0], rtol=1e-6, atol=1e-6)
+
+
+def test_pq_kernel_small_k_books(rng):
+    """K < 256 codebooks (k_pad=128 path)."""
+    P, pmask, Q, qmask, _ = _corpus(rng, d=128)
+    books = train_pq(P, pmask, m=16, k=64, iters=4, seed=4)
+    codes = encode_pq(P, books, pmask)
+    assert books.shape[1] == 64
+    ref = maxsim_numpy(Q, decode_pq(codes, books), qmask, pmask)
+    got = _pq_kernel(Q, codes, qmask, pmask, books, book_quant=False)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
