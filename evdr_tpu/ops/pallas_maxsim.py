@@ -976,6 +976,40 @@ def _maxsim_int8_impl(Q, q_weight, P_i8, scales, pmask,
 
 _PQ_KMAX = 256  # uint8 code => at most 256 centroids per subspace
 
+# Empirical scoped-VMEM law for the PQ kernel, measured on chip: the
+# decode transients (per-subspace one-hot iota/one-hot/partial planes plus
+# the streamed sim chunks) cost ~7.8 KB per doc-token COLUMN at the
+# standard geometry (K=256 centroids, D=128 lanes) and are INDEPENDENT of
+# the q-block size. Three OOM probes at cols=db*tlp=3072 allocated 23.3M
+# (qbl=1024, verify_r5b.out), 23.8M (qbl=2048, bench_pq3.out) and 23.6M
+# (qbl=4096, pqk_headline.out attempt 1) — all over the 16M scoped limit
+# and all within 2% of each other, falsifying any rows*qbl model —
+# while cols=1536 compiles and runs at qbl=4096 (pqk_headline attempt 2:
+# 66.8 TFLOP/s). 1536 cols ≈ 12M estimated: comfortable headroom.
+_PQ_COLS_MAX = 1536
+
+
+def _clamp_pq_tiles(db: int, tlp: int, k_pad: int,
+                    d_pad: int) -> Tuple[int, int]:
+    """Cap cols=db*tlp so the PQ kernel's decode transients fit scoped VMEM.
+
+    The budget was measured at (K=256, D=128); wider token dims scale the
+    per-column decode planes, so the cap shrinks proportionally with d_pad
+    (k_pad can only be <= 256 — uint8 codes). Shrinks tlp first (multiples
+    of 16; more lp grid steps, same epilogue cadence per doc block), then
+    db (multiple of 8 when possible so the token-major epilogue stays
+    legal)."""
+    cols_max = max(16, _PQ_COLS_MAX * 128 // max(128, d_pad))
+    if db * tlp <= cols_max:
+        return db, tlp
+    tlp_new = max(16, min(tlp, cols_max // max(1, db)) // 16 * 16)
+    db_new = db
+    if db_new * tlp_new > cols_max:
+        db_new = max(1, cols_max // tlp_new)
+        if db_new >= 8:
+            db_new -= db_new % 8
+    return db_new, tlp_new
+
 
 def quantize_books_int8(books) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric int8 quantization of (expanded) codebooks with ONE global
@@ -1157,12 +1191,14 @@ def _maxsim_pq_impl(Q, q_weight, codes, pmask, books,
     nd, lp, m_sub = codes.shape
     qb, lq_pad, db, tlp = _pick_tiles(lq, lp, target_rows, target_cols,
                                       nq=nq)
+    tlp = max(16, tlp)
+    d_pad = _round_up(d, 128)
+    db, tlp = _clamp_pq_tiles(db, tlp, _round_up(books.shape[1], 128), d_pad)
     epilogue, _ = _resolve_epilogue(epilogue, qb, db, interpret=interpret)
 
     nq_pad = _round_up(max(nq, qb), qb)
     nd_pad = _round_up(max(nd, db), db)
     lp_pad = _round_up(lp, tlp)
-    d_pad = _round_up(d, 128)
 
     def padded(x, shape, dtype, fill=0):
         x = x.astype(dtype)

@@ -486,3 +486,28 @@ def test_pq_kernel_small_k_books(rng):
     ref = maxsim_numpy(Q, decode_pq(codes, books), qmask, pmask)
     got = _pq_kernel(Q, codes, qmask, pmask, books, book_quant=False)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pq_clamp_engages_at_chip_oom_geometries():
+    """The PQ kernel's VMEM clamp is Q-BLOCK-INDEPENDENT: three chip probes
+    at cols=db*tlp=3072 scope-OOM'd at 23.3-23.8M for qbl in {1024, 2048,
+    4096} (within 2% of each other — the alloc is per-column decode
+    transients, not a rows*qbl sim plane), so the cap must engage for
+    every qbl. bench_artifacts/tpuq/{verify_r5b,bench_pq3,pqk_headline}.out.
+    """
+    from evdr_tpu.ops.pallas_maxsim import _PQ_COLS_MAX, _clamp_pq_tiles
+
+    # headline shape: lp=768 -> tlp=768, db=4 (cols=3072)
+    db, tlp = _clamp_pq_tiles(4, 768, 256, 128)
+    assert db * tlp <= _PQ_COLS_MAX
+    assert tlp % 16 == 0 and tlp >= 16
+    # small-lp serving shape: lp=16 -> tlp=16, db=192 (cols=3072)
+    db, tlp = _clamp_pq_tiles(192, 16, 256, 128)
+    assert db * tlp <= _PQ_COLS_MAX
+    assert db % 8 == 0  # tokmajor stays legal
+    # already-legal tiles pass through untouched
+    assert _clamp_pq_tiles(8, 128, 256, 128) == (8, 128)
+    # wider token dims shrink the cap proportionally (budget measured at
+    # D=128); K cannot exceed 256 (uint8 codes)
+    db, tlp = _clamp_pq_tiles(8, 128, 256, 256)
+    assert db * tlp <= _PQ_COLS_MAX * 128 // 256
