@@ -64,23 +64,31 @@ def qdq_int4(x):
 def qdq_pq(x, books, pmask=None):
     """Nearest-centroid PQ reconstruction, differentiable-free assignment.
 
-    ``x`` (..., D) splits into M subvectors scored against compact
-    (M, K, D/M) codebooks (ops/pq.py layout); the reconstruction
-    concatenates the winning centroids. Assignment uses the same
-    ||x - c||^2 = ||c||^2 - 2<x, c> (+ const) expansion as the serving
-    encoder, so the chosen codes match ``encode_with_books``.
+    Compact (M, K, D/M) codebooks (ops/pq.py layout): ``x`` (..., D) splits
+    into M subvectors and the reconstruction CONCATENATES the winning
+    centroids. Expanded OPQ (M, K, D) codebooks (ops/pq.expand_books, the
+    shipped PQ form): per-subspace assignment recovers from full-D dots
+    (R is orthogonal — same identity as ``encode_with_books``) and the
+    winning full-width vectors SUM. Assignment uses the
+    ||x - c||^2 = ||c||^2 - 2<x, c> (+ const) expansion either way, so the
+    chosen codes match the serving encoder exactly.
     """
-    m, k, dsub = books.shape
+    m, k, w = books.shape
+    d = x.shape[-1]
     lead = x.shape[:-1]
-    xs = x.reshape(*lead, m, dsub)
-    # (..., M, K) distances via the dot-expansion (||x||^2 constant in argmin)
-    dots = jnp.einsum("...md,mkd->...mk", xs, books)
+    expanded = m > 1 and w == d
+    if expanded:
+        # (..., M, K) full-D dots against each expanded book
+        dots = jnp.einsum("...d,mkd->...mk", x, books)
+    else:
+        xs = x.reshape(*lead, m, w)
+        dots = jnp.einsum("...md,mkd->...mk", xs, books)
     c2 = jnp.sum(books * books, axis=-1)               # (M, K)
     assign = jnp.argmin(c2 - 2.0 * dots, axis=-1)      # (..., M)
     rec = jnp.take_along_axis(
-        jnp.broadcast_to(books, (*lead, m, k, dsub)),
-        assign[..., None, None], axis=-2)[..., 0, :]
-    rec = rec.reshape(*lead, m * dsub)
+        jnp.broadcast_to(books, (*lead, m, k, w)),
+        assign[..., None, None], axis=-2)[..., 0, :]   # (..., M, w)
+    rec = rec.sum(axis=-2) if expanded else rec.reshape(*lead, m * w)
     # masked tokens must reconstruct to 0: the nearest centroid to 0 is
     # generally NOT 0 (serving masks those columns — encode_pq zeroes their
     # codes — and downstream consumers of Ps, e.g. hardtoken mining, rely
@@ -98,12 +106,12 @@ def qdq_pq(x, books, pmask=None):
 def qat_apply(Ps, cfg_qat: str, books=None, pmask=None):
     """Serving-form STE pass over the normalized student ``Ps``.
 
-    ``cfg_qat``: 'none' (identity), 'int8', 'int4', or 'pq' (needs the
-    replicated codebooks trained on the init student — see
-    harness._maybe_qat_books). Masked tokens are all-zero in Ps and
-    reconstruct to exact 0 under the symmetric tiers; PQ needs ``pmask``
-    to match the serving encoder exactly when a LIVE token is all-zero
-    (see :func:`qdq_pq`).
+    ``cfg_qat``: 'none' (identity), 'int8', 'int4', 'pq', or 'opq' (the
+    last two need the replicated codebooks trained on the current student —
+    compact for 'pq', expanded for 'opq'; see harness eval_now). Masked
+    tokens are all-zero in Ps and reconstruct to exact 0 under the
+    symmetric tiers; PQ needs ``pmask`` to match the serving encoder
+    exactly when a LIVE token is all-zero (see :func:`qdq_pq`).
     """
     if cfg_qat == "none":
         return Ps
@@ -111,8 +119,8 @@ def qat_apply(Ps, cfg_qat: str, books=None, pmask=None):
         return ste(Ps, qdq_int8(Ps))
     if cfg_qat == "int4":
         return ste(Ps, qdq_int4(Ps))
-    if cfg_qat == "pq":
+    if cfg_qat in ("pq", "opq"):
         if books is None:
-            raise ValueError("qat='pq' needs trained codebooks")
+            raise ValueError(f"qat={cfg_qat!r} needs trained codebooks")
         return ste(Ps, qdq_pq(Ps, books, pmask=pmask))
     raise ValueError(f"unknown qat tier {cfg_qat!r}")

@@ -95,11 +95,17 @@ def build_argparser() -> argparse.ArgumentParser:
                         "in the packed SERVING format at this storage tier "
                         "(drops straight into evdr-serve / from_npz)")
     p.add_argument("--qat", default=defaults.qat,
-                   choices=("none", "int8", "int4", "pq"),
+                   choices=("none", "int8", "int4", "pq", "opq"),
                    help="quantization-aware distillation: train against the "
                         "serving-dtype reconstruction (straight-through "
                         "gradients) so the exported index quantizes with "
-                        "less quality loss (ops/qat.py)")
+                        "less quality loss (ops/qat.py); 'opq' trains "
+                        "against the shipped rotated-PQ form")
+    p.add_argument("--qat_select_all", action="store_true",
+                   help="legacy best-checkpoint window: allow pre-STE-switch "
+                        "checkpoints to win selection (default restricts the "
+                        "window to post-switch steps so a QAT artifact "
+                        "always exercised the STE tail)")
     p.add_argument("--qat_pq_m", type=int, default=defaults.qat_pq_m,
                    help="subvector count for --qat pq codebooks; must match "
                         "the serving/export pq_m")
@@ -127,6 +133,7 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
     fields = {f.name for f in dataclasses.fields(TrainConfig)}
     kwargs = {k: v for k, v in vars(args).items() if k in fields}
     kwargs["precompute_teacher"] = not args.no_precompute_teacher
+    kwargs["qat_select_post"] = not args.qat_select_all
     return TrainConfig(**kwargs).validate()
 
 

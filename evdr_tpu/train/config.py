@@ -107,9 +107,12 @@ class TrainConfig:
     # student at every eval (the grid tracks the drifting embeddings) and
     # exports the final books with the best npz ("qat_books" key) — serve
     # with those, not a refit.
-    qat: str = "none"                      # none|int8|int4|pq
-    # subvector count for qat='pq' codebooks — MUST match the geometry the
-    # index will be served/exported with (engine pq_m / convert_packed
+    # 'opq' = the shipped PQ form: expanded rotated codebooks
+    # (ops/pq.expand_books); refits train_opq at every eval and serves via
+    # engine pq_opq=True / the exported expanded qat_books
+    qat: str = "none"                      # none|int8|int4|pq|opq
+    # subvector count for qat='pq'/'opq' codebooks — MUST match the geometry
+    # the index will be served/exported with (engine pq_m / convert_packed
     # --pq_m), or training targets the wrong quantization grid
     qat_pq_m: int = 16
     # QAT as a FINE-TUNE phase: the first frac*max_steps train WITHOUT the
@@ -119,6 +122,14 @@ class TrainConfig:
     # the tail adapts to the serving grid. Serving-form eval/selection
     # applies for the whole run either way. 0.0 = STE from step 0.
     qat_start_frac: float = 0.0
+    # best-checkpoint selection window under a QAT fine-tune phase: when
+    # True (default) best trackers only update at steps >= the STE switch,
+    # so a "QAT" artifact is never a checkpoint from before the mechanism
+    # engaged (VERDICT r4: several round-4 matrix cells selected pre-switch
+    # checkpoints — those cells measured post-hoc quantization twice, not
+    # QAT). False = legacy whole-run window (both numbers reportable via
+    # two runs). No effect when qat='none' or qat_start_frac=0.
+    qat_select_post: bool = True
     resume: bool = False
     # multi-device training: shard the student/teacher doc axis over an
     # N-device mesh (global-softmax losses via XLA collectives,
@@ -155,11 +166,11 @@ class TrainConfig:
                                       "int4", "pq", "opq"):
             raise ValueError(
                 f"unknown export_packed {self.export_packed!r}")
-        if self.qat not in ("none", "int8", "int4", "pq"):
+        if self.qat not in ("none", "int8", "int4", "pq", "opq"):
             raise ValueError(f"unknown qat tier {self.qat!r}")
-        if self.qat == "pq" and self.mesh_docs > 1:
-            raise ValueError("qat='pq' is single-device for now (the "
-                             "codebook arg is not threaded through the "
+        if self.qat in ("pq", "opq") and self.mesh_docs > 1:
+            raise ValueError(f"qat={self.qat!r} is single-device for now "
+                             "(the codebook arg is not threaded through the "
                              "sharded step); int8/int4 QAT shard fine")
         if not 0.0 <= self.qat_start_frac < 1.0:
             raise ValueError(

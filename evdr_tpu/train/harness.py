@@ -618,6 +618,19 @@ def evaluation_loss(cfg: TrainConfig, bundle: DatasetBundle, param, pmask_studen
     return out
 
 
+def _fit_qat_books(cfg: TrainConfig, Ps_np: np.ndarray, pm_np: np.ndarray):
+    """Codebooks for the PQ-family QAT tiers, in their SERVING form: compact
+    (M, K, D/M) for qat='pq', expanded rotated (M, K, D) for qat='opq' (the
+    shipped PQ — ops/pq.expand_books). Both qat_apply's STE assignment and
+    the exported qat_books then match the serving encoder exactly."""
+    from evdr_tpu.ops.pq import expand_books, train_opq, train_pq
+
+    if cfg.qat == "opq":
+        obooks, rot = train_opq(Ps_np, pm_np, m=cfg.qat_pq_m, seed=cfg.seed)
+        return jnp.asarray(expand_books(obooks, rot))
+    return jnp.asarray(train_pq(Ps_np, pm_np, m=cfg.qat_pq_m, seed=cfg.seed))
+
+
 def update_best(best: Optional[Dict[str, Any]], metrics: Dict[str, Any],
                 step: int, kind: str) -> Tuple[Dict[str, Any], bool]:
     """Best tracking with tie-breaks (mainv2_iter_liscore.py:407-426)."""
@@ -974,17 +987,14 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
             # and measured QAT worse than post-hoc).
             from evdr_tpu.ops.qat import qat_apply
 
-            if cfg.qat == "pq":
+            if cfg.qat in ("pq", "opq"):
                 # refit the codebooks on the CURRENT student (see the
                 # qat_books init comment); swapping the value through
                 # train_step.data is recompile-free (same shape jit arg)
-                from evdr_tpu.ops.pq import train_pq
-
                 Ps_np = np.asarray(l2_normalize(
                     param * pmask_student[..., None].astype(jnp.float32)))
-                qat_books = jnp.asarray(train_pq(
-                    Ps_np, np.asarray(pmask_student), m=cfg.qat_pq_m,
-                    seed=cfg.seed))
+                qat_books = _fit_qat_books(cfg, Ps_np,
+                                           np.asarray(pmask_student))
                 try:
                     train_step.data["qat_books"] = qat_books
                 except NameError:
@@ -1039,14 +1049,10 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
     # final books are exported with the best npz so serving uses the exact
     # training grid.
     qat_books = None
-    if cfg.qat == "pq":
-        from evdr_tpu.ops.pq import train_pq
-
+    if cfg.qat in ("pq", "opq"):
         Ps0 = np.asarray(l2_normalize(
             jnp.asarray(param) * pmask_student[..., None].astype(jnp.float32)))
-        qat_books = jnp.asarray(
-            train_pq(Ps0, np.asarray(pmask_student), m=cfg.qat_pq_m,
-                     seed=cfg.seed))
+        qat_books = _fit_qat_books(cfg, Ps0, np.asarray(pmask_student))
 
     step0 = 0
     ckpt_path = out_dir / ("ckpt.orbax" if cfg.checkpoint_backend == "orbax"
@@ -1060,6 +1066,12 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
 
         resuming = bool(int(np.asarray(multihost_utils.broadcast_one_to_all(
             np.asarray(int(resuming), dtype=np.int32)))))
+    # QAT fine-tune selection window (cfg.qat_select_post): best-checkpoint
+    # updates are restricted to steps >= the STE switch, so a "QAT" artifact
+    # is never a pre-switch checkpoint on which the mechanism never ran
+    # (the final eval always falls inside the window — start_frac < 1)
+    select_post = (cfg.qat != "none" and cfg.qat_start_frac > 0
+                   and cfg.qat_select_post)
     if not resuming:
         # step-0 eval (regression baseline: init metrics must match the
         # pooled index). Skipped on resume — the checkpoint carries the best
@@ -1068,8 +1080,14 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
         metrics0 = eval_now(0)
         log_json(logger, {"dataset": dataset, "mf": mf, "step": 0,
                           "note": "init Pbar before training"})
-        best_r1, _ = update_best(None, metrics0, 0, "r1")
-        best_nd5, _ = update_best(None, metrics0, 0, "nd5")
+        if select_post:
+            best_r1 = best_nd5 = None   # seeded by the first in-window eval
+            log_json(logger, {"note": "qat_select_post: best-checkpoint "
+                              "window starts at the STE switch",
+                              "qat_start_frac": cfg.qat_start_frac})
+        else:
+            best_r1, _ = update_best(None, metrics0, 0, "r1")
+            best_nd5, _ = update_best(None, metrics0, 0, "nd5")
         last_metrics = metrics0
     if resuming:
         if mesh is not None:
@@ -1302,8 +1320,14 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
         if (step % eval_every == 0) or (step == max_steps):
             metrics = eval_now(step)
             last_metrics = metrics
-            best_r1, upd_r1 = update_best(best_r1, metrics, step, "r1")
-            best_nd5, upd_nd5 = update_best(best_nd5, metrics, step, "nd5")
+            if select_post and step < qat_switch:
+                # pre-switch eval: logged for the trajectory, but outside
+                # the best-checkpoint window (see select_post above)
+                upd_r1 = upd_nd5 = False
+            else:
+                best_r1, upd_r1 = update_best(best_r1, metrics, step, "r1")
+                best_nd5, upd_nd5 = update_best(best_nd5, metrics, step,
+                                                "nd5")
             if upd_r1 or upd_nd5:
                 # best-tracking decisions are identical on every process
                 # (same score matrices), so the collective gathers below run

@@ -16,7 +16,14 @@ preservation objective (criterion.py:74-83) to the serving dtype; the
 reference itself has no quantized serving tier.
 
     python scripts/qat_quality.py [--datasets tatdqa arxivqa] [--mfs 25 50]
-        [--tiers int4 pq] [--max_steps 23460] [--out /tmp/evdr_qatq]
+        [--tiers int4 pq opq] [--qat_start_fracs 0.5 0.75 0.9]
+        [--max_steps 23460] [--out /tmp/evdr_qatq]
+
+Round-5 additions (VERDICT r4 #5): 'opq' rows (the shipped PQ form — QAT
+trains against expanded rotated books and serves with them), a
+--qat_start_fracs sweep, and per-row STE-engagement evidence (best_step vs
+qat_switch_step; the harness's qat_select_post default guarantees
+best_step >= switch, so no measured QAT cell can be a pre-STE checkpoint).
 
 Re-runs skip any training cell whose best_ndcg5.npz already exists, so the
 script is resumable and the evaluation sweep is cheap to repeat.
@@ -44,7 +51,7 @@ def _student_dir(out, name, mf, ds):
     return pathlib.Path(out) / "results" / name / f"mf{mf}" / ds
 
 
-def _train_missing(a, data_root, out, name, qat):
+def _train_missing(a, data_root, out, name, qat, start_frac):
     from evdr_tpu.train.config import TrainConfig
     from evdr_tpu.train.harness import run_training
 
@@ -68,21 +75,28 @@ def _train_missing(a, data_root, out, name, qat):
             eval_every=a.eval_every, print_every=4096, q_batch=32, lr=1e-3,
             chunk_p=128, steps_per_dispatch=a.steps_per_dispatch, seed=a.seed,
             qat=qat, qat_pq_m=a.pq_m,
-            qat_start_frac=(a.qat_start_frac if qat != "none" else 0.0))
+            qat_start_frac=(start_frac if qat != "none" else 0.0))
         run_training(cfg)
-    print(json.dumps({"trained": name, "qat": qat, "cells": len(missing),
+    print(json.dumps({"trained": name, "qat": qat,
+                      "start_frac": start_frac, "cells": len(missing),
                       "wall_s": round(time.time() - t0, 1)}), flush=True)
 
 
 def _metrics_for(npz_path, bundle, dtype, pq_m):
-    """Serve the saved student through the engine at ``dtype``; mteb metrics."""
+    """Serve the saved student through the engine at ``dtype``; mteb metrics.
+
+    ``dtype='opq'`` = the shipped PQ form: engine dtype='pq' with
+    pq_opq=True (rotation learned at build and folded into expanded books).
+    QAT students ship the exact (compact OR expanded) books they trained
+    against; those override the engine's refit regardless of tier."""
     from evdr_tpu.engine import RetrievalEngine
     from evdr_tpu.eval.evaluator import (CustomRetrievalEvaluator,
                                          scores_to_results)
 
     z = np.load(npz_path, allow_pickle=True)
-    eng = RetrievalEngine(dtype=dtype, impl="xla", pq_m=pq_m)
-    if dtype == "pq" and "qat_books" in z.files:
+    eng = RetrievalEngine(dtype="pq" if dtype == "opq" else dtype,
+                          impl="xla", pq_m=pq_m, pq_opq=(dtype == "opq"))
+    if dtype in ("pq", "opq") and "qat_books" in z.files:
         # QAT-pq students ship the codebooks they trained (and were
         # best-selected) against — serving with a refit grid would measure
         # a different quantizer than the one training optimized for
@@ -114,7 +128,8 @@ def main():
     p.add_argument("--datasets", type=str, nargs="+",
                    default=["tatdqa", "arxivqa"])
     p.add_argument("--mfs", type=int, nargs="+", default=[25, 50])
-    p.add_argument("--tiers", type=str, nargs="+", default=["int4", "pq"])
+    p.add_argument("--tiers", type=str, nargs="+",
+                   default=["int4", "pq", "opq"])
     p.add_argument("--loss", type=str, default="liscore_std",
                    help="flagship recipe (plain liscore collapses at mf25 — "
                         "RESULTS.md matrix section)")
@@ -122,10 +137,12 @@ def main():
     p.add_argument("--eval_every", type=int, default=4096)
     p.add_argument("--steps_per_dispatch", type=int, default=32)
     p.add_argument("--pq_m", type=int, default=16)
-    p.add_argument("--qat_start_frac", type=float, default=0.9,
-                   help="QAT fine-tune phase: first frac of steps train "
-                        "without the STE pass (from-scratch STE measurably "
-                        "degraded the student — RESULTS.md round-4 study)")
+    p.add_argument("--qat_start_fracs", type=float, nargs="+", default=[0.9],
+                   help="QAT fine-tune phase sweep: first frac of steps "
+                        "train without the STE pass (from-scratch STE "
+                        "measurably degraded the student — RESULTS.md "
+                        "round-4 study). Multiple values train one student "
+                        "per (tier, frac); rows carry start_frac.")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="/tmp/evdr_qatq")
     p.add_argument("--platform", type=str, default="auto",
@@ -160,9 +177,18 @@ def main():
         else:
             register_dataset(ds, f"{ds}_test", mfs=tuple(a.mfs))
 
-    runs = [("qatq_base", "none")] + [(f"qatq_{t}", t) for t in a.tiers]
-    for name, qat in runs:
-        _train_missing(a, data_root, out, name, qat)
+    def _name(tier, frac):
+        # the historic single-frac names stay stable so finished round-4
+        # cells resume instead of retraining
+        if frac == a.qat_start_fracs[0]:
+            return f"qatq_{tier}"
+        return f"qatq_{tier}_sf{int(round(frac * 100)):02d}"
+
+    _train_missing(a, data_root, out, "qatq_base", "none",
+                   a.qat_start_fracs[0])
+    cells = [(t, f) for t in a.tiers for f in a.qat_start_fracs]
+    for tier, frac in cells:
+        _train_missing(a, data_root, out, _name(tier, frac), tier, frac)
 
     # evaluation sweep: bundle loads are per-dataset (mf-independent)
     eval_cfg = TrainConfig(
@@ -175,16 +201,31 @@ def main():
         for mf in a.mfs:
             base_npz = _student_dir(out, "qatq_base", mf, ds) / "best_ndcg5.npz"
             m_base = _metrics_for(base_npz, bundle, "float32", a.pq_m)
-            for tier in a.tiers:
+            for tier, frac in cells:
                 m_posthoc = _metrics_for(base_npz, bundle, tier, a.pq_m)
-                qat_npz = (_student_dir(out, f"qatq_{tier}", mf, ds)
+                qat_npz = (_student_dir(out, _name(tier, frac), mf, ds)
                            / "best_ndcg5.npz")
                 m_qat = _metrics_for(qat_npz, bundle, tier, a.pq_m)
                 # diagnostic: the QAT student's UNQUANTIZED quality — a
                 # large drop here means the STE phase hurt the underlying
                 # student, not just failed to help the tier
                 m_qat_fp = _metrics_for(qat_npz, bundle, "float32", a.pq_m)
-                row = {"dataset": ds, "mf": mf, "tier": tier}
+                row = {"dataset": ds, "mf": mf, "tier": tier,
+                       "start_frac": frac}
+                # STE-engagement evidence: the selected checkpoint's step
+                # vs the STE switch. With harness qat_select_post (the
+                # default) best_step >= switch ALWAYS holds — recorded so
+                # every row is self-certifying (VERDICT r4: round-4 cells
+                # silently selected pre-switch checkpoints).
+                try:
+                    zq = np.load(qat_npz, allow_pickle=True)
+                    meta = zq["meta"].item() if "meta" in zq.files else {}
+                    row["best_step"] = int(meta.get("step", -1))
+                except Exception:
+                    row["best_step"] = -1
+                row["qat_switch_step"] = int(frac * a.max_steps)
+                row["ste_engaged"] = bool(
+                    row["best_step"] >= row["qat_switch_step"] >= 0)
                 for k in ("NDCG@5", "Recall@1"):
                     row[f"base_fp32_{k}"] = round(m_base[k], 5)
                     row[f"posthoc_delta_{k}"] = round(

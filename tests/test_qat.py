@@ -228,3 +228,79 @@ def test_qat_start_frac_validation():
     with pytest.raises(ValueError):
         TrainConfig(datasets=["x"], qat_start_frac=-0.1).validate()
     TrainConfig(datasets=["x"], qat="int8", qat_start_frac=0.9).validate()
+
+
+def test_qdq_pq_expanded_opq_books_matches_serving_reconstruction():
+    """qat='opq' trains against EXPANDED rotated books (the shipped PQ
+    form): qdq_pq's full-D assignment + sum-decode must reproduce the
+    serving encoder/decoder on the same books."""
+    from evdr_tpu.ops.pq import expand_books, train_opq
+
+    Ps, pmask = _student(seed=8, n=24, lp=8, d=16)
+    obooks, rot = train_opq(Ps, pmask, m=4, k=8, iters=4, opq_iters=2,
+                            seed=0)
+    ebooks = expand_books(obooks, rot)
+    codes = encode_with_books(Ps, ebooks, pmask)
+    ref = decode_pq(codes, ebooks, expanded=True)
+    ref[~pmask] = 0.0
+    got = np.array(qdq_pq(jnp.asarray(Ps), jnp.asarray(ebooks)))
+    got[~pmask] = 0.0
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-6)
+
+
+def test_training_with_qat_opq_runs(fixture_root, tmp_path):
+    from evdr_tpu.train.config import TrainConfig
+    from evdr_tpu.train.harness import run_training
+
+    cfg = TrainConfig(
+        datasets=["synth"], query_root=str(fixture_root),
+        teacher_root=str(fixture_root),
+        init_root=str(fixture_root / "S3E_init"),
+        mfs=[5], out_root=str(tmp_path / "results"), name="qat_opq",
+        max_steps=4, eval_every=4, print_every=4, q_batch=8, loss="liscore",
+        k=6, temp=0.1, chunk_p=8, qat="opq", qat_pq_m=4)
+    results = run_training(cfg)
+    best = results["synth/mf5"]["summary/best_ndcg5"]
+    assert np.isfinite(best["NDCG@5"])
+
+
+def test_fit_qat_books_layouts():
+    """qat='pq' fits compact (M, K, D/M) books; qat='opq' fits the shipped
+    EXPANDED (M, K, D) rotated form (what qat_apply trains against and the
+    best npz exports as qat_books)."""
+    from evdr_tpu.train.config import TrainConfig
+    from evdr_tpu.train.harness import _fit_qat_books
+
+    Ps, pmask = _student(seed=9, n=24, lp=8, d=16)
+    cfg_pq = TrainConfig(datasets=["x"], qat="pq", qat_pq_m=4)
+    cfg_opq = TrainConfig(datasets=["x"], qat="opq", qat_pq_m=4)
+    b_pq = np.asarray(_fit_qat_books(cfg_pq, Ps, pmask))
+    b_opq = np.asarray(_fit_qat_books(cfg_opq, Ps, pmask))
+    assert b_pq.shape == (4, 256, 4)
+    assert b_opq.shape == (4, 256, 16)
+
+
+def test_qat_select_post_restricts_best_window(fixture_root, tmp_path):
+    """With a QAT fine-tune phase, best-checkpoint selection only sees
+    post-STE-switch evals (default qat_select_post): VERDICT r4 found
+    matrix cells whose 'QAT' artifact predated the switch — those measured
+    post-hoc quantization twice. Here evals run at steps 0/4/8 with the
+    switch at 6: the selected best MUST be step 8 regardless of metrics."""
+    from evdr_tpu.train.config import TrainConfig
+    from evdr_tpu.train.harness import run_training
+
+    base = dict(
+        datasets=["synth"], query_root=str(fixture_root),
+        teacher_root=str(fixture_root),
+        init_root=str(fixture_root / "S3E_init"),
+        mfs=[5], out_root=str(tmp_path / "results"),
+        max_steps=8, eval_every=4, print_every=8, q_batch=8, loss="liscore",
+        k=6, temp=0.1, chunk_p=8, qat="int8", qat_start_frac=0.75)
+    results = run_training(TrainConfig(**base, name="selpost"))
+    best = results["synth/mf5"]["summary/best_ndcg5"]
+    assert best["step"] == 8, best
+    # legacy window (qat_select_post=False): step 0/4 evals are eligible
+    results = run_training(TrainConfig(**base, name="selall",
+                                       qat_select_post=False))
+    best = results["synth/mf5"]["summary/best_ndcg5"]
+    assert best["step"] in (0, 4, 8), best
