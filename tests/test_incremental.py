@@ -245,6 +245,9 @@ def test_delete_never_recompiles_the_search_program(rng):
         assert topk_mod._single_device_merged_topk._cache_size() == sizes0
 
 
+# slow: full compact e2e (~6s); compact_rebuilds_pruning_summaries,
+# compact_failure_restores_state and compact_positional_ids stay fast
+@pytest.mark.slow
 def test_compact_preserves_results_and_ids(rng):
     """compact() folds tail + drops tombstones: post-compact searches must
     return the same (id, score) results as the incremental engine did, for
@@ -308,6 +311,9 @@ def test_compact_rebuilds_pruning_summaries(rng):
     assert eng.ids_for(idx)[0][0] == "n1"
 
 
+# slow: 8-device merge path (~4s); single-device incremental tests
+# stay fast and the driver dryrun exercises the mesh engine each round
+@pytest.mark.slow
 def test_incremental_on_multi_device_mesh(rng):
     """add/delete on an 8-device doc-sharded engine (the host-merge path
     with bucketed over-fetch): results equal the single-device engine's,
@@ -346,6 +352,9 @@ def test_incremental_on_multi_device_mesh(rng):
     assert "t2" not in {x for row in idsp for x in row}
 
 
+# slow: threaded HTTP stress (~3s); the deterministic add/delete/HTTP
+# tests cover the same surfaces in the fast loop
+@pytest.mark.slow
 def test_concurrent_search_add_delete_stress(rng):
     """Randomized interleaving of searches, adds and deletes from many
     threads through the HTTP surface: no deadlocks, no 5xx, and the final
@@ -406,6 +415,9 @@ def test_concurrent_search_add_delete_stress(rng):
     srv.server_close()
 
 
+# slow: all-tier roundtrip (~4s); the pq roundtrip + /save endpoint
+# tests keep the persistence path in the fast loop
+@pytest.mark.slow
 def test_save_npz_roundtrips_every_tier(rng, tmp_path):
     """save_npz persists the logical corpus (tail merged, tombstones
     dropped); from_npz on a same-dtype engine reproduces the incremental

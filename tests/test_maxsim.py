@@ -247,6 +247,15 @@ def test_pallas_tokmajor_epilogues_match_oracle(rng, epilogue):
     np.testing.assert_allclose(got8, want8, rtol=1e-4, atol=1e-4)
 
 
+def _fuzz_trials(full: int) -> int:
+    """Fast loop runs a PREFIX of the same derandomized trial sequence
+    (rng fixture is seeded); test_shape_fuzz_full_sweeps (slow) re-runs
+    all three fuzzes at the full counts."""
+    import os
+
+    return full if os.environ.get("EVDR_FULL_FUZZ") else max(3, full // 3)
+
+
 def test_pallas_shape_fuzz_matches_oracle(rng):
     """Randomized shape/mask sweep: the fused kernel (fp32, interpret) must
     match the numpy oracle across awkward shapes — single-token queries/docs,
@@ -256,7 +265,7 @@ def test_pallas_shape_fuzz_matches_oracle(rng):
     from evdr_tpu.ops.maxsim import maxsim_numpy
     from evdr_tpu.ops.pallas_maxsim import _maxsim_pallas_fwd
 
-    for trial in range(12):
+    for trial in range(_fuzz_trials(12)):
         nq = int(rng.integers(1, 9))
         lq = int(rng.integers(1, 13))
         nd = int(rng.integers(1, 23))
@@ -291,7 +300,7 @@ def test_pallas_int8_shape_fuzz_matches_oracle(rng):
     from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int8
     from evdr_tpu.ops.quantize import dequantize_int8, quantize_tokens_int8
 
-    for trial in range(8):
+    for trial in range(_fuzz_trials(8)):
         nq = int(rng.choice([1, 7, 130, 256]))
         lq = int(rng.integers(1, 13))
         nd = int(rng.integers(1, 23))
@@ -327,7 +336,7 @@ def test_pallas_int4_shape_fuzz_matches_oracle(rng):
     from evdr_tpu.ops.maxsim import maxsim_numpy
     from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int4
 
-    for trial in range(8):
+    for trial in range(_fuzz_trials(8)):
         nq = int(rng.choice([1, 7, 130, 256]))
         lq = int(rng.integers(1, 13))
         nd = int(rng.integers(1, 23))
@@ -353,8 +362,13 @@ def test_pallas_int4_shape_fuzz_matches_oracle(rng):
             err_msg=f"trial {trial}: nq={nq} lq={lq} nd={nd} lp={lp} d={d}")
 
 
-@pytest.mark.parametrize("n_docs,lp,cols", [(9, 16, 128), (40, 64, 512),
-                                            (3, 16, 128)])
+@pytest.mark.parametrize("n_docs,lp,cols", [
+    # deferred is a measured-and-REJECTED variant (RESULTS.md) kept for
+    # parity; the fast loop keeps the single-doc-block case, the
+    # multi-block grids run under -m "slow or not slow"
+    (3, 16, 128),
+    pytest.param(9, 16, 128, marks=pytest.mark.slow),
+    pytest.param(40, 64, 512, marks=pytest.mark.slow)])
 def test_pallas_int8_deferred_epilogue_matches(rng, n_docs, lp, cols):
     """The deferred-epilogue kernel (block j's Lq-sum emitted during block
     j+1's matmul, one extra doc grid column) must produce identical scores
@@ -410,3 +424,13 @@ def test_pick_tiles_clamps_query_block_to_nq():
     # nq omitted (bwd-compat callers): unclamped
     qb, _, _, _ = _pick_tiles(32, 16, target_rows=4096, target_cols=3072)
     assert qb == 128
+
+
+@pytest.mark.slow
+def test_shape_fuzz_full_sweeps(monkeypatch):
+    """Full-count fuzz sweeps (the fast loop runs a prefix of the same
+    derandomized sequences — see _fuzz_trials)."""
+    monkeypatch.setenv("EVDR_FULL_FUZZ", "1")
+    test_pallas_shape_fuzz_matches_oracle(np.random.default_rng(0))
+    test_pallas_int8_shape_fuzz_matches_oracle(np.random.default_rng(0))
+    test_pallas_int4_shape_fuzz_matches_oracle(np.random.default_rng(0))

@@ -29,7 +29,7 @@ def test_fwd_train_scores_match_oracle():
     assert np.isfinite(np.asarray(M)).all() or True  # M may hold NEG_INIT fills
 
 
-@pytest.mark.parametrize("seed", [0, 3])
+@pytest.mark.parametrize("seed", [0, pytest.param(3, marks=pytest.mark.slow)])
 def test_fused_bwd_matches_xla_vjp(seed):
     Q, P, qmask, pmask = _inputs(seed=seed, n_docs=8, n_queries=5, dim=32)
     rng = np.random.default_rng(seed)
@@ -114,8 +114,11 @@ def test_custom_vjp_end_to_end_interpret():
 @pytest.mark.parametrize("shape", [
     (1, 1, 1, 1, 8),        # degenerate minima
     (3, 5, 2, 17, 48),      # nothing divides any tile
-    (9, 33, 11, 129, 128),  # just past tile boundaries
-    (17, 8, 130, 16, 64),   # docs > doc-block
+    # the larger grids (~3s each, interpret mode) run in full mode only
+    pytest.param((9, 33, 11, 129, 128),   # just past tile boundaries
+                 marks=pytest.mark.slow),
+    pytest.param((17, 8, 130, 16, 64),    # docs > doc-block
+                 marks=pytest.mark.slow),
 ])
 def test_fwd_bwd_shape_sweep_interpret(shape):
     nq, lq, nd, lp, d = shape

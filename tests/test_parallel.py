@@ -75,8 +75,16 @@ def test_sharded_topk_excludes_padded_docs(mesh):
     assert int(np.asarray(gidx).max()) < 21
 
 
-@pytest.mark.parametrize("loss", ["liscore", "liscore_std", "listwise",
-                                  "infonce_distill", "score", "spl", "ranknet"])
+@pytest.mark.parametrize("loss", [
+    # fast loop keeps one global-softmax loss (liscore) and one
+    # listwise-normalized loss (listwise); the remaining five share the
+    # identical sharding plumbing and run under -m "slow or not slow"
+    "liscore", "listwise",
+    pytest.param("liscore_std", marks=pytest.mark.slow),
+    pytest.param("infonce_distill", marks=pytest.mark.slow),
+    pytest.param("score", marks=pytest.mark.slow),
+    pytest.param("spl", marks=pytest.mark.slow),
+    pytest.param("ranknet", marks=pytest.mark.slow)])
 def test_sharded_train_step_matches_unsharded(mesh, loss):
     c, Q, qmask, Pn, pmask = _corpus(seed=3, n_docs=19)
     init = pooled_init_index(c, mf=4, seed=3)
@@ -135,7 +143,9 @@ def test_sharded_train_step_matches_unsharded(mesh, loss):
                                rtol=1e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize("tier", ["int8", "int4"])
+@pytest.mark.parametrize("tier", [
+    # int4 shares int8's doc-independent STE plumbing — slow-only
+    "int8", pytest.param("int4", marks=pytest.mark.slow)])
 def test_sharded_qat_step_matches_unsharded(mesh, tier):
     # the per-token quantize->dequantize STE pass is doc-independent, so the
     # shard-local application must reproduce the single-device step exactly
@@ -194,6 +204,9 @@ def test_sharded_qat_step_matches_unsharded(mesh, tier):
                                rtol=1e-4, atol=2e-5)
 
 
+# slow: 7-loss sweep (~8s); test_sharded_train_step_matches_unsharded
+# drives the same sharded loss fns per-loss (liscore/listwise fast)
+@pytest.mark.slow
 def test_sharded_losses_match_dense_directly(mesh):
     # direct check of the collective loss forms vs the dense functions
     rng = np.random.default_rng(0)
@@ -246,9 +259,14 @@ def test_chunked_topk_exact_large():
         assert set(np.asarray(i[q]).tolist()) == set(want.tolist())
 
 
+@pytest.mark.slow
 def test_cli_mesh_training_matches_unsharded(tmp_path):
     """run_training with --mesh_docs 8 must reproduce the unsharded run's
-    losses and metrics step for step (VERDICT r1 item 5)."""
+    losses and metrics step for step (VERDICT r1 item 5). Slow-marked: two
+    full 20-step training runs (~15s); the per-step sharded-vs-dense parity
+    is covered by test_sharded_train_step_matches_unsharded in the fast
+    loop, and the driver's dryrun_multichip exercises the CLI mesh path
+    every round."""
     import json
     import re
     from pathlib import Path
@@ -292,6 +310,10 @@ def test_cli_mesh_training_matches_unsharded(tmp_path):
                                        err_msg=f"{key} @ step {step}")
 
 
+# slow: two full mesh training runs (~14s cold); the npz resume semantics
+# (test_checkpoint_resume*), sharded-step parity, and the driver's
+# per-round dryrun_multichip cover the pieces in the fast loop
+@pytest.mark.slow
 def test_mesh_training_checkpoint_resume(tmp_path):
     """Sharded checkpoint -> resume must re-shard state and keep training."""
     from evdr_tpu.data.synthetic import write_dataset_fixture

@@ -190,17 +190,17 @@ def test_opq_reduces_reconstruction_error_on_correlated_tokens(rng):
     from evdr_tpu.ops.pq import expand_books, train_opq, train_pq
 
     d, m = 64, 16
-    latent = rng.normal(size=(2000, 12)).astype(np.float32)
+    latent = rng.normal(size=(1200, 12)).astype(np.float32)
     mix = rng.normal(size=(12, d)).astype(np.float32)
-    X = (latent @ mix + 0.05 * rng.normal(size=(2000, d))).astype(np.float32)
+    X = (latent @ mix + 0.05 * rng.normal(size=(1200, d))).astype(np.float32)
     X /= np.linalg.norm(X, axis=-1, keepdims=True)
-    P = X.reshape(200, 10, d)
-    pmask = np.ones((200, 10), bool)
+    P = X.reshape(120, 10, d)
+    pmask = np.ones((120, 10), bool)
 
-    books_pq = train_pq(P, pmask, m=m, iters=8, seed=0)
+    books_pq = train_pq(P, pmask, m=m, iters=6, seed=0)
     err_pq = np.mean((decode_pq(encode_pq(P, books_pq, pmask), books_pq)
                       - P) ** 2)
-    books_o, rot = train_opq(P, pmask, m=m, iters=8, opq_iters=6, seed=0)
+    books_o, rot = train_opq(P, pmask, m=m, iters=6, opq_iters=4, seed=0)
     codes_o = encode_pq(P, books_o, pmask, rot=rot)
     rec_o = decode_pq(codes_o, expand_books(books_o, rot), expanded=True)
     err_opq = np.mean((rec_o - P) ** 2)
@@ -292,6 +292,7 @@ def test_encode_pq_device_matches_host_encoder(rng):
     assert float(np.mean(host_o == dev_o)) >= 0.999
 
 
+@pytest.mark.slow
 def test_opq_beats_pq_retrieval_on_correlated_corpus(rng):
     """The OPQ retrieval win, not just the MSE win: correlated tokens +
     noisy queries (near-tie regime) at the aggressive m=8 tier — the
