@@ -319,6 +319,46 @@ def main():
             "index_bytes": int(a.n_docs * a.lp * a.pq_m)})
         del OQd, EBd, opq_codes
 
+    # --- PLAID combo at the PQ tier (engine: dtype='pq' + prune_centroids):
+    # stage-1 scores a small bf16 summary index (k_centroids tokens/page —
+    # the engine keeps PQ summaries at bf16, engine.py ~191), stage-2
+    # decodes and exactly reranks only n_cand candidates, fused in ONE
+    # program (ops/pruned.pruned_topk_fused). Summaries are built from the
+    # PQ RECONSTRUCTIONS — what a PQ-only store can actually provide (the
+    # engine's compact() path does the same) — so recall is reported vs the
+    # tier's own exact (fused-PQ-kernel) top-k, not vs fp32.
+    if on_tpu and not done("pq_pruned"):
+        from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_pq
+        from evdr_tpu.ops.pq import decode_pq
+        from evdr_tpu.ops.pruned import (build_summary_tokens, pruned_recall,
+                                         pruned_topk_fused)
+
+        kc, n_cand = 4, 1024
+        pq_codes = encode_pq(P, books, pm)
+        S, smask = build_summary_tokens(decode_pq(pq_codes, books), pm,
+                                        k_centroids=kc)
+        PQd, Bd = jnp.asarray(pq_codes), jnp.asarray(books)
+        Sd = jnp.asarray(S.astype(np.float32)).astype(jnp.bfloat16)
+        smd = jnp.asarray(smask)
+
+        def f_pr(q, m, C_, pm_, S_, sm_, B_):
+            return pruned_topk_fused(q, m, C_, pm_, S_, sm_, k=a.k,
+                                     n_cand=n_cand, impl="pallas", books=B_)
+
+        qps = timed_qps(lambda q, m, *r: f_pr(q, m, *r),
+                        (Qd, qmd, PQd, pmd, Sd, smd, Bd), a.batch)
+        sc_ex = maxsim_pallas_pq(Qd, PQd, qmd, pmd, Bd)
+        _, ex_idx = jax.lax.top_k(sc_ex, a.k)
+        _, pr_idx = f_pr(Qd, qmd, PQd, pmd, Sd, smd, Bd)
+        save("pq_pruned", {
+            "qps": qps,
+            "recall_vs_pq_exact": round(
+                pruned_recall(np.asarray(ex_idx), np.asarray(pr_idx)), 4),
+            "k_centroids": kc, "n_cand": n_cand,
+            "index_bytes": int(a.n_docs * a.lp * a.pq_m),
+            "summary_bytes": int(a.n_docs * kc * a.d * 2)})
+        del PQd, Bd, Sd, smd, pq_codes, S
+
     # quality: top-1 agreement vs the exact fp32 path on a small slice
     # (encodes only the slice; scoring runs on the current backend)
     if not done("quality"):

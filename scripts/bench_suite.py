@@ -219,17 +219,18 @@ def config5_million_pages(n_pages: int = 1_000_000, tokens: int = 16, d: int = 1
             K = 3
             kk = min(k, idx_obj.n_pad)
 
-            def chained(rep, Qr, qmr, P_, pm_, sc_):
+            def chained(rep, Qr, qmr, P_, pm_, sc_, bk_):
                 tot = jnp.float32(0)
                 for i in range(K):
                     v, ix = _single_device_topk(
                         jnp.roll(Qr, rep * K + i, axis=0), qmr, P_, pm_,
-                        kk, 4096, impl, False, sc_)
+                        kk, 4096, impl, False, sc_, books=bk_)
                     tot = tot + jnp.sum(v) + jnp.sum(ix.astype(jnp.float32))
                 return tot
 
             j = jax.jit(chained)
-            args = (Qw, qmw, idx_obj.P, idx_obj.pmask, idx_obj.scales)
+            args = (Qw, qmw, idx_obj.P, idx_obj.pmask, idx_obj.scales,
+                    getattr(idx_obj, "books", None))
             float(j(jnp.int32(99), *args))  # warm/compile at this batch
             dt = min_dt = float("inf")
             for rep in range(2):
@@ -309,6 +310,47 @@ def config5_million_pages(n_pages: int = 1_000_000, tokens: int = 16, d: int = 1
                           pmask=shard_docs(pm_dev, mesh),
                           n_docs=n_pages, mesh=mesh,
                           scales=shard_docs(scales4, mesh))
+
+    # PQ variant (ops/pq.py): M=16 bytes/page-token = 1/8 of bf16's bytes —
+    # 256 MB index for 1M pages. Books TRAIN on a 65k-token host sample
+    # (train_pq's own sampling bound); ENCODING runs on device via lax.map
+    # (the (tokens, M, K) f32 distance transient is 1.6 GB per 6250-page
+    # chunk — a one-shot encode would need 256 GB). Serving goes through
+    # the fused decode-in-VMEM kernel (maxsim_pallas_pq), same program
+    # family the 250k-doc ladder measured at 1,166 q/s (bench_pq3.out).
+    from evdr_tpu.ops.pq import train_pq
+
+    pq_m = 16
+    sample_pages = 4096  # 65,536 tokens: exactly train_pq's sample bound
+    books = train_pq(np.asarray(Pdev[:sample_pages], np.float32),
+                     np.ones((sample_pages, tokens), bool), m=pq_m)
+    Bd = jnp.asarray(books)
+
+    @functools.partial(jax.jit, static_argnames=("chunk",))
+    def encpq(P, B, chunk: int = 6250):
+        n = P.shape[0]
+        nc = -(-n // chunk)
+        pad = nc * chunk - n
+        Pp = jnp.pad(P, ((0, pad), (0, 0), (0, 0))) if pad else P
+        Pc = Pp.reshape(nc, chunk, *P.shape[1:])
+        m, _, ds = B.shape
+        c2 = jnp.sum(B.astype(jnp.float32) ** 2, axis=-1)  # (M, K)
+
+        def one(Pb):
+            x = Pb.astype(jnp.float32).reshape(
+                Pb.shape[0] * Pb.shape[1], m, ds)
+            dots = jnp.einsum("tmd,mkd->tmk", x, B.astype(jnp.float32))
+            cd = jnp.argmin(c2[None] - 2.0 * dots, axis=-1)
+            return cd.astype(jnp.uint8).reshape(Pb.shape[0], Pb.shape[1], m)
+
+        cds = jax.lax.map(one, Pc)
+        return cds.reshape(nc * chunk, *cds.shape[2:])[:n]
+
+    codespq = encpq(Pdev, Bd)
+    indexpq = ShardedIndex(P=shard_docs(codespq, mesh),
+                           pmask=shard_docs(pm_dev, mesh),
+                           n_docs=n_pages, mesh=mesh,
+                           books=replicate(Bd, mesh))
     del Pdev, index
     # int8 index + float queries (maxsim_pallas_int8): halves the HBM stream
     # — the lever for this 16-token/page HBM-bound corpus (the full-int8
@@ -316,6 +358,8 @@ def config5_million_pages(n_pages: int = 1_000_000, tokens: int = 16, d: int = 1
     _timed_topk(index8, 256, "int8", "pallas")
     del index8, codes, scales
     _timed_topk(index4, 256, "int4", "pallas")
+    del index4, codes4, scales4
+    _timed_topk(indexpq, 256, "pq", "pallas")
 
 def _gen_clustered_corpus_device(n_pages: int, tokens: int, d: int,
                                  n_centers: int, nq: int, lq: int, seed=0):
