@@ -258,6 +258,17 @@ def main():
     agree = float((np.asarray(oidx)[:, 0] == ob1).mean())
     check("13d OPQ engine (expanded books) top-1 vs oracle", agree >= 0.85,
           f"agree={agree:.2f}")
+    # --- 13e. PLAID combo at the PQ tier: bf16 summaries prune, fused
+    # decode-rerank scores only the candidates (engine dtype='pq' +
+    # prune_centroids — the wave-4 bench_pq 'pq_pruned' serving path)
+    engp = RetrievalEngine(dtype="pq", pq_m=16, prune_centroids=4)
+    engp.build(Pb, pmb)
+    _, ex_i = engp.search_dense(Qb, qmb, k=1)
+    _, pr_i = engp.search_dense(Qb, qmb, k=1,
+                                n_candidates=max(8, Pb.shape[0] // 4))
+    agree = float((np.asarray(pr_i)[:, 0] == np.asarray(ex_i)[:, 0]).mean())
+    check("13e pq+pruned engine top-1 vs its own exact", agree >= 0.9,
+          f"agree={agree:.2f}")
 
     print(f"\n{len(FAILS)} failures" + (f": {FAILS}" if FAILS else ""),
           flush=True)
