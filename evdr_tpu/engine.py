@@ -63,7 +63,12 @@ class RetrievalEngine:
         if impl == "auto":
             impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
         if quantize_queries and dtype in ("int8", "int4", "pq") \
-                and impl == "pallas":
+                and impl == "pallas" and not (dtype == "pq" and pq_opq):
+            # OPQ engines stay on the plain kernel: pqfull's int8 x int8
+            # fast path needs COMPACT books (one contribution per lane —
+            # pallas_maxsim.score_int8 gate), so with expanded books the
+            # quantized queries just cast back up to bf16: identical dot
+            # cost, strictly extra quantization error
             impl = "pallas_q8"
         self.impl = impl
         # multi-host deployments (one process per pod host, wired by

@@ -1320,7 +1320,10 @@ def train_dataset_mf(cfg: TrainConfig, bundle: DatasetBundle, dataset: str,
         if (step % eval_every == 0) or (step == max_steps):
             metrics = eval_now(step)
             last_metrics = metrics
-            if select_post and step < qat_switch:
+            # <= : the dispatch AT qat_switch still ran the plain phase-1
+            # step (see the fn pick above), so that checkpoint trained zero
+            # STE steps and must stay outside the window
+            if select_post and step <= qat_switch:
                 # pre-switch eval: logged for the trajectory, but outside
                 # the best-checkpoint window (see select_post above)
                 upd_r1 = upd_nd5 = False

@@ -148,6 +148,12 @@ def main():
         codes = encode_pq_device(P, books, pm)
         Qd, qmd, pmd = map(jnp.asarray, (Q, qm, pm))
         Pd, bkd = jnp.asarray(codes), jnp.asarray(books)
+        if a.max_tlp is not None:
+            # the PQ kernel has no max_tlp knob (its tlp is bounded by the
+            # decode-transient VMEM clamp instead) — fail loudly rather
+            # than profile the default tiling under a mislabeled flag
+            p.error("--max-tlp is not supported on the --pq path "
+                    "(tlp is set by _clamp_pq_tiles)")
         kern = maxsim_pallas_pqfull if a.pq == "full" else maxsim_pallas_pq
         fwd = functools.partial(kern, epilogue=a.epilogue)
 

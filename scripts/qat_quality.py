@@ -178,9 +178,11 @@ def main():
             register_dataset(ds, f"{ds}_test", mfs=tuple(a.mfs))
 
     def _name(tier, frac):
-        # the historic single-frac names stay stable so finished round-4
-        # cells resume instead of retraining
-        if frac == a.qat_start_fracs[0]:
+        # the un-suffixed historic name is ONLY an alias for the exact
+        # round-4 default (0.9) — aliasing "the first sweep value" let a
+        # rerun with e.g. --qat_start_fracs 0.75 resume a 0.9-trained cell
+        # and emit rows labeled with the wrong start_frac
+        if frac == 0.9:
             return f"qatq_{tier}"
         return f"qatq_{tier}_sf{int(round(frac * 100)):02d}"
 

@@ -299,6 +299,13 @@ def test_qat_select_post_restricts_best_window(fixture_root, tmp_path):
     results = run_training(TrainConfig(**base, name="selpost"))
     best = results["synth/mf5"]["summary/best_ndcg5"]
     assert best["step"] == 8, best
+    # BOUNDARY: with the switch exactly on an eval step (start_frac=0.5 ->
+    # switch=4), the step-4 checkpoint trained ZERO STE steps (the dispatch
+    # AT the switch still runs phase 1) and must stay outside the window
+    results = run_training(TrainConfig(
+        **{**base, "qat_start_frac": 0.5}, name="selb"))
+    best = results["synth/mf5"]["summary/best_ndcg5"]
+    assert best["step"] == 8, best
     # legacy window (qat_select_post=False): step 0/4 evals are eligible
     results = run_training(TrainConfig(**base, name="selall",
                                        qat_select_post=False))
