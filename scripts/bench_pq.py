@@ -215,7 +215,8 @@ def main():
     need_pq = any(s not in results
                   for s in ("pq_encode", "pq", "opq", "quality",
                             "pq_kernel", "pqfull_kernel", "opq_kernel",
-                            "pq_pruned"))
+                            "pq_pruned", "pq_pruned_kc8_nc1024",
+                            "pq_pruned_kc4_nc4096", "pq_pruned_kc8_nc4096"))
     need_opq = any(s not in results
                    for s in ("opq", "quality", "opq_kernel"))
     if need_pq:
@@ -347,37 +348,59 @@ def main():
     # PQ RECONSTRUCTIONS — what a PQ-only store can actually provide (the
     # engine's compact() path does the same) — so recall is reported vs the
     # tier's own exact (fused-PQ-kernel) top-k, not vs fp32.
-    if on_tpu and not done("pq_pruned"):
+    # GRID over (k_centroids, n_cand): the first cell measured (kc=4,
+    # nc=1024 — the historic "pq_pruned" key) was strictly dominated at
+    # this shape: 770 q/s (exact PQ kernel: 1,166) at recall 0.48, with
+    # bf16 summaries costing 4x the PQ index itself. The grid locates
+    # where (if anywhere at 250k docs) the combo earns its bytes; the bf16
+    # pruned path needed kc=8 for recall 1.000 (RESULTS.md config 5b).
+    _pruned_grid = [(4, 1024), (8, 1024), (4, 4096), (8, 4096)]
+
+    def _pruned_key(kc, nc):
+        return "pq_pruned" if (kc, nc) == (4, 1024) \
+            else f"pq_pruned_kc{kc}_nc{nc}"
+
+    if on_tpu and any(not done(_pruned_key(kc, nc))
+                      for kc, nc in _pruned_grid):
         from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_pq
         from evdr_tpu.ops.pq import decode_pq
         from evdr_tpu.ops.pruned import (build_summary_tokens, pruned_recall,
                                          pruned_topk_fused)
 
-        kc, n_cand = 4, 1024
         pq_codes = pq_codes_once()
-        S, smask = build_summary_tokens(decode_pq(pq_codes, books), pm,
-                                        k_centroids=kc)
         PQd, Bd = jnp.asarray(pq_codes), jnp.asarray(books)
-        Sd = jnp.asarray(S.astype(np.float32)).astype(jnp.bfloat16)
-        smd = jnp.asarray(smask)
-
-        def f_pr(q, m, C_, pm_, S_, sm_, B_):
-            return pruned_topk_fused(q, m, C_, pm_, S_, sm_, k=a.k,
-                                     n_cand=n_cand, impl="pallas", books=B_)
-
-        qps = timed_qps(lambda q, m, *r: f_pr(q, m, *r),
-                        (Qd, qmd, PQd, pmd, Sd, smd, Bd), a.batch)
         sc_ex = maxsim_pallas_pq(Qd, PQd, qmd, pmd, Bd)
         _, ex_idx = jax.lax.top_k(sc_ex, a.k)
-        _, pr_idx = f_pr(Qd, qmd, PQd, pmd, Sd, smd, Bd)
-        save("pq_pruned", {
-            "qps": qps,
-            "recall_vs_pq_exact": round(
-                pruned_recall(np.asarray(ex_idx), np.asarray(pr_idx)), 4),
-            "k_centroids": kc, "n_cand": n_cand,
-            "index_bytes": int(a.n_docs * a.lp * a.pq_m),
-            "summary_bytes": int(a.n_docs * kc * a.d * 2)})
-        del PQd, Bd, Sd, smd, S
+        ex_idx = np.asarray(ex_idx)
+        recon = decode_pq(pq_codes, books)
+        for kc in sorted({kc for kc, _ in _pruned_grid}):
+            if all(done(_pruned_key(kc, nc))
+                   for kc2, nc in _pruned_grid if kc2 == kc):
+                continue
+            S, smask = build_summary_tokens(recon, pm, k_centroids=kc)
+            Sd = jnp.asarray(S.astype(np.float32)).astype(jnp.bfloat16)
+            smd = jnp.asarray(smask)
+            for kc2, n_cand in _pruned_grid:
+                if kc2 != kc or done(_pruned_key(kc, n_cand)):
+                    continue
+
+                def f_pr(q, m, C_, pm_, S_, sm_, B_, _nc=n_cand):
+                    return pruned_topk_fused(q, m, C_, pm_, S_, sm_, k=a.k,
+                                             n_cand=_nc, impl="pallas",
+                                             books=B_)
+
+                qps = timed_qps(lambda q, m, *r: f_pr(q, m, *r),
+                                (Qd, qmd, PQd, pmd, Sd, smd, Bd), a.batch)
+                _, pr_idx = f_pr(Qd, qmd, PQd, pmd, Sd, smd, Bd)
+                save(_pruned_key(kc, n_cand), {
+                    "qps": qps,
+                    "recall_vs_pq_exact": round(
+                        pruned_recall(ex_idx, np.asarray(pr_idx)), 4),
+                    "k_centroids": kc, "n_cand": n_cand,
+                    "index_bytes": int(a.n_docs * a.lp * a.pq_m),
+                    "summary_bytes": int(a.n_docs * kc * a.d * 2)})
+            del S, Sd, smd
+        del PQd, Bd, recon
 
     # quality: top-1 agreement vs the exact fp32 path on a small slice
     # (encodes only the slice; scoring runs on the current backend)
