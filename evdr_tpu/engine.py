@@ -27,7 +27,8 @@ class RetrievalEngine:
     def __init__(self, mesh=None, dtype: str = "bfloat16", chunk_p: int = 512,
                  impl: str = "auto", normalize: bool = True,
                  prune_centroids: int = 0, quantize_queries: bool = False,
-                 pq_m: int = 16, pq_opq: bool = False):
+                 pq_m: int = 16, pq_opq: bool = False,
+                 summary_dtype: Optional[str] = None):
         """``prune_centroids > 0`` additionally builds a per-page centroid
         summary index enabling two-stage pruned search (PLAID-style):
         ``search_dense(..., n_candidates=C)`` scores the cheap summary index
@@ -50,7 +51,21 @@ class RetrievalEngine:
         ``pq_opq=True`` additionally learns an OPQ rotation at build time
         (ops/pq.train_opq) — lower quantization error at the SAME index
         bytes; the rotation is folded into expanded codebooks once, so the
-        serving path is unchanged."""
+        serving path is unchanged.
+
+        ``summary_dtype`` overrides the storage tier of the pruning summary
+        index (stage 1). Default: the engine dtype for float/int8/int4
+        engines, bfloat16 for PQ engines. For PQ+pruned capacity builds the
+        bf16 summaries DOMINATE total bytes (kc x 256 B/page vs pq_m x Lp
+        B/page of codes); ``summary_dtype='int8'`` (or 'int4') halves
+        (quarters) that — stage 1 then scores through the quantized kernels
+        (pruned_topk_fused's ``sscales`` path), stage 2 reranks exactly as
+        before. 'pq' summaries are not supported (stage 1 has no books)."""
+        if summary_dtype not in (None, "bfloat16", "float32", "int8", "int4"):
+            raise ValueError(
+                f"summary_dtype={summary_dtype!r} unsupported: the summary "
+                "stage scores dense tokens (bfloat16/float32/int8/int4)")
+        self.summary_dtype = summary_dtype
         self.mesh = mesh or make_mesh()
         self.dtype = dtype
         self.chunk_p = chunk_p
@@ -123,6 +138,14 @@ class RetrievalEngine:
         self._next_auto_id = None
         self._docid_lut_cache = None
 
+    def _sdtype(self) -> str:
+        """Storage tier for the pruning summary index: the explicit
+        ``summary_dtype`` override, else the engine dtype (bf16 for PQ —
+        stage 1 has no codebooks)."""
+        if self.summary_dtype is not None:
+            return self.summary_dtype
+        return "bfloat16" if self.dtype == "pq" else self.dtype
+
     def _build_index(self, P, pmask, docids=None, dtype=None, scales=None,
                      streaming: bool = False) -> ShardedIndex:
         ids = np.asarray(docids, dtype=object) if docids is not None else None
@@ -193,10 +216,8 @@ class RetrievalEngine:
             from evdr_tpu.ops.pruned import build_summary_tokens
 
             S, smask = build_summary_tokens(P, pmask, self.prune_centroids)
-            # the summary stage stays float (PQ engines: stage-1 cost is
-            # tiny — k centroids/page — and the PQ win is the FULL index)
-            sdtype = "bfloat16" if self.dtype == "pq" else self.dtype
-            self.summary = self._build_index(S, smask, dtype=sdtype)
+            self.summary = self._build_index(S, smask,
+                                             dtype=self._sdtype())
         return self
 
     def build_from_codes(self, codes, scales, pmask,
@@ -619,13 +640,18 @@ class RetrievalEngine:
             # rebuild the pruning summaries from the stored rows — for
             # quantized tiers that means the dequantized reconstructions,
             # which is exactly what stage-2 reranking scores anyway
-            from evdr_tpu.ops.pruned import build_summary_tokens
+            from evdr_tpu.ops.pruned import (build_summary_tokens,
+                                             build_summary_tokens_from_pq)
 
             if self.dtype == "pq":
-                from evdr_tpu.ops.pq import decode_pq
-
-                Pf = decode_pq(P, np.asarray(books), expanded=expanded)
-            elif self.dtype == "int8":
+                # chunked decode: a one-shot reconstruction of a multi-M-
+                # page corpus is a many-GB f32 host spike
+                S, smask = build_summary_tokens_from_pq(
+                    P, np.asarray(books), pm, summary_k, expanded=expanded)
+                self.summary = self._build_index(S, smask,
+                                                 dtype=self._sdtype())
+                return
+            if self.dtype == "int8":
                 from evdr_tpu.ops.quantize import dequantize_int8
 
                 Pf = dequantize_int8(P, sc)
@@ -636,8 +662,8 @@ class RetrievalEngine:
             else:
                 Pf = np.asarray(P, np.float32)
             S, smask = build_summary_tokens(Pf, pm, summary_k)
-            sdtype = "bfloat16" if self.dtype == "pq" else self.dtype
-            self.summary = self._build_index(S, smask, dtype=sdtype)
+            self.summary = self._build_index(S, smask,
+                                             dtype=self._sdtype())
 
     def _merge_tail(self, Qd, qmd, vals, idx, k: int):
         """Merge main-index results with the tail index + apply
@@ -694,17 +720,18 @@ class RetrievalEngine:
                         # the decoded reconstructions are exactly what the
                         # PQ rerank stage scores anyway (same convention
                         # as compact()) — the PLAID-combo engine round-
-                        # trips through save_npz/from_npz
-                        from evdr_tpu.ops.pq import decode_pq
-                        from evdr_tpu.ops.pruned import build_summary_tokens
+                        # trips through save_npz/from_npz. Chunked decode:
+                        # a one-shot reconstruction of a multi-M-page file
+                        # is a many-GB f32 host spike.
+                        from evdr_tpu.ops.pruned import (
+                            build_summary_tokens_from_pq)
 
-                        rec = decode_pq(payload["P_pq_codes"],
-                                        payload["P_pq_books"],
-                                        expanded=expanded)
-                        S, smask = build_summary_tokens(
-                            rec, payload["pmask"], eng.prune_centroids)
-                        eng.summary = eng._build_index(S, smask,
-                                                       dtype="bfloat16")
+                        S, smask = build_summary_tokens_from_pq(
+                            payload["P_pq_codes"], payload["P_pq_books"],
+                            payload["pmask"], eng.prune_centroids,
+                            expanded=expanded)
+                        eng.summary = eng._build_index(
+                            S, smask, dtype=eng._sdtype())
                     return eng
                 if "P_pad" not in payload:
                     # PQ file + float/int8 engine under mmap (the eager

@@ -1011,6 +1011,23 @@ def _clamp_pq_tiles(db: int, tlp: int, k_pad: int,
     return db_new, tlp_new
 
 
+def _pq_auto_rows(nq: int, lq: int, lp: int) -> int:
+    """Auto target_rows for the PQ kernel: cover the WHOLE query batch in
+    ONE q-block.
+
+    The decode is query-independent but re-runs per q-block — n_qb=2
+    decodes the entire index twice. Measured with a 256q x 32t batch:
+    rows=8192 (n_qb=1) vs the old 4096 default (n_qb=2) is 115.3 vs 78.5
+    TFLOP/s at Lp=16 (pq_sweep_full_smalllp.out), 106.3 vs 76.1 for the
+    index variant, and 114.6 vs 77.4 at Lp=768 (pq_sweep_full_longdoc.out)
+    — the rows trend is monotone at every swept Lp precisely because each
+    step halves the decode count. QBL=8192 at cols<=1536 is the largest
+    measured-legal scope (both Lp regimes)."""
+    del lp  # rows-monotone at every swept Lp; kept for call-site clarity
+    qbl_full = _round_up(max(nq, 8), 8) * _round_up(lq, 8)
+    return int(min(max(4096, qbl_full), 8192))
+
+
 def quantize_books_int8(books) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric int8 quantization of (expanded) codebooks with ONE global
     scale: (M, K, D) float -> ((M, K, D) int8, scalar f32 scale). A single
@@ -1137,7 +1154,7 @@ def _embed_books_full(books, d: int):
                               "target_cols", "epilogue", "book_quant"))
 def maxsim_pallas_pq(Q, codes, qmask, pmask, books,
                      compute_dtype=jnp.bfloat16, interpret: bool = False,
-                     target_rows: int = 4096, target_cols: int = 3072,
+                     target_rows: int = None, target_cols: int = 3072,
                      epilogue: str = "auto", book_quant: bool = True):
     """Fused MaxSim over a product-quantized index (decode-in-VMEM).
 
@@ -1158,7 +1175,7 @@ def maxsim_pallas_pq(Q, codes, qmask, pmask, books,
                               "target_cols", "epilogue", "book_quant"))
 def maxsim_pallas_pqfull(Q, codes, qmask, pmask, books,
                          compute_dtype=jnp.bfloat16, interpret: bool = False,
-                         target_rows: int = 4096, target_cols: int = 3072,
+                         target_rows: int = None, target_cols: int = 3072,
                          epilogue: str = "auto", book_quant: bool = True):
     """PQ serving with int8-quantized queries (the pallas_q8 tier). Query
     quantization and q-side scale placement match maxsim_pallas_int8full.
@@ -1184,11 +1201,14 @@ def maxsim_pallas_pqfull(Q, codes, qmask, pmask, books,
                               "target_cols", "epilogue", "book_quant"))
 def _maxsim_pq_impl(Q, q_weight, codes, pmask, books,
                     compute_dtype=jnp.bfloat16, interpret: bool = False,
-                    target_rows: int = 4096, target_cols: int = 3072,
+                    target_rows: int = None, target_cols: int = 3072,
                     epilogue: str = "auto", book_quant: bool = True):
-    """Shared PQ kernel driver; Q float (compute_dtype dot) or int8."""
+    """Shared PQ kernel driver; Q float (compute_dtype dot) or int8.
+    ``target_rows=None`` = the measured auto policy (_pq_auto_rows)."""
     nq, lq, d = Q.shape
     nd, lp, m_sub = codes.shape
+    if target_rows is None:
+        target_rows = _pq_auto_rows(nq, lq, lp)
     qb, lq_pad, db, tlp = _pick_tiles(lq, lp, target_rows, target_cols,
                                       nq=nq)
     tlp = max(16, tlp)

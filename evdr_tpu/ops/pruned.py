@@ -51,8 +51,35 @@ def build_summary_tokens(P: np.ndarray, pmask: np.ndarray, k_centroids: int = 4,
     return S, smask
 
 
+def build_summary_tokens_from_pq(codes, books, pmask, k_centroids: int = 4,
+                                 iters: int = 5, seed: int = 0,
+                                 chunk_pages: int = 16384,
+                                 expanded: bool = False
+                                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Summaries for a PQ-only store WITHOUT materializing the full
+    reconstruction: decode ``chunk_pages`` of codes at a time and k-means
+    each chunk (page-independent, so chunking is exact). A one-shot
+    ``decode_pq`` of a 4M-page corpus is a 16 GB f32 host spike; this peaks
+    at chunk_pages x Lp x D f32 (default 128 MB) plus the (N, k, D)
+    summaries themselves. Used by the engine's from_npz/compact paths for
+    ``dtype='pq'`` + ``prune_centroids``."""
+    from evdr_tpu.ops.pq import decode_pq
+
+    n = codes.shape[0]
+    outs, masks = [], []
+    for s in range(0, n, chunk_pages):
+        e = min(s + chunk_pages, n)
+        rec = decode_pq(np.asarray(codes[s:e]), books, expanded=expanded)
+        S, sm = build_summary_tokens(rec, np.asarray(pmask[s:e]),
+                                     k_centroids=k_centroids, iters=iters,
+                                     seed=seed + s, chunk_pages=chunk_pages)
+        outs.append(S)
+        masks.append(sm)
+    return np.concatenate(outs, axis=0), np.concatenate(masks, axis=0)
+
+
 def _rerank_block(Q, qmask, P, pmask, cand_idx, k: int, scales=None,
-                  books=None):
+                  books=None, pq_decode: str = "take"):
     """One query block of the exact candidate rerank (see rerank_candidates)."""
     Pg = jnp.take(P, cand_idx, axis=0)        # (nq, C, Lp, D) or PQ codes
     if books is not None:
@@ -61,12 +88,36 @@ def _rerank_block(Q, qmask, P, pmask, cand_idx, k: int, scales=None,
         # (M, K, D/M) books concatenate subspaces; expanded (M, K, D) OPQ
         # books (ops/pq.expand_books) sum full-width vectors.
         m = books.shape[0]
-        rec = [jnp.take(books[j], Pg[..., j].astype(jnp.int32), axis=0)
-               for j in range(m)]
-        if m > 1 and books.shape[-1] == Q.shape[-1]:
-            Pg = functools.reduce(jnp.add, rec)  # (nq, C, Lp, D)
+        if pq_decode == "onehot":
+            # resolve codes as one-hot x codebook MXU dots instead of row
+            # gathers: nq x C x Lp x M take-rows is hundreds of millions of
+            # scalar gathers at capacity shapes and TPUs have no gather
+            # unit. Same math bit-for-bit in f32 (one-hot entries are
+            # exact). Transient: (rows, K) one-hot per subspace at the
+            # caller's chunk_q — bounded by the query chunking.
+            nq_, c_, lp_, _ = Pg.shape
+            codes2 = Pg.reshape(nq_ * c_ * lp_, m).astype(jnp.int32)
+            kk_ = books.shape[1]
+            iota = jax.lax.broadcasted_iota(jnp.int32,
+                                            (codes2.shape[0], kk_), 1)
+            rec = [jax.lax.dot_general(
+                       (iota == codes2[:, j:j + 1]).astype(jnp.float32),
+                       books[j].astype(jnp.float32),
+                       dimension_numbers=(((1,), (0,)), ((), ())),
+                       preferred_element_type=jnp.float32)
+                   for j in range(m)]
+            if m > 1 and books.shape[-1] == Q.shape[-1]:
+                full = functools.reduce(jnp.add, rec)
+            else:
+                full = jnp.concatenate(rec, axis=-1)
+            Pg = full.reshape(nq_, c_, lp_, -1)
         else:
-            Pg = jnp.concatenate(rec, axis=-1)   # (nq, C, Lp, D)
+            rec = [jnp.take(books[j], Pg[..., j].astype(jnp.int32), axis=0)
+                   for j in range(m)]
+            if m > 1 and books.shape[-1] == Q.shape[-1]:
+                Pg = functools.reduce(jnp.add, rec)  # (nq, C, Lp, D)
+            else:
+                Pg = jnp.concatenate(rec, axis=-1)   # (nq, C, Lp, D)
     elif Pg.dtype == jnp.uint8:
         # packed-int4 index (ops/int4.py): unpack only the gathered
         # candidates (token-pair layout -> original token order);
@@ -95,9 +146,10 @@ def _rerank_block(Q, qmask, P, pmask, cand_idx, k: int, scales=None,
     return vals, jnp.take_along_axis(cand_idx, pos, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk_q"))
+@functools.partial(jax.jit, static_argnames=("k", "chunk_q", "pq_decode"))
 def rerank_candidates(Q, qmask, P, pmask, cand_idx, k: int, scales=None,
-                      chunk_q: int = 32, books=None):
+                      chunk_q: int = 32, books=None,
+                      pq_decode: str = "take"):
     """Exact masked MaxSim over per-query candidate sets.
 
     Q (nq, Lq, D); P (N, Lp, D); cand_idx (nq, C) -> top-k (values, GLOBAL doc
@@ -114,7 +166,8 @@ def rerank_candidates(Q, qmask, P, pmask, cand_idx, k: int, scales=None,
     nq = Q.shape[0]
     kk = min(k, cand_idx.shape[1])
     if nq <= chunk_q:
-        return _rerank_block(Q, qmask, P, pmask, cand_idx, k, scales, books)
+        return _rerank_block(Q, qmask, P, pmask, cand_idx, k, scales, books,
+                             pq_decode)
     nb = -(-nq // chunk_q)
     pad = nb * chunk_q - nq
 
@@ -127,17 +180,18 @@ def rerank_candidates(Q, qmask, P, pmask, cand_idx, k: int, scales=None,
 
     def body(args):
         q, qm, c = args
-        return _rerank_block(q, qm, P, pmask, c, k, scales, books)
+        return _rerank_block(q, qm, P, pmask, c, k, scales, books, pq_decode)
 
     vals, idx = jax.lax.map(body, (Qb, qmb, cb))
     return (vals.reshape(nb * chunk_q, kk)[:nq],
             idx.reshape(nb * chunk_q, kk)[:nq])
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_cand", "impl"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "n_cand", "impl", "pq_decode"))
 def pruned_topk_fused(Q, qmask, P, pmask, S, smask, k: int, n_cand: int,
                       impl: str = "pallas", scales=None, sscales=None,
-                      books=None):
+                      books=None, pq_decode: str = "take"):
     """Both pruning stages in ONE compiled program (single-device serving).
 
     Remote/tunneled backends pay ~30ms per dispatch; splitting candidate
@@ -159,8 +213,20 @@ def pruned_topk_fused(Q, qmask, P, pmask, S, smask, k: int, n_cand: int,
         _, cand = jax.lax.approx_max_k(sc, n_cand, recall_target=0.95)
     else:
         _, cand = jax.lax.top_k(sc, n_cand)
+    # adaptive rerank query-chunk: the decoded-candidate block is
+    # (chunk_q, n_cand, Lp, D) f32 — at n_cand 16384 x Lp 16 the legacy
+    # chunk_q=32 would materialize 4.3 GB per block. Bound it to ~512 MB
+    # (the onehot decode's (rows, K) one-hot planes add K*8 bytes/row and
+    # tighten the bound further). Shapes are static under jit, so this is
+    # trace-time arithmetic.
+    lp, d = pmask.shape[-1], Q.shape[-1]
+    row_bytes = lp * d * 4
+    if pq_decode == "onehot" and books is not None:
+        row_bytes += lp * books.shape[1] * 8
+    chunk_q = max(1, min(32, 512 * 1024 ** 2 // max(1, n_cand * row_bytes)))
     return rerank_candidates(Q, qmask, P, pmask, cand, k=k, scales=scales,
-                             books=books)
+                             chunk_q=chunk_q, books=books,
+                             pq_decode=pq_decode)
 
 
 def pruned_recall(exact_idx: np.ndarray, pruned_idx: np.ndarray) -> float:

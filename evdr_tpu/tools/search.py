@@ -66,13 +66,14 @@ def write_trec_run(fh, qkeys, docids, scores, tag: str = "evdr_tpu") -> None:
 def run_search(index_path, queries_path, k: int = 10, dtype: str = "bfloat16",
                impl: str = "auto", prune_centroids: int = 0,
                n_candidates: int = 0, chunk_p: int = 512,
-               quantize_queries: bool = False):
+               quantize_queries: bool = False, summary_dtype=None):
     """Returns (qkeys, per-query docid lists, scores (nq, k), summary dict)."""
     from evdr_tpu.engine import RetrievalEngine
 
     eng = RetrievalEngine.from_npz(
         index_path, dtype=dtype, impl=impl, chunk_p=chunk_p,
-        prune_centroids=prune_centroids, quantize_queries=quantize_queries)
+        prune_centroids=prune_centroids, quantize_queries=quantize_queries,
+        summary_dtype=summary_dtype)
     Q, qmask, qkeys = _load_queries(queries_path)
     kk = min(k, eng.n_docs)
     nc = n_candidates or None
@@ -105,6 +106,10 @@ def main(argv=None) -> None:
     p.add_argument("--impl", default="auto")
     p.add_argument("--chunk_p", type=int, default=512)
     p.add_argument("--prune_centroids", type=int, default=0)
+    p.add_argument("--summary_dtype", default=None,
+                   choices=("bfloat16", "int8", "int4"),
+                   help="storage tier of the stage-1 pruning summaries "
+                        "(default: engine dtype; bf16 for pq)")
     p.add_argument("--n_candidates", type=int, default=0)
     p.add_argument("--quantize_queries", action="store_true")
     p.add_argument("--tag", default="evdr_tpu")
@@ -113,6 +118,7 @@ def main(argv=None) -> None:
     qkeys, ids, vals, summary = run_search(
         a.index, a.queries, k=a.k, dtype=a.dtype, impl=a.impl,
         prune_centroids=a.prune_centroids, n_candidates=a.n_candidates,
+        summary_dtype=a.summary_dtype,
         chunk_p=a.chunk_p, quantize_queries=a.quantize_queries)
 
     fh = sys.stdout if a.out == "-" else open(a.out, "w")

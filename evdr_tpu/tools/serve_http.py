@@ -543,6 +543,10 @@ def main(argv=None) -> None:
     p.add_argument("--impl", default="auto")
     p.add_argument("--chunk_p", type=int, default=512)
     p.add_argument("--prune_centroids", type=int, default=0)
+    p.add_argument("--summary_dtype", default=None,
+                   choices=("bfloat16", "int8", "int4"),
+                   help="storage tier of the stage-1 pruning summaries "
+                        "(default: engine dtype; bf16 for pq)")
     p.add_argument("--n_candidates", type=int, default=0)
     p.add_argument("--quantize_queries", action="store_true")
     p.add_argument("--max_body_mb", type=int, default=256)
@@ -593,7 +597,7 @@ def main(argv=None) -> None:
     eng = RetrievalEngine.from_npz(
         a.index, mesh=mesh, mmap=a.multihost, dtype=a.dtype, impl=a.impl,
         chunk_p=a.chunk_p, prune_centroids=a.prune_centroids,
-        quantize_queries=a.quantize_queries)
+        quantize_queries=a.quantize_queries, summary_dtype=a.summary_dtype)
 
     coord = None
     if a.multihost:

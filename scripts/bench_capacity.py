@@ -271,24 +271,30 @@ def main():
         from evdr_tpu.ops.pruned import pruned_recall, pruned_topk_fused
 
         sum_bytes = a.n_pages * a.kc * (a.d + 4)
-        for n_cand in a.n_cands:
-            sec = f"pruned_nc{n_cand}"
+        # decode A/B: stage-2 candidate reconstruction via row gathers
+        # ("take") vs one-hot MXU dots ("onehot") — at n_cand 16384 the
+        # take path issues ~270M scalar gathers per batch and TPUs have no
+        # gather unit; parity is exact (tests/test_pq.py)
+        cells = [(n, dec) for n in a.n_cands for dec in ("take", "onehot")]
+        for n_cand, dec in cells:
+            sec = f"pruned_nc{n_cand}" + ("" if dec == "take" else "_oh")
             if done(sec):
                 continue
 
-            def f_pr(q, m, C_, pm_, S_, sm_, ss_, B_, _nc=n_cand):
+            def f_pr(q, m, C_, pm_, S_, sm_, ss_, B_, _nc=n_cand, _dec=dec):
                 # summary scales ride as an argument — closure capture
                 # would inline the (N, kc) f32 array as a program constant
                 # (remote-compile rejects large constant bodies)
                 return pruned_topk_fused(q, m, C_, pm_, S_, sm_, k=a.k,
                                          n_cand=_nc, impl=a.impl,
-                                         sscales=ss_, books=B_)
+                                         sscales=ss_, books=B_,
+                                         pq_decode=_dec)
 
             qps = _timed(lambda q, m, *r: f_pr(q, m, *r),
                          (Qd, qmd, codes, pm_dev, S8, Sm, Ssc, Bd), a.batch)
             _, pr_idx = f_pr(Qd, qmd, codes, pm_dev, S8, Sm, Ssc, Bd)
             save(sec, {
-                "qps": qps,
+                "qps": qps, "pq_decode": dec,
                 "recall_vs_pq_exact": round(
                     pruned_recall(ex_idx, np.asarray(pr_idx)), 4),
                 "top1_is_target": float(np.mean(

@@ -216,7 +216,9 @@ def main():
                   for s in ("pq_encode", "pq", "opq", "quality",
                             "pq_kernel", "pqfull_kernel", "opq_kernel",
                             "pq_pruned", "pq_pruned_kc8_nc1024",
-                            "pq_pruned_kc4_nc4096", "pq_pruned_kc8_nc4096"))
+                            "pq_pruned_kc4_nc4096", "pq_pruned_kc8_nc4096",
+                            "pq_pruned_kc8_nc1024_s8",
+                            "pq_pruned_kc8_nc4096_s8"))
     need_opq = any(s not in results
                    for s in ("opq", "quality", "opq_kernel"))
     if need_pq:
@@ -354,14 +356,20 @@ def main():
     # bf16 summaries costing 4x the PQ index itself. The grid locates
     # where (if anywhere at 250k docs) the combo earns its bytes; the bf16
     # pruned path needed kc=8 for recall 1.000 (RESULTS.md config 5b).
-    _pruned_grid = [(4, 1024), (8, 1024), (4, 4096), (8, 4096)]
+    # (k_centroids, n_cand, summary dtype): "s8" cells store stage-1
+    # summaries int8 (engine: summary_dtype='int8') — at kc=4 the bf16
+    # summaries cost 4x the PQ index itself, the capacity killer
+    _pruned_grid = [(4, 1024, "bf16"), (8, 1024, "bf16"),
+                    (4, 4096, "bf16"), (8, 4096, "bf16"),
+                    (8, 1024, "s8"), (8, 4096, "s8")]
 
-    def _pruned_key(kc, nc):
-        return "pq_pruned" if (kc, nc) == (4, 1024) \
-            else f"pq_pruned_kc{kc}_nc{nc}"
+    def _pruned_key(kc, nc, sdt="bf16"):
+        if (kc, nc, sdt) == (4, 1024, "bf16"):
+            return "pq_pruned"
+        suf = "" if sdt == "bf16" else f"_{sdt}"
+        return f"pq_pruned_kc{kc}_nc{nc}{suf}"
 
-    if on_tpu and any(not done(_pruned_key(kc, nc))
-                      for kc, nc in _pruned_grid):
+    if on_tpu and any(not done(_pruned_key(*cell)) for cell in _pruned_grid):
         from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_pq
         from evdr_tpu.ops.pq import decode_pq
         from evdr_tpu.ops.pruned import (build_summary_tokens, pruned_recall,
@@ -373,33 +381,44 @@ def main():
         _, ex_idx = jax.lax.top_k(sc_ex, a.k)
         ex_idx = np.asarray(ex_idx)
         recon = decode_pq(pq_codes, books)
-        for kc in sorted({kc for kc, _ in _pruned_grid}):
-            if all(done(_pruned_key(kc, nc))
-                   for kc2, nc in _pruned_grid if kc2 == kc):
+        for kc in sorted({kc for kc, _, _ in _pruned_grid}):
+            if all(done(_pruned_key(*cell))
+                   for cell in _pruned_grid if cell[0] == kc):
                 continue
             S, smask = build_summary_tokens(recon, pm, k_centroids=kc)
-            Sd = jnp.asarray(S.astype(np.float32)).astype(jnp.bfloat16)
             smd = jnp.asarray(smask)
-            for kc2, n_cand in _pruned_grid:
-                if kc2 != kc or done(_pruned_key(kc, n_cand)):
+            for kc2, n_cand, sdt in _pruned_grid:
+                if kc2 != kc or done(_pruned_key(kc, n_cand, sdt)):
                     continue
+                if sdt == "s8":
+                    from evdr_tpu.ops.quantize import quantize_tokens_int8
 
-                def f_pr(q, m, C_, pm_, S_, sm_, B_, _nc=n_cand):
+                    S8, s8sc = quantize_tokens_int8(S, smask)
+                    Sd, ssd = jnp.asarray(S8), jnp.asarray(s8sc)
+                    sum_bytes = a.n_docs * kc * (a.d + 4)
+                else:
+                    Sd, ssd = jnp.asarray(
+                        S.astype(np.float32)).astype(jnp.bfloat16), None
+                    sum_bytes = a.n_docs * kc * a.d * 2
+
+                def f_pr(q, m, C_, pm_, S_, sm_, B_, _nc=n_cand, _ss=ssd):
                     return pruned_topk_fused(q, m, C_, pm_, S_, sm_, k=a.k,
                                              n_cand=_nc, impl="pallas",
-                                             books=B_)
+                                             sscales=_ss, books=B_)
 
                 qps = timed_qps(lambda q, m, *r: f_pr(q, m, *r),
                                 (Qd, qmd, PQd, pmd, Sd, smd, Bd), a.batch)
                 _, pr_idx = f_pr(Qd, qmd, PQd, pmd, Sd, smd, Bd)
-                save(_pruned_key(kc, n_cand), {
+                save(_pruned_key(kc, n_cand, sdt), {
                     "qps": qps,
                     "recall_vs_pq_exact": round(
                         pruned_recall(ex_idx, np.asarray(pr_idx)), 4),
                     "k_centroids": kc, "n_cand": n_cand,
+                    "summary_dtype": "int8" if sdt == "s8" else "bfloat16",
                     "index_bytes": int(a.n_docs * a.lp * a.pq_m),
-                    "summary_bytes": int(a.n_docs * kc * a.d * 2)})
-            del S, Sd, smd
+                    "summary_bytes": int(sum_bytes)})
+                del Sd, ssd
+            del S, smd
         del PQd, Bd, recon
 
     # quality: top-1 agreement vs the exact fp32 path on a small slice

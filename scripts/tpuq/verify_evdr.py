@@ -270,6 +270,20 @@ def main():
     check("13e pq+pruned engine top-1 vs its own exact", agree >= 0.9,
           f"agree={agree:.2f}")
 
+    # --- 13f. quantized stage-1 summaries (engine summary_dtype='int8'):
+    # the capacity configuration — bf16 summaries otherwise dominate a
+    # PQ+pruned build's bytes. Stage 2 is unchanged, so pruned top-1 must
+    # still track the same engine's exact search.
+    engq = RetrievalEngine(dtype="pq", pq_m=16, prune_centroids=4,
+                           summary_dtype="int8")
+    engq.build(Pb, pmb)
+    _, ex_i = engq.search_dense(Qb, qmb, k=1)
+    _, pr_i = engq.search_dense(Qb, qmb, k=1,
+                                n_candidates=max(8, Pb.shape[0] // 4))
+    agree = float((np.asarray(pr_i)[:, 0] == np.asarray(ex_i)[:, 0]).mean())
+    check("13f pq+pruned int8 summaries top-1 vs its own exact",
+          agree >= 0.9, f"agree={agree:.2f}")
+
     print(f"\n{len(FAILS)} failures" + (f": {FAILS}" if FAILS else ""),
           flush=True)
     return 1 if FAILS else 0

@@ -145,6 +145,125 @@ def test_pq_with_pruning(rng):
     assert agree >= 0.8, agree
 
 
+@pytest.mark.parametrize("sdt", ["int8", "int4"])
+def test_pq_pruned_quantized_summaries(rng, sdt, tmp_path):
+    """``summary_dtype`` stores the stage-1 summary index quantized (for
+    PQ+pruned capacity builds the default bf16 summaries dominate total
+    bytes). Stage 2 is untouched, so with every doc as a candidate the
+    search still equals the exact PQ search; real pruning keeps top-1; the
+    setting survives the save_npz/from_npz round trip."""
+    import jax.numpy as jnp
+
+    from evdr_tpu.engine import RetrievalEngine
+    from evdr_tpu.parallel.mesh import make_mesh
+
+    P, pmask, Q, qmask, _ = _corpus(rng, n=41)
+    exact = RetrievalEngine(dtype="pq", impl="xla", mesh=make_mesh(1))
+    exact.build(P, pmask)
+    ev, ei = exact.search_dense(Q, qmask, k=5)
+
+    eng = RetrievalEngine(dtype="pq", impl="xla", prune_centroids=2,
+                          summary_dtype=sdt, mesh=make_mesh(1))
+    eng.build(P, pmask)
+    assert eng.summary.P.dtype == (jnp.int8 if sdt == "int8" else jnp.uint8)
+    assert eng.summary.scales is not None
+    pv, pi = eng.search_dense(Q, qmask, k=5, n_candidates=41)
+    np.testing.assert_array_equal(pi, ei)
+    np.testing.assert_allclose(pv, ev, rtol=2e-5, atol=2e-5)
+    pv1, pi1 = eng.search_dense(Q, qmask, k=1, n_candidates=8)
+    agree = float(np.mean(pi1[:, 0] == ei[:, 0]))
+    assert agree >= 0.8, agree
+
+    path = tmp_path / "pqsum.npz"
+    eng.save_npz(path)
+    eng2 = RetrievalEngine.from_npz(path, dtype="pq", impl="xla",
+                                    prune_centroids=2, summary_dtype=sdt,
+                                    mesh=make_mesh(1))
+    assert eng2.summary.P.dtype == eng.summary.P.dtype
+    rv, ri = eng2.search_dense(Q, qmask, k=5, n_candidates=41)
+    np.testing.assert_array_equal(ri, ei)
+
+
+@pytest.mark.parametrize("expanded", [False, True])
+def test_pq_rerank_onehot_decode_parity(rng, expanded):
+    """pq_decode='onehot' (one-hot x codebook MXU dots) reproduces the
+    take-based candidate decode exactly: the one-hot dot has a single
+    nonzero per row and the zero terms add exactly in f32."""
+    from evdr_tpu.ops.pq import expand_books, train_opq
+    from evdr_tpu.ops.pruned import rerank_candidates
+
+    P, pmask, Q, qmask, _ = _corpus(rng, n=30)
+    if expanded:
+        obooks, rot = train_opq(P, pmask, m=8)
+        books = expand_books(obooks, rot)
+        codes = encode_pq(P, obooks, pmask, rot=rot)
+    else:
+        books = train_pq(P, pmask, m=8)
+        codes = encode_pq(P, books, pmask)
+    cand = rng.integers(0, 30, size=(Q.shape[0], 9))
+
+    v1, i1 = rerank_candidates(Q, qmask, codes, pmask, cand, k=3,
+                               books=books)
+    v2, i2 = rerank_candidates(Q, qmask, codes, pmask, cand, k=3,
+                               books=books, pq_decode="onehot")
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_chunked_pq_summary_builder(rng):
+    """build_summary_tokens_from_pq == decode-then-build when the chunk
+    covers the corpus (identical seeds per 16384-stride); small chunks
+    still yield normalized, occupancy-consistent summaries."""
+    from evdr_tpu.ops.pruned import (build_summary_tokens,
+                                     build_summary_tokens_from_pq)
+
+    P, pmask, _, _, _ = _corpus(rng, n=23)
+    books = train_pq(P, pmask, m=8)
+    codes = encode_pq(P, books, pmask)
+
+    S1, m1 = build_summary_tokens(decode_pq(codes, books), pmask,
+                                  k_centroids=2)
+    S2, m2 = build_summary_tokens_from_pq(codes, books, pmask,
+                                          k_centroids=2)
+    np.testing.assert_array_equal(m1, m2)
+    np.testing.assert_allclose(S1, S2, rtol=1e-6, atol=1e-6)
+
+    S3, m3 = build_summary_tokens_from_pq(codes, books, pmask,
+                                          k_centroids=2, chunk_pages=7)
+    assert S3.shape == S1.shape and m3.shape == m1.shape
+    nrm = np.linalg.norm(S3, axis=-1)
+    assert np.all((np.abs(nrm - 1.0) < 1e-5) | (nrm == 0.0))
+    assert np.all((nrm > 0) == m3)
+
+
+def test_pq_auto_rows_policy():
+    """Serving shapes get ONE q-block (decode re-runs per q-block — the
+    chip-measured +47%); long docs keep the 4096 default; the 8192 VMEM
+    legality cap holds."""
+    from evdr_tpu.ops.pallas_maxsim import _pick_tiles, _pq_auto_rows
+
+    # config-5-like: 256 queries x 32 tokens at Lp=16 -> full batch, one
+    # q-block (the old default 4096 split it into two)
+    rows = _pq_auto_rows(256, 32, 16)
+    assert rows == 8192
+    qb, lq_pad, _, _ = _pick_tiles(32, 16, rows, 1536, nq=256)
+    assert qb * lq_pad >= 256 * 32  # n_qb == 1
+    # small batches keep the floor (qb clamps to nq anyway)
+    assert _pq_auto_rows(64, 32, 16) == 4096
+    # beyond the measured-legal QBL: capped
+    assert _pq_auto_rows(1024, 32, 16) == 8192
+    # long docs amortize the decode identically (longdoc sweep: 114.6 vs
+    # 77.4 TFLOP/s at Lp=768)
+    assert _pq_auto_rows(256, 32, 768) == 8192
+
+
+def test_summary_dtype_validated():
+    from evdr_tpu.engine import RetrievalEngine
+
+    with pytest.raises(ValueError, match="summary_dtype"):
+        RetrievalEngine(dtype="pq", summary_dtype="pq")
+
+
 def _as_ragged(P, pmask):
     """Dense padded (N, Lp, D) + mask -> the interchange object-array form."""
     out = np.empty(P.shape[0], dtype=object)
