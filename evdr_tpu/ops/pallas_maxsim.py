@@ -56,6 +56,23 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _auto_rows(nq: int, lq: int, floor: int = 4096, cap: int = 8192) -> int:
+    """Auto target_rows: cover the WHOLE query batch in ONE q-block.
+
+    Every kernel re-streams the index from HBM once per q-block, so at
+    HBM-bound shapes n_qb=1 is strictly best. Chip sweeps (v5e, 250k docs,
+    256q x 32t = qbl 8192, 8/19): int8full 170.1 TFLOP/s at rows=8192 vs
+    154.0 at the old 4096 default and 120.8 at the rows=2048 serving
+    workaround (i8f_sweep_smalllp.out); bf16 168.7 vs 163.2
+    (bf16_sweep_smalllp.out, rows=16384 within noise of 8192 — the q-block
+    clamps to the padded batch anyway); PQ +40-48% at every swept Lp
+    (pq_sweep_*.out — there the q-block also repeats the decode).
+    QBL=8192 is the largest measured-legal scope across kernels; the
+    4096 floor keeps small batches on the proven tiling."""
+    qbl_full = _round_up(max(nq, 8), 8) * _round_up(lq, 8)
+    return int(min(max(floor, qbl_full), cap))
+
+
 def _pick_tiles(lq: int, lp: int, target_rows: int = 512, target_cols: int = 256,
                 nq: int = None, max_tlp: int = None) -> Tuple[int, int, int, int]:
     """Choose (QB queries/block, Lq_pad, DB docs/block, TLP lp-tile).
@@ -479,14 +496,18 @@ def _kernel(qf_ref, qmf_ref, p_ref, pm_ref, out_ref, acc_ref, *, db, tlp, lq_pad
                               "target_cols", "epilogue", "max_tlp")
 )
 def _maxsim_pallas_fwd(Q, P, qmask, pmask, compute_dtype=jnp.bfloat16,
-                       interpret: bool = False, target_rows: int = 4096,
+                       interpret: bool = False, target_rows: int = None,
                        target_cols: int = 3072, epilogue: str = "auto",
                        max_tlp: int = None):
-    # target_rows=4096 measured faster than 2048 with the sublane epilogue at
-    # both the headline shape (31.0k vs 30.3k q/s, Lp=768) and the config-5
-    # probe shape (+6%, Lp=16) on the v5e chip; 2048 was the f32-epilogue tune.
+    # target_rows=None = _auto_rows (one q-block covers the batch, cap 8192):
+    # bf16 168.7 vs 163.2 TFLOP/s at the 4096 default (bf16_sweep_smalllp).
+    # History: 4096 beat 2048 with the sublane epilogue at both the headline
+    # shape (31.0k vs 30.3k q/s, Lp=768) and the config-5 probe shape (+6%,
+    # Lp=16); 2048 was the f32-epilogue tune.
     nq, lq, d = Q.shape
     nd, lp, _ = P.shape
+    if target_rows is None:
+        target_rows = _auto_rows(nq, lq)
     qb, lq_pad, db, tlp = _pick_tiles(lq, lp, target_rows, target_cols, nq=nq,
                                       max_tlp=max_tlp)
     epilogue, _ = _resolve_epilogue(epilogue, qb, db, interpret=interpret)
@@ -764,7 +785,7 @@ def _kernel_int8_defer(qf_ref, qmf_ref, p_ref, sc_ref, out_ref, acc_ref,
                               "epilogue", "deferred", "max_tlp")
 )
 def maxsim_pallas_int8full(Q, P_i8, scales, qmask, pmask,
-                           interpret: bool = False, target_rows: int = 4096,
+                           interpret: bool = False, target_rows: int = None,
                            target_cols: int = 3072, epilogue: str = "auto",
                            deferred: bool = False, max_tlp: int = None):
     """Fully-quantized MaxSim: int8 queries x int8 index on the MXU.
@@ -774,7 +795,13 @@ def maxsim_pallas_int8full(Q, P_i8, scales, qmask, pmask,
     p-side scale the pre-max column — both mathematically exact, so scores
     equal the dequantized-fp32 oracle up to the two int8 roundings.
     ~1.5x the bf16 kernel's throughput (int8 MXU runs at 2x peak).
+
+    target_rows=None = _auto_rows (one q-block covers the batch, cap 8192):
+    170.1 TFLOP/s vs 154.0 at the old 4096 default at the config-5 serving
+    shape (i8f_sweep_smalllp.out).
     """
+    if target_rows is None:
+        target_rows = _auto_rows(Q.shape[0], qmask.shape[-1])
     amax = jnp.max(jnp.abs(Q).astype(jnp.float32), axis=-1)   # (nq, lq)
     sq = amax / 127.0
     safe = jnp.where(sq > 0, sq, 1.0)
@@ -799,17 +826,21 @@ def maxsim_pallas_int8full(Q, P_i8, scales, qmask, pmask,
 )
 def maxsim_pallas_int8(Q, P_i8, scales, qmask, pmask,
                        compute_dtype=jnp.bfloat16, interpret: bool = False,
-                       target_rows: int = 4096, target_cols: int = 3072,
+                       target_rows: int = None, target_cols: int = 3072,
                        epilogue: str = "auto", deferred: bool = False,
                        max_tlp: int = None):
-    # r4096 > r2048 with the sublane epilogue: 30.6k vs 29.5k q/s at Lp=768,
-    # 32.3k vs 30.2k at Lp=16 (v5e probes, 256q x 32t, bf16 dot).
+    # target_rows=None = _auto_rows: 170.6 TFLOP/s at rows=8192 vs 161.4 at
+    # the old 4096 default (i8x_sweep_smalllp.out, config-5 serving shape).
+    # History: r4096 > r2048 with the sublane epilogue (30.6k vs 29.5k q/s
+    # at Lp=768; 32.3k vs 30.2k at Lp=16, 256q x 32t, bf16 dot).
     """Fused MaxSim over an int8-quantized index.
 
     Q (nq, Lq, D) float; P_i8 (nd, Lp, D) int8 codes; scales (nd, Lp) f32
     per-token scales (ops/quantize.py). Scores match the dequantized-fp32
     oracle up to compute-dtype rounding.
     """
+    if target_rows is None:
+        target_rows = _auto_rows(Q.shape[0], qmask.shape[-1])
     return _maxsim_int8_impl(Q, qmask.astype(jnp.float32), P_i8, scales,
                              pmask, compute_dtype=compute_dtype,
                              interpret=interpret, target_rows=target_rows,
@@ -1024,8 +1055,7 @@ def _pq_auto_rows(nq: int, lq: int, lp: int) -> int:
     step halves the decode count. QBL=8192 at cols<=1536 is the largest
     measured-legal scope (both Lp regimes)."""
     del lp  # rows-monotone at every swept Lp; kept for call-site clarity
-    qbl_full = _round_up(max(nq, 8), 8) * _round_up(lq, 8)
-    return int(min(max(4096, qbl_full), 8192))
+    return _auto_rows(nq, lq)
 
 
 def quantize_books_int8(books) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -1413,12 +1443,19 @@ def _kernel_int4(qf_ref, qmf_ref, p_ref, sc_ref, out_ref, acc_ref, *, db,
                               "epilogue", "max_tlp")
 )
 def maxsim_pallas_int4full(Q, P_u8, scales, qmask, pmask,
-                           interpret: bool = False, target_rows: int = 4096,
+                           interpret: bool = False, target_rows: int = None,
                            target_cols: int = 3072, epilogue: str = "auto",
                            max_tlp: int = None):
     """Fully-quantized MaxSim over a packed-int4 index: int8 queries x int4
     codes on the MXU (int8 dot). Query quantization and the q-side scale
-    placement match maxsim_pallas_int8full exactly."""
+    placement match maxsim_pallas_int8full exactly.
+
+    target_rows=None = _auto_rows (one q-block covers the batch, cap 8192):
+    at qbl=8192 the _clamp_int4_db VMEM clamp halves db to 48 yet n_qb=1
+    still wins — the index-variant sweep measured 137.7 TFLOP/s at
+    rows=8192 vs 134.2 at the 4096 default (i4x_sweep_smalllp.out)."""
+    if target_rows is None:
+        target_rows = _auto_rows(Q.shape[0], qmask.shape[-1])
     amax = jnp.max(jnp.abs(Q).astype(jnp.float32), axis=-1)
     sq = amax / 127.0
     safe = jnp.where(sq > 0, sq, 1.0)
@@ -1437,13 +1474,16 @@ def maxsim_pallas_int4full(Q, P_u8, scales, qmask, pmask,
 )
 def maxsim_pallas_int4(Q, P_u8, scales, qmask, pmask,
                        compute_dtype=jnp.bfloat16, interpret: bool = False,
-                       target_rows: int = 4096, target_cols: int = 3072,
+                       target_rows: int = None, target_cols: int = 3072,
                        epilogue: str = "auto", max_tlp: int = None):
     """Fused MaxSim over a token-pair-packed int4 index (ops/int4.py).
 
     Q (nq, Lq, D) float; P_u8 (nd, ceil(Lp/2), D) uint8 packed codes;
     scales (nd, Lp) f32 per-token scales. Scores match the dequantized-fp32
-    oracle up to compute-dtype rounding."""
+    oracle up to compute-dtype rounding. target_rows=None = _auto_rows
+    (137.7 vs 134.2 TFLOP/s at the serving shape, i4x_sweep_smalllp.out)."""
+    if target_rows is None:
+        target_rows = _auto_rows(Q.shape[0], qmask.shape[-1])
     return _maxsim_int4_impl(Q, qmask.astype(jnp.float32), P_u8, scales,
                              pmask, compute_dtype=compute_dtype,
                              interpret=interpret, target_rows=target_rows,

@@ -67,14 +67,13 @@ def _local_scores(Q, qmask, P_loc, pm_loc, chunk_p: int, impl: str,
         # int8-quantized index (ops/quantize.py)
         if impl == "pallas_q8":
             # queries quantized too: int8 x int8 MXU dot (2x bf16 peak).
-            # Serving uses the 2048-row tiling: the MFU-tuned 4096 default
-            # overflows the 16MB scoped-VMEM budget on small-Lp corpora
-            # (e.g. Lp=16 at batch 256); 2048 compiles everywhere (tile-MFU
-            # trade-off: scripts/profile_maxsim.py --sweep)
+            # Default tiles = the kernel's _auto_rows policy (one q-block
+            # covers the batch, cap 8192): 170.1 TFLOP/s vs 120.8 at the
+            # old rows=2048 serving workaround (a stale f32-epilogue-era
+            # VMEM limit; i8f_sweep_smalllp.out swept it away).
             from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int8full
 
-            return maxsim_pallas_int8full(Q, P_loc, scales, qmask, pm_loc,
-                                          target_rows=2048)
+            return maxsim_pallas_int8full(Q, P_loc, scales, qmask, pm_loc)
         if impl == "pallas":
             from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int8
 

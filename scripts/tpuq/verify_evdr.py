@@ -239,7 +239,7 @@ def main():
     rec_oracle = maxsim_numpy(Qb[:8], decode_pq(codes, books), qmb[:8], pmb)
     pqk = np.asarray(maxsim_pallas_pq(
         jnp.asarray(Qb[:8]), jnp.asarray(codes), jnp.asarray(qmb[:8]),
-        jnp.asarray(pmb), jnp.asarray(books)))
+        jnp.asarray(pmb), jnp.asarray(books), **pallas_kw))
     rel = (np.abs(pqk - rec_oracle)
            / np.maximum(np.abs(rec_oracle), 1e-3)).max()
     check("13 pq kernel vs reconstruction oracle", rel <= 2e-2,
@@ -248,7 +248,7 @@ def main():
           bool((pqk.argmax(1) == rec_oracle.argmax(1)).all()))
     pqf = np.asarray(maxsim_pallas_pqfull(
         jnp.asarray(Qb[:8]), jnp.asarray(codes), jnp.asarray(qmb[:8]),
-        jnp.asarray(pmb), jnp.asarray(books)))
+        jnp.asarray(pmb), jnp.asarray(books), **pallas_kw))
     agree = float((pqf.argmax(1) == rec_oracle.argmax(1)).mean())
     check("13c pqfull (int8 queries) top-1 vs oracle", agree >= 0.95,
           f"agree={agree:.2f}")
@@ -283,6 +283,41 @@ def main():
     agree = float((np.asarray(pr_i)[:, 0] == np.asarray(ex_i)[:, 0]).mean())
     check("13f pq+pruned int8 summaries top-1 vs its own exact",
           agree >= 0.9, f"agree={agree:.2f}")
+
+    # --- 14. auto-rows tiling at the SERVING query batch (qbl = 8192):
+    # a query batch big enough to hit the _auto_rows cap puts everything in
+    # ONE q-block — the tiling the config-5/headline serving paths now run
+    # by default (i8f/bf16/i8x/i4x_sweep_smalllp adoptions). The sweeps
+    # only measured throughput; this is the numerics gate at those tiles.
+    from evdr_tpu.ops.pallas_maxsim import (maxsim_pallas_int8,
+                                            maxsim_pallas_int8full)
+    from evdr_tpu.ops.quantize import quantize_tokens_int8
+
+    reps = -(-8192 // (Qb.shape[0] * ((Qb.shape[1] + 7) // 8 * 8)))
+    Q4 = np.concatenate([Qb] * reps, axis=0)
+    qm4 = np.concatenate([qmb] * reps, axis=0)
+    assert Q4.shape[0] * ((Q4.shape[1] + 7) // 8 * 8) >= 8192, Q4.shape
+    Pn4 = np.asarray(l2_normalize(Pb * pmb[..., None].astype(np.float32)))
+    want14 = maxsim_numpy(Q4, Pn4, qm4, pmb)
+    c14, s14 = quantize_tokens_int8(Pn4, pmb)
+    got = np.asarray(maxsim_pallas_int8full(
+        jnp.asarray(Q4), jnp.asarray(c14), jnp.asarray(s14),
+        jnp.asarray(qm4), jnp.asarray(pmb), **pallas_kw))
+    agree = float((got.argmax(1) == want14.argmax(1)).mean())
+    check("14 int8full top-1 at qbl=8192 auto tiles", agree >= 0.95,
+          f"agree={agree:.2f}")
+    got = np.asarray(maxsim_pallas_int8(
+        jnp.asarray(Q4), jnp.asarray(c14), jnp.asarray(s14),
+        jnp.asarray(qm4), jnp.asarray(pmb), **pallas_kw))
+    agree = float((got.argmax(1) == want14.argmax(1)).mean())
+    check("14b int8-index top-1 at qbl=8192 auto tiles", agree >= 0.95,
+          f"agree={agree:.2f}")
+    got = np.asarray(maxsim_pallas(jnp.asarray(Q4), jnp.asarray(Pn4),
+                                   jnp.asarray(qm4), jnp.asarray(pmb),
+                                   **pallas_kw))
+    rel = (np.abs(got - want14) / np.maximum(np.abs(want14), 1e-3)).max()
+    check("14c bf16 vs oracle<=2e-2 at qbl=8192 auto tiles", rel <= 2e-2,
+          f"max rel={rel:.4f}")
 
     print(f"\n{len(FAILS)} failures" + (f": {FAILS}" if FAILS else ""),
           flush=True)

@@ -426,6 +426,31 @@ def test_pick_tiles_clamps_query_block_to_nq():
     assert qb == 128
 
 
+def test_auto_rows_policy_and_serving_batch_parity():
+    """target_rows=None covers the whole query batch in ONE q-block (floor
+    4096, cap 8192) — chip-adopted from i8f/bf16/i8x_sweep_smalllp (int8full
+    170.1 vs 120.8 TFLOP/s for the old rows=2048 serving tile). Parity must
+    hold at the qbl=8192 tiling the serving paths now pick by default."""
+    from evdr_tpu.ops.pallas_maxsim import _auto_rows
+
+    assert _auto_rows(8, 32) == 4096    # floor: small batches keep old tiles
+    assert _auto_rows(256, 32) == 8192  # serving batch: exactly one q-block
+    assert _auto_rows(1024, 32) == 8192  # cap: measured VMEM-legality bound
+    assert _auto_rows(100, 32) == 4096  # 104*32 = 3328 -> floor
+    assert _auto_rows(200, 32) == 6400  # round_up(200,8)*32
+
+    rng = np.random.default_rng(11)
+    Q = rng.normal(size=(256, 32, 64)).astype(np.float32)
+    P = rng.normal(size=(16, 16, 64)).astype(np.float32)
+    qm = rng.random((256, 32)) > 0.1
+    pm = rng.random((16, 16)) > 0.1
+    want = maxsim_numpy(Q, P, qm, pm)
+    got = np.asarray(maxsim_pallas(jnp.asarray(Q), jnp.asarray(P),
+                                   jnp.asarray(qm), jnp.asarray(pm),
+                                   jnp.float32, True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.slow
 def test_shape_fuzz_full_sweeps(monkeypatch):
     """Full-count fuzz sweeps (the fast loop runs a prefix of the same
