@@ -317,8 +317,28 @@ def main() -> None:
         print(json.dumps(rec))
         return
 
-    with trace_ctx(args.trace):
-        st_int8, st_bf16 = measure_tpu_qps()
+    try:
+        with trace_ctx(args.trace):
+            st_int8, st_bf16 = measure_tpu_qps()
+    except Exception as e:
+        # A mid-run failure (kernel compile error, tunnel dying between the
+        # probe and the measurement) must still leave a parseable record —
+        # an uncaught crash prints no JSON line at all.
+        print(f"[bench] TPU measurement failed mid-run: {e}", file=sys.stderr)
+        known = last_known_tpu_qps()
+        rec = {
+            "metric": "maxsim_queries_per_sec",
+            "value": 0.0,
+            "unit": "q/s",
+            "vs_baseline": 0.0,
+            "backend": f"tpu-error ({type(e).__name__}; see stderr — value "
+                       "is NOT a measurement)",
+        }
+        if known is not None:
+            rec["last_known_tpu_qps"] = known[1]
+            rec["last_known_source"] = known[0]
+        print(json.dumps(rec))
+        return
     tpu_qps = st_int8["qps"]
     try:  # record the chip number for future outage fallbacks
         _LAST_QPS_FILE.write_text(json.dumps(
