@@ -50,10 +50,10 @@ def _local_scores(Q, qmask, P_loc, pm_loc, chunk_p: int, impl: str,
         if impl == "pallas_q8":
             from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int4full
 
-            # default tiles: the kernel's small-Lp VMEM clamp
-            # (_clamp_int4_db) makes rows=4096 legal everywhere and lands
-            # on the swept-best config (rows=4096/cols->1536: 121.5 full /
-            # 134.3 index TFLOP/s vs ~106 at the old 2048-row serving tile)
+            # default tiles: _auto_rows (one q-block per batch; 137.7 vs
+            # 134.2 TFLOP/s index-variant, i4x_sweep_smalllp) composed with
+            # the small-Lp VMEM clamp (_clamp_int4_db) — legal everywhere,
+            # no manual flags (vs ~106 at the old 2048-row serving tile)
             return maxsim_pallas_int4full(Q, P_loc, scales, qmask, pm_loc)
         if impl == "pallas":
             from evdr_tpu.ops.pallas_maxsim import maxsim_pallas_int4
