@@ -79,7 +79,7 @@ def build_summary_tokens_from_pq(codes, books, pmask, k_centroids: int = 4,
 
 
 def _rerank_block(Q, qmask, P, pmask, cand_idx, k: int, scales=None,
-                  books=None, pq_decode: str = "take"):
+                  books=None, pq_decode: str = "onehot"):
     """One query block of the exact candidate rerank (see rerank_candidates)."""
     Pg = jnp.take(P, cand_idx, axis=0)        # (nq, C, Lp, D) or PQ codes
     if books is not None:
@@ -149,13 +149,18 @@ def _rerank_block(Q, qmask, P, pmask, cand_idx, k: int, scales=None,
 @functools.partial(jax.jit, static_argnames=("k", "chunk_q", "pq_decode"))
 def rerank_candidates(Q, qmask, P, pmask, cand_idx, k: int, scales=None,
                       chunk_q: int = 32, books=None,
-                      pq_decode: str = "take"):
+                      pq_decode: str = "onehot"):
     """Exact masked MaxSim over per-query candidate sets.
 
     Q (nq, Lq, D); P (N, Lp, D); cand_idx (nq, C) -> top-k (values, GLOBAL doc
     indices) among the candidates. ``scales`` dequantizes int8 indexes
     (ops/quantize.py) after the gather; ``books`` reconstructs PQ candidates
     (ops/pq.py) — "exact" then means exact over the reconstruction.
+    ``pq_decode`` defaults to 'onehot' (bit-identical to 'take'): at the
+    4M-page capacity shapes onehot beat the take-row gather in every cell
+    (+10% at n_cand=1024 up to +83% at 16384 — capacity_4m, RESULTS.md),
+    because candidate-decode volume grows with n_cand and TPUs resolve
+    one-hot MXU dots far faster than scalar gathers.
 
     Chunked over queries (``lax.map`` blocks of ``chunk_q``): the gathered
     candidate tokens are upcast to f32 for the exact einsum, which at
@@ -191,7 +196,7 @@ def rerank_candidates(Q, qmask, P, pmask, cand_idx, k: int, scales=None,
                    static_argnames=("k", "n_cand", "impl", "pq_decode"))
 def pruned_topk_fused(Q, qmask, P, pmask, S, smask, k: int, n_cand: int,
                       impl: str = "pallas", scales=None, sscales=None,
-                      books=None, pq_decode: str = "take"):
+                      books=None, pq_decode: str = "onehot"):
     """Both pruning stages in ONE compiled program (single-device serving).
 
     Remote/tunneled backends pay ~30ms per dispatch; splitting candidate
